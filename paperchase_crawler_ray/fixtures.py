@@ -1,0 +1,226 @@
+"""Deterministic fixture generation (FIXTURES.md) — seed=42, no I/O.
+
+One generator feeds unit tests, the end-to-end golden test, ``entry()``
+and the bench harness (scaled up with the same rules), so correctness and
+throughput runs exercise identical semantics.
+
+Everything is keyed off ``seed ^ stable_hash(identity)`` so any row can be
+regenerated independently of generation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .functions.codec import encode
+from .functions.phash import phash64
+from .functions.texthash import stable_hash64
+from .schemas import WEB_FIXTURE
+
+_WORDS = (
+    "amber basalt cedar delta ember fjord garnet harbor indigo jasper keel "
+    "lumen meadow nectar onyx prism quartz raven sierra tundra umber vortex "
+    "willow xenon yarrow zephyr anchor breeze cobalt dusk echo flint grove "
+    "haze iris juniper kelp larch mist nimbus oak pine quay reef slate "
+    "thorn undertow vale wharf yew zenith arbor bluff crest dune eyrie "
+    "fern glen heath inlet knoll ledge marsh moor"
+).split()
+assert len(_WORDS) == 64
+
+_W_CYCLE = (16, 32, 64, 128)
+_H_CYCLE = (16, 24, 64, 96)
+_FMT_CYCLE = ("png", "bmp", "raw")
+
+
+def _rng_for(seed: int, identity: str) -> np.random.Generator:
+    return np.random.Generator(np.random.PCG64(seed ^ (stable_hash64(identity) & 0x7FFFFFFFFFFFFFFF)))
+
+
+def make_caption(k: int, rng: np.random.Generator) -> str:
+    a, b, c = (int(x) for x in rng.integers(0, 64, size=3))
+    return f"Figure {k}: {_WORDS[a]} {_WORDS[b]} under {_WORDS[c]}."
+
+
+def make_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Deterministic gradient + noise RGB image so PSNR is meaningful."""
+    rng = _rng_for(seed, image_id)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((xx * 255) // max(1, w - 1) + (yy * 255) // max(1, h - 1)) // 2
+    img = np.stack([grad, 255 - grad, (grad * 2) % 256], axis=2).astype(np.int64)
+    noise = rng.integers(-24, 25, size=(h, w, 3))
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
+
+
+def make_image_rows(n: int, seed: int = 42, seed_id: int = 0) -> pa.Table:
+    """Standalone image_caption table rows (FIXTURES.md §1)."""
+    ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
+    for k in range(n):
+        image_id = f"img-{seed_id:04d}-{k:06d}"
+        w, h = _W_CYCLE[k % 4], _H_CYCLE[k % 4]
+        fmt = _FMT_CYCLE[k % 3]
+        px = make_pixels(image_id, w, h, seed)
+        rng = _rng_for(seed, "cap:" + image_id)
+        ids.append(image_id)
+        blobs.append(encode(px, fmt))
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        captions.append(make_caption(k, rng))
+        phashes.append(phash64(px))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# fixture web (FIXTURES.md §3): page graph over H hosts, power-law skew
+# --------------------------------------------------------------------------
+
+def host_name(i: int) -> str:
+    return f"h{i:03d}.example"
+
+
+def _pages_per_host(n_hosts: int, total_pages: int) -> list[int]:
+    """Power-law page counts; host 0 gets ~40% of all pages."""
+    hot = max(1, int(total_pages * 0.4))
+    rest = total_pages - hot
+    weights = np.array([1.0 / (i + 1) for i in range(1, n_hosts)]) if n_hosts > 1 else np.array([])
+    counts = [hot]
+    if n_hosts > 1:
+        share = (weights / weights.sum() * rest).astype(int)
+        share[: rest - share.sum()] += 1
+        counts.extend(max(1, int(c)) for c in share)
+    return counts
+
+
+def _page_url(host_i: int, page_j: int) -> str:
+    return f"http://{host_name(host_i)}/p/{page_j}"
+
+
+def _image_url(host_i: int, page_j: int, k: int, fmt: str) -> str:
+    return f"http://{host_name(host_i)}/img/{page_j}-{k}.{fmt}"
+
+
+def _page_html(host_i: int, page_j: int, pages: list[int], seed: int) -> tuple[str, list[str]]:
+    """HTML body for a page + list of image URLs it references."""
+    url = _page_url(host_i, page_j)
+    rng = _rng_for(seed, "page:" + url)
+    n_hosts = len(pages)
+    links: list[str] = []
+    for _ in range(8):
+        style = int(rng.integers(0, 10))
+        if style < 5:  # same-host relative/absolute, sometimes non-canonical
+            tgt = int(rng.integers(0, pages[host_i]))
+            variant = int(rng.integers(0, 5))
+            if variant == 0:
+                links.append(f"/p/{tgt}")
+            elif variant == 1:
+                links.append(f"/p/./{tgt}#frag")
+            elif variant == 2:
+                links.append(f"http://{host_name(host_i).upper()}:80/p/{tgt}")
+            elif variant == 3:
+                links.append(f"/p/{tgt}?b=2&a=1")
+            else:
+                links.append(_page_url(host_i, tgt))
+        elif style < 9:  # cross-host
+            hj = int(rng.integers(0, n_hosts))
+            links.append(_page_url(hj, int(rng.integers(0, pages[hj]))))
+        else:  # off-scope
+            links.append("ftp://files.example/skip")
+    if int(rng.integers(0, 4)) == 0 and links:
+        links.append(links[0])  # deliberate duplicate
+    imgs: list[str] = []
+    figures = []
+    n_figs = int(rng.integers(0, 3))
+    for k in range(n_figs):
+        fmt = _FMT_CYCLE[int(rng.integers(0, 3))]
+        src = _image_url(host_i, page_j, k, fmt)
+        imgs.append(src)
+        cap = make_caption(page_j * 4 + k, _rng_for(seed, "cap:" + src))
+        if k % 2 == 0:
+            figures.append(f'<figure><img src="{src}"><figcaption>{cap}</figcaption></figure>')
+        else:
+            figures.append(f'<img src="{src}" alt="{cap}">')
+    body = "<html><body>" + "".join(
+        f'<a href="{l}">link</a>' for l in links
+    ) + "".join(figures) + "</body></html>"
+    return body, imgs
+
+
+def make_web(n_hosts: int = 20, total_pages: int = 400, seed: int = 42) -> pa.Table:
+    """The synthetic web the sandbox Fetcher serves (FIXTURES.md §3)."""
+    pages = _pages_per_host(n_hosts, total_pages)
+    urls, statuses, ctypes, bodies, locations = [], [], [], [], []
+
+    def add(url, status, ctype, body, location=""):
+        urls.append(url)
+        statuses.append(status)
+        ctypes.append(ctype)
+        bodies.append(body)
+        locations.append(location)
+
+    for i in range(n_hosts):
+        delay = float(i % 3)  # Crawl-delay in {0, 1, 2} virtual units
+        robots = "User-agent: *\n" + "".join(
+            f"Disallow: /p/{j}\n" for j in range(pages[i]) if j % 10 == 7
+        ) + (f"Crawl-delay: {int(delay)}\n" if delay else "")
+        add(f"http://{host_name(i)}/robots.txt", 200, "text/plain", robots.encode())
+        for j in range(pages[i]):
+            url = _page_url(i, j)
+            if (i * 131 + j) % 17 == 5:
+                add(url, 404, "text/html", b"not found")
+                continue
+            if (i * 131 + j) % 13 == 11:
+                tgt = _page_url(i, (j + 1) % pages[i])
+                add(url, 301, "text/html", b"", location=tgt)
+                continue
+            body, imgs = _page_html(i, j, pages, seed)
+            add(url, 200, "text/html", body.encode())
+            for src in imgs:
+                fmt = src.rsplit(".", 1)[-1]
+                idx = int(src.rsplit("-", 1)[-1].split(".")[0])
+                w, h = _W_CYCLE[(j + idx) % 4], _H_CYCLE[(j + idx) % 4]
+                px = make_pixels(src, w, h, seed)
+                add(src, 200, f"image/{fmt}", encode(px, fmt))
+    return pa.table(
+        {
+            "url_canon": pa.array(urls, pa.string()),
+            "status": pa.array(statuses, pa.int32()),
+            "content_type": pa.array(ctypes, pa.string()),
+            "body": pa.array(bodies, pa.binary()),
+            "location": pa.array(locations, pa.string()),
+        },
+        schema=WEB_FIXTURE,
+    )
+
+
+def make_seeds(n_seeds: int = 6, n_hosts: int = 20, seed: int = 42) -> pa.Table:
+    """Seed URLs, deliberately non-canonical to exercise M1."""
+    urls, seed_ids, prios = [], [], []
+    variants = [
+        lambda i: f"http://{host_name(i).upper()}/p/0",
+        lambda i: f"http://{host_name(i)}:80/p/0#top",
+        lambda i: f"http://{host_name(i)}/p/./0",
+        lambda i: f"http://{host_name(i)}/p/0",
+    ]
+    for s in range(n_seeds):
+        i = s % n_hosts
+        urls.append(variants[s % len(variants)](i))
+        seed_ids.append(s)
+        prios.append(1.0)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "seed_id": pa.array(seed_ids, pa.int32()),
+            "priority": pa.array(prios, pa.float64()),
+        }
+    )

@@ -1,0 +1,64 @@
+"""Fetch stage (SURVEY.md A4) — actor pool over zero-copy Arrow batches.
+
+The sandbox has no network, so the Fetcher resolves canonical URLs
+against a deterministic fixture web (FIXTURES.md §3) shared via a single
+``ray.put`` object ref: every actor maps the same plasma-backed
+``pa.Table`` (zero-copy) and builds one url->row-index dict in
+``__init__`` — the actor-state pattern a production HTTP fetcher would
+use for its connection pools. Missing URLs resolve to status 404.
+
+Production note: swap ``FixtureFetcher`` for an HTTP implementation with
+the same batch signature; politeness is already enforced upstream (A3),
+so the fetcher only needs per-host connection reuse, not scheduling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+class FixtureFetcher:
+    """map_batches actor: frontier rows -> fetched page rows."""
+
+    def __init__(self, web_ref):
+        web: pa.Table = ray.get(web_ref) if not isinstance(web_ref, pa.Table) else web_ref
+        self._web = web.combine_chunks()
+        urls = self._web.column("url_canon").to_pylist()
+        self._index: dict[str, int] = {u: i for i, u in enumerate(urls)}
+        self._status = self._web.column("status").to_numpy(zero_copy_only=False)
+        self._ctype = self._web.column("content_type")
+        self._body = self._web.column("body")
+        self._location = self._web.column("location")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url_canon").to_pylist()
+        n = len(urls)
+        rows = np.array([self._index.get(u, -1) for u in urls], np.int64)
+        found = rows >= 0
+        status = np.full(n, 404, np.int32)
+        status[found] = self._status[rows[found]]
+        # gather variable-width cols via take on the shared table (zero-copy-ish)
+        take_idx = pa.array(np.where(found, rows, 0), pa.int64())
+        ctype = self._ctype.take(take_idx)
+        body = self._body.take(take_idx)
+        loc = self._location.take(take_idx)
+        if not found.all():
+            miss = pa.array(~found)
+            empty_s = pa.array([""] * n, pa.string())
+            empty_b = pa.array([b""] * n, pa.binary())
+            ctype = pa.chunked_array([pc_if_else(miss, empty_s, ctype)])
+            body = pa.chunked_array([pc_if_else(miss, empty_b, body)])
+            loc = pa.chunked_array([pc_if_else(miss, empty_s, loc)])
+        out = batch.append_column("status", pa.array(status, pa.int32()))
+        out = out.append_column("content_type", ctype)
+        out = out.append_column("body", body)
+        out = out.append_column("location", loc)
+        return out
+
+
+def pc_if_else(cond, a, b):
+    import pyarrow.compute as pc
+
+    return pc.if_else(cond, a, b)

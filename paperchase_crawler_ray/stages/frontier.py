@@ -1,0 +1,84 @@
+"""Frontier batch transforms (SURVEY.md M1-M3, M7, M12, U2).
+
+All stateless `map_batches` functions over ``batch_format="pyarrow"``
+batches. URL parsing is inherently per-string (urllib), so the canonical
+step loops over the python strings of a batch once and rebuilds Arrow
+columns; everything downstream (hashing reuse, masks, scoring) is
+vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.urlnorm import canonicalize, extract_host, url_hash64
+from ..oracle import CrawlConfig, score_priority
+
+
+class CanonicalizeBatch:
+    """M1+M2+M3+M7: canonicalize, hash, host, scope-filter a frontier batch.
+
+    Used as an actor-pool stage so per-actor caches (repeat URLs across
+    batches are common in a crawl) amortize; safe as a plain task fn too.
+    """
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self._cache: dict[str, tuple[str, int, str]] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        depths = batch.column("depth").to_numpy(zero_copy_only=False)
+        canon_l: list[str] = []
+        hash_l: list[int] = []
+        host_l: list[str] = []
+        keep = np.zeros(len(urls), bool)
+        cache = self._cache
+        suffix = self.cfg.host_suffix
+        for i, u in enumerate(urls):
+            hit = cache.get(u)
+            if hit is None:
+                c = canonicalize(u)
+                if not c.startswith(("http://", "https://")):
+                    hit = ("", 0, "")
+                else:
+                    hit = (c, url_hash64(c), extract_host(c))
+                if len(cache) < 200_000:
+                    cache[u] = hit
+            c, h, host = hit
+            if c and host.endswith(suffix) and depths[i] <= self.cfg.max_depth:
+                keep[i] = True
+            canon_l.append(c)
+            hash_l.append(h)
+            host_l.append(host)
+        out = batch.append_column("url_canon", pa.array(canon_l, pa.string()))
+        out = out.append_column("url_hash", pa.array(hash_l, pa.int64()))
+        out = out.append_column("host", pa.array(host_l, pa.string()))
+        return out.filter(pa.array(keep))
+
+
+def dedup_wave_group(g: pd.DataFrame) -> pd.DataFrame:
+    """U2 per-group winner: min (depth, parent_hash, -priority).
+
+    Runs inside ``groupby("url_hash").map_groups`` — the hash-partitioned
+    exact-dedup shuffle. Deterministic total order, matching
+    ``oracle.dedup_winner_key``.
+    """
+    idx = np.lexsort((-g["priority"].to_numpy(),
+                      g["parent_hash"].to_numpy(),
+                      g["depth"].to_numpy()))
+    return g.iloc[idx[:1]]
+
+
+def score_new_links(batch: pa.Table) -> pa.Table:
+    """M12: priority for freshly discovered outlinks (vectorized)."""
+    depth = batch.column("depth").to_numpy(zero_copy_only=False).astype(np.float64)
+    pri = 1.0 / (1.0 + depth)
+    return batch.set_column(
+        batch.schema.get_field_index("priority"), "priority", pa.array(pri, pa.float64())
+    )
+
+
+__all__ = ["CanonicalizeBatch", "dedup_wave_group", "score_new_links", "score_priority"]

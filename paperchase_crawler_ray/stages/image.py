@@ -1,0 +1,100 @@
+"""Image branch stages (SURVEY.md M8-M11, U3) — the payload pipeline.
+
+Batches here carry wide ``binary`` image bodies, so the crawl loop runs
+these stages with a small explicit ``batch_size`` (memory note SURVEY.md
+§4.4). Decode + phash is the CPU-heavy stage; it is a callable class so
+``map_batches`` runs it as an actor pool whose size is tuned
+independently of the fetch pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.codec import UnsupportedFormatError, decode, sniff_format
+from ..functions.phash import hamming64, phash64
+from ..functions.urlnorm import canonicalize, url_hash64
+from ..oracle import normalize_caption
+
+_DECODABLE = {"png", "bmp", "raw"}
+
+
+def canonicalize_image_refs(batch: pa.Table) -> pa.Table:
+    """(src, caption) rows -> canonical src + namespaced image url_hash.
+
+    The image-seen namespace is ``img:<canon>`` so image dedup shares the
+    sharded cuckoo seen set without colliding with page URLs.
+    """
+    srcs = batch.column("src").to_pylist()
+    canon = [canonicalize(s) for s in srcs]
+    hashes = [url_hash64("img:" + c) for c in canon]
+    out = batch.append_column("url_canon", pa.array(canon, pa.string()))
+    out = out.append_column("url_hash", pa.array(hashes, pa.int64()))
+    return out
+
+
+class DecodeImages:
+    """Fetched image rows -> IMAGE_CAPTION rows (+ phash bucket).
+
+    Drops rows that are not 200 image/* responses or use formats the
+    sandbox cannot decode (jpeg without Pillow, gif). Per-row decode is
+    genuinely per-image work; the numpy kernels inside (unfilter, DCT)
+    are vectorized per image.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        status = batch.column("status").to_numpy(zero_copy_only=False)
+        ctypes = batch.column("content_type").to_pylist()
+        bodies = batch.column("body").to_pylist()
+        urls = batch.column("url_canon").to_pylist()
+        captions = batch.column("caption").to_pylist()
+        ids, blobs, ws, hs, fmts, caps, phashes = [], [], [], [], [], [], []
+        for i in range(len(urls)):
+            if status[i] != 200 or not ctypes[i].startswith("image/"):
+                continue
+            data = bodies[i]
+            fmt = sniff_format(data)
+            if fmt not in _DECODABLE:
+                continue
+            try:
+                px = decode(data, fmt)
+            except UnsupportedFormatError:
+                continue
+            ids.append(urls[i])
+            blobs.append(data)
+            ws.append(px.shape[1])
+            hs.append(px.shape[0])
+            fmts.append(fmt)
+            caps.append(normalize_caption(captions[i]))
+            phashes.append(phash64(px))
+        ph = np.array(phashes, np.int64) if phashes else np.empty(0, np.int64)
+        bucket = (ph.view(np.uint64) >> np.uint64(48)).astype(np.int64)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+
+def neardup_suppress_group(g: pd.DataFrame, hamming_max: int = 2) -> pd.DataFrame:
+    """U3 within one phash-prefix bucket: greedy keep-first by image_id.
+
+    Runs in ``groupby("bucket").map_groups``; greedy order = image_id
+    sort, matching the oracle crawler's sequential pass.
+    """
+    g = g.sort_values("image_id").reset_index(drop=True)
+    ph = g["phash"].to_numpy()
+    kept: list[int] = []
+    for i in range(len(g)):
+        if not kept or hamming64(ph[np.array(kept)], ph[i]).min() > hamming_max:
+            kept.append(i)
+    return g.iloc[kept].drop(columns=["bucket"])

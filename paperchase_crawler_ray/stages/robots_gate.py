@@ -1,0 +1,61 @@
+"""Robots.txt gating as an actor-pool map_batches stage (SURVEY.md A2).
+
+Actor state (loaded once per actor in ``__init__``): the robots source —
+in the sandbox a broadcast fixture-web object ref (``ray.put`` once on the
+driver, read once per actor); in production an HTTP fetcher. Parsed rules
+are cached per host with a bounded LRU-ish dict, so a host's robots.txt
+is parsed once per actor, not once per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.robots import RobotsRules, parse_robots
+
+
+def _path_of(url_canon: str) -> str:
+    rest = url_canon.split("://", 1)[-1]
+    return "/" + rest.split("/", 1)[-1] if "/" in rest else "/"
+
+
+class RobotsGate:
+    """Filter disallowed URLs, attach ``crawl_delay``; host-cached rules."""
+
+    def __init__(self, web_ref, max_cached_hosts: int = 100_000):
+        web = ray.get(web_ref) if not isinstance(web_ref, pa.Table) else web_ref
+        # robots rows only — small even for a big fixture web
+        mask = [u.endswith("/robots.txt") for u in web.column("url_canon").to_pylist()]
+        sub = web.filter(pa.array(mask))
+        self._robots_bodies = {
+            u.split("://", 1)[-1].rsplit("/robots.txt", 1)[0]: b
+            for u, b in zip(sub.column("url_canon").to_pylist(),
+                            sub.column("body").to_pylist())
+        }
+        self._rules: dict[str, RobotsRules] = {}
+        self._max_cached = max_cached_hosts
+
+    def _rules_for(self, host: str) -> RobotsRules:
+        r = self._rules.get(host)
+        if r is None:
+            body = self._robots_bodies.get(host)
+            r = parse_robots(body) if body is not None else RobotsRules()
+            if len(self._rules) >= self._max_cached:
+                self._rules.clear()
+            self._rules[host] = r
+        return r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        urls = batch.column("url_canon").to_pylist()
+        keep = np.zeros(len(hosts), bool)
+        delays = np.zeros(len(hosts), np.float64)
+        for i, (host, u) in enumerate(zip(hosts, urls)):
+            rules = self._rules_for(host)
+            if rules.allowed(_path_of(u)):
+                keep[i] = True
+                delays[i] = rules.crawl_delay
+        out = batch.append_column("crawl_delay", pa.array(delays, pa.float64()))
+        return out.filter(pa.array(keep))
