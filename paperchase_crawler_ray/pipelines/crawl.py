@@ -276,7 +276,9 @@ def crawl(web: pa.Table, seeds: pa.Table, out_dir: str,
                .materialize())
         n_next = nxt.count()
         counters["deferred"] += int(deferred.count())
-        if n_next > 0 and wave + 1 < cfg.max_waves:
+        # Always persist the residual frontier — even past max_waves — so a
+        # resume with a larger wave budget continues instead of stopping.
+        if n_next > 0:
             nxt.write_parquet(os.path.join(_wave_dir(out_dir, wave + 1), "frontier"))
 
         # lineage + checkpoint + commit marker

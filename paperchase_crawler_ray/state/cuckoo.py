@@ -26,6 +26,16 @@ _FP_MASK = np.uint64(0xFFFF)
 _KICKS = 500
 
 
+def _as_u64(h: np.ndarray) -> np.ndarray:
+    """Coerce int64/uint64 key arrays to uint64 (two's-complement view)."""
+    h = np.ascontiguousarray(h)
+    if h.dtype == np.uint64:
+        return h
+    if h.dtype == np.int64:
+        return h.view(np.uint64)
+    return h.astype(np.uint64)
+
+
 def _fingerprints(h: np.ndarray) -> np.ndarray:
     """16-bit nonzero fingerprints from uint64 hashes."""
     fp = ((h >> np.uint64(44)) & _FP_MASK).astype(np.uint16)
@@ -53,6 +63,7 @@ class CuckooFilter:
 
     # -- vectorized membership ------------------------------------------------
     def contains_many(self, h: np.ndarray) -> np.ndarray:
+        h = _as_u64(h)
         fp = _fingerprints(h)
         i1 = (h & self.mask).astype(np.int64)
         i2 = ((h & self.mask) ^ (_fp_hash(fp) & self.mask)).astype(np.int64)
@@ -87,6 +98,7 @@ class CuckooFilter:
         raise RuntimeError("cuckoo filter full (resize shard count)")
 
     def insert_many(self, h: np.ndarray) -> None:
+        h = _as_u64(h)
         fp = _fingerprints(h)
         i1 = (h & self.mask).astype(np.int64)
         for k in range(len(h)):
@@ -94,6 +106,7 @@ class CuckooFilter:
 
     def delete_many(self, h: np.ndarray) -> int:
         """Remove one matching fingerprint per key; returns removed count."""
+        h = _as_u64(h)
         fp = _fingerprints(h)
         i1 = (h & self.mask).astype(np.int64)
         i2 = ((h & self.mask) ^ (_fp_hash(fp) & self.mask)).astype(np.int64)

@@ -1,0 +1,117 @@
+"""End-to-end golden tests (SURVEY.md §5.2 items 2 & 4, BASELINE.json:14-15):
+
+the distributed Ray crawl must reproduce the single-threaded pure-Python
+oracle crawler exactly — per-wave admitted ordering, final URL-seen set —
+and every landed image row must satisfy the per-row invariants
+(decoded-pixel equality / PSNR≥40dB, exact caption equality, phash).
+Also: parallelism invariance and kill-resume equivalence.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from paperchase_crawler_ray.functions.codec import decode, psnr
+from paperchase_crawler_ray.fixtures import make_pixels
+from paperchase_crawler_ray.pipelines.crawl import RunConfig, crawl
+
+
+@pytest.fixture(scope="module")
+def ray_result(fixture_web, fixture_seeds, crawl_cfg, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl"))
+    return crawl(fixture_web, fixture_seeds, out, crawl_cfg,
+                 RunConfig(nshards=4, fetch_concurrency=2, decode_concurrency=2))
+
+
+def test_admitted_ordering_matches_oracle(ray_result, oracle_result):
+    got = ray_result.admitted_per_wave()
+    want = oracle_result.admitted_per_wave[: ray_result.waves_run]
+    assert got == want
+
+
+def test_seen_set_matches_oracle(ray_result, oracle_result):
+    assert ray_result.seen_hashes() == oracle_result.seen_hashes
+
+
+def test_counters_match_oracle(ray_result, oracle_result):
+    rc, oc = ray_result.counters, oracle_result.counters
+    assert rc["admitted"] == oc["admitted"]
+    assert rc["deferred"] == oc["deferred"]
+    assert rc["images_landed"] == oc["images_landed"]
+
+
+def test_image_rows_match_oracle(ray_result, oracle_result):
+    imgs = ray_result.images_dataset().to_pandas()
+    oracle_by_id = {r["image_id"]: r for r in oracle_result.image_rows}
+    assert sorted(imgs["image_id"]) == sorted(oracle_by_id)
+    for row in imgs.itertuples():
+        o = oracle_by_id[row.image_id]
+        assert row.caption == o["caption"]          # exact caption equality
+        assert row.phash == o["phash"]
+        assert row.w == o["w"] and row.h == o["h"] and row.fmt == o["fmt"]
+        # per-row pixel invariant vs ground-truth pixels (lossless: equal)
+        px = decode(bytes(row.bytes))
+        truth = make_pixels(row.image_id, row.w, row.h)
+        assert psnr(truth, px) >= 40.0
+        assert (px == truth).all()
+
+
+def test_parallelism_invariance(fixture_web, fixture_seeds, crawl_cfg,
+                                oracle_result, tmp_path):
+    """Same admitted order and seen set at a different shard/actor count."""
+    out = str(tmp_path / "p1")
+    res = crawl(fixture_web, fixture_seeds, out, crawl_cfg,
+                RunConfig(nshards=1, canon_concurrency=1, robots_concurrency=1,
+                          fetch_concurrency=1, decode_concurrency=1))
+    assert res.admitted_per_wave() == oracle_result.admitted_per_wave[: res.waves_run]
+    assert res.seen_hashes() == oracle_result.seen_hashes
+
+
+def test_resume_from_checkpoint(fixture_web, fixture_seeds, crawl_cfg,
+                                ray_result, tmp_path):
+    """Kill after wave 1 commit (simulated by truncating the output dir),
+    restart, final results identical to the uninterrupted run."""
+    out = str(tmp_path / "resume")
+    # run only waves 0-1 by limiting max_waves, then resume with full cfg
+    from dataclasses import replace
+    res1 = crawl(fixture_web, fixture_seeds, out, replace(crawl_cfg, max_waves=2),
+                 RunConfig(nshards=4))
+    assert res1.waves_run == 2
+    # wave-2 frontier was written by wave 1; delete nothing — resume
+    res2 = crawl(fixture_web, fixture_seeds, out, crawl_cfg, RunConfig(nshards=4))
+    assert res2.waves_run == ray_result.waves_run
+    assert res2.admitted_per_wave() == ray_result.admitted_per_wave()
+    assert res2.seen_hashes() == ray_result.seen_hashes()
+    full = ray_result.images_dataset().to_pandas()
+    resumed = res2.images_dataset().to_pandas()
+    assert sorted(resumed["image_id"]) == sorted(full["image_id"])
+
+
+def test_partial_wave_rerun_is_idempotent(fixture_web, fixture_seeds, crawl_cfg,
+                                          ray_result, tmp_path):
+    """A wave directory without _COMMITTED is rerun; results unchanged."""
+    import os
+    out = str(tmp_path / "partial")
+    res1 = crawl(fixture_web, fixture_seeds, out, crawl_cfg, RunConfig(nshards=4))
+    last = res1.waves_run - 1
+    # simulate a crash mid-wave: drop the last commit marker + its outputs
+    wd = os.path.join(out, f"wave={last}")
+    os.remove(os.path.join(wd, "_COMMITTED"))
+    for sub in ("admitted", "parsed", "images", "seen"):
+        p = os.path.join(wd, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    res2 = crawl(fixture_web, fixture_seeds, out, crawl_cfg, RunConfig(nshards=4))
+    assert res2.admitted_per_wave() == res1.admitted_per_wave()
+    assert res2.seen_hashes() == res1.seen_hashes()
+
+
+def test_lineage_reconciles(ray_result):
+    """Lineage rows exist for every wave and stage counts are coherent."""
+    stages = {}
+    for r in ray_result.lineage:
+        stages.setdefault(r["wave"], set()).add(r["stage"])
+    assert set(stages) == set(range(ray_result.waves_run))
+    for w in stages:
+        assert {"frontier", "schedule", "fetch_parse", "images"} <= stages[w]
