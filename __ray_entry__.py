@@ -1,44 +1,371 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (fixture web -> landed
+image_caption table, the BASELINE.json:15 schema) plus a small
+training-data pass over /root/testdata/sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` cover SURVEY.md §2.9's operator analogs
+plus the training-data operators (dedup / similarity / text analysis).
+Float policy for SQL-checked queries: no float aggregation across rows
+(distributed summation order differs from DuckDB's); integer-valued sums,
+raw pass-through floats, and per-row ROUND'ed floats only.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
+    def r(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(c, c) for c in b.column_names])
+    return ds.map_batches(r, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: fixture-web crawl -> image_caption table; plus a
+    documents enrichment pass over sf0.001 (token/quality/langid)."""
+    from paperchase_crawler_ray.ops.textstats import (fingerprint_batch,
+                                                      language_id_batch,
+                                                      quality_score_batch)
+    from paperchase_crawler_ray.pipelines.crawl import demo_crawl
+
+    # training-data pass over the driver tables (streamed, not returned)
+    docs = _rp("/root/testdata/sf0.001", "documents")
+    enriched = docs.map_batches(quality_score_batch, batch_format="pyarrow") \
+        .map_batches(language_id_batch, batch_format="pyarrow") \
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+    assert enriched.count() == docs.count()
+
+    out = tempfile.mkdtemp(prefix="pc_entry_")
+    res = demo_crawl(out, n_hosts=6, total_pages=40, n_seeds=3, max_waves=3)
+    return res.images_dataset()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_host_counts(sf: str):
+    ds = _rp(sf, "documents", columns=["source"])
+    return _rename(ds.groupby("source").count(), {"count()": "c"})
+
+
+def _q_exact_dedup(sf: str):
+    from paperchase_crawler_ray.ops.relational import exact_dedup
+    ds = _rp(sf, "events",
+             columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = exact_dedup(ds, ["user_id", "event_type"],
+                      [("ts", False), ("event_id", False)])
+    return out.select_columns(["event_id", "user_id", "event_type", "ts", "value"])
+
+
+def _q_seen_anti_join(sf: str):
+    from paperchase_crawler_ray.ops.relational import broadcast_anti_join
+    ev = _rp(sf, "events", columns=["event_id", "user_id"])
+    cust = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .filter(lambda r: r["c_mktsegment"] == "BUILDING")
+    return broadcast_anti_join(ev, "user_id", cust, "c_custkey")
+
+
+def _q_priority_rebalance(sf: str):
+    from ray.data.aggregate import Sum
+    li = _rp(sf, "lineitem", columns=["l_suppkey", "l_quantity"])
+    agg = li.groupby("l_suppkey").aggregate(Sum("l_quantity", alias_name="total_qty"))
+    return agg.sort(["total_qty", "l_suppkey"], descending=[True, False])
+
+
+def _q_topk(sf: str):
+    from paperchase_crawler_ray.ops.relational import global_topk
+    o = _rp(sf, "orders", columns=["o_custkey"])
+    counts = _rename(o.groupby("o_custkey").count(), {"count()": "c"})
+    return global_topk(counts, [("c", True), ("o_custkey", False)], 10)
+
+
+def _q_scope_semi(sf: str):
+    from paperchase_crawler_ray.ops.relational import broadcast_semi_join
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .filter(lambda r: r["c_mktsegment"] == "BUILDING")
+    return broadcast_semi_join(o, "o_custkey", c, "c_custkey")
+
+
+def _q_equi_join(sf: str):
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    c = _rp(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    n = _rp(sf, "nation", columns=["n_nationkey", "n_name"])
+    j = o.join(c, join_type="inner", num_partitions=8,
+               on=("o_custkey",), right_on=("c_custkey",))
+    j2 = j.join(n, join_type="inner", num_partitions=8,
+                on=("c_nationkey",), right_on=("n_nationkey",))
+    return _rename(j2.groupby("n_name").count(), {"count()": "n_orders"})
+
+
+def _q_union_budget(sf: str):
+    from paperchase_crawler_ray.ops.relational import global_topk
+    ev = _rp(sf, "events", columns=["event_id", "event_type", "value"])
+    a = ev.filter(lambda r: r["event_type"] == "click")
+    b = ev.filter(lambda r: r["event_type"] == "error")
+    return global_topk(a.union(b), [("value", True), ("event_id", False)], 100)
+
+
+def _q_window_wave(sf: str):
+    ev = _rp(sf, "events", columns=["ts"])
+
+    def floor_hour(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": pc.floor_temporal(batch.column("ts"), unit="hour")})
+
+    return _rename(ev.map_batches(floor_hour, batch_format="pyarrow")
+                   .groupby("h").count(), {"count()": "c"})
+
+
+def _q_props_json(sf: str):
+    ev = _rp(sf, "events", columns=["props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = [str(json.loads(p)["k"]) if p else None
+              for p in batch.column("props").to_pylist()]
+        return pa.table({"k": pa.array(ks, pa.string())})
+
+    return _rename(ev.map_batches(extract, batch_format="pyarrow")
+                   .groupby("k").count(), {"count()": "c"})
+
+
+def _q_distinct(sf: str):
+    langs = _rp(sf, "documents", columns=["lang"]).unique("lang")
+    return pd.DataFrame({"n_langs": np.array([len(langs)], np.int64)})
+
+
+def _q_embedding_norm(sf: str):
+    emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        E = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        l2 = np.round(np.sqrt((E * E).sum(axis=1)), 3)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "l2norm": pa.array(l2, pa.float64())})
+
+    return emb.map_batches(norms, batch_format="pyarrow")
+
+
+# -- training-data operators -------------------------------------------------
+
+def _q_text_hash_dedup(sf: str):
+    from paperchase_crawler_ray.ops.relational import exact_dedup
+    from paperchase_crawler_ray.ops.textstats import fingerprint_batch
+    docs = _rp(sf, "documents", columns=["doc_id", "text", "lang", "source"])
+    hashed = docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+    out = exact_dedup(hashed, ["text_hash"], [("doc_id", False)])
+    return out.select_columns(["doc_id", "lang", "source"])
+
+
+def _q_token_count(sf: str):
+    from paperchase_crawler_ray.ops.textstats import token_count
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return token_count(docs).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_quality_stats(sf: str):
+    from paperchase_crawler_ray.ops.textstats import quality_stats
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return quality_stats(docs).select_columns(
+        ["doc_id", "n_tokens", "n_uniq", "n_stop", "n_punct"])
+
+
+def _q_minhash_dedup(sf: str):
+    from paperchase_crawler_ray.ops.dedup import minhash_lsh_dedup
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.6) \
+        .select_columns(["doc_id"])
+
+
+def _q_simhash_dedup(sf: str):
+    from paperchase_crawler_ray.ops.dedup import simhash_dedup
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(docs, "doc_id", "text", hamming_max=3) \
+        .select_columns(["doc_id"])
+
+
+def _q_ngram_dedup(sf: str):
+    from paperchase_crawler_ray.ops.dedup import ngram_jaccard_dedup
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(docs, "doc_id", "text", threshold=0.8) \
+        .select_columns(["doc_id"])
+
+
+def _q_embed_neardup(sf: str):
+    from paperchase_crawler_ray.ops.dedup import embedding_neardup_dedup
+    emb = _rp(sf, "embeddings", columns=["vec_id", "embedding", "label"])
+    return embedding_neardup_dedup(emb, threshold=0.35) \
+        .select_columns(["vec_id", "label"])
+
+
+def _q_ann_topk(sf: str):
+    from paperchase_crawler_ray.ops.similarity import brute_force_topk
+    emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(emb, query_ids=[0, 1, 2, 3], k=5)
+
+
+def _q_ivf_ann(sf: str):
+    from paperchase_crawler_ray.ops.similarity import ivf_topk
+    emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, query_ids=[0, 1, 2, 3], k=5)
+
+
+def _q_langid(sf: str):
+    from paperchase_crawler_ray.ops.textstats import language_id
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return language_id(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprint(sf: str):
+    from paperchase_crawler_ray.ops.textstats import fingerprints
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return fingerprints(docs).select_columns(["doc_id", "fingerprint", "simhash"])
+
+
+def _q_quality_score(sf: str):
+    from paperchase_crawler_ray.ops.textstats import quality_score
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return quality_score(docs).select_columns(["doc_id", "quality"])
+
+
+def _q_image_features(sf: str):
+    """Multimodal: image_caption fixture rows -> decoded feature columns."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import image_features
+    rows = make_image_rows(64)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    return image_features(ds, batch_size=16).select_columns(
+        ["image_id", "w", "h", "fmt", "phash"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "q_host_counts": _q_host_counts,
+        "q_exact_dedup": _q_exact_dedup,
+        "q_seen_anti_join": _q_seen_anti_join,
+        "q_priority_rebalance": _q_priority_rebalance,
+        "q_topk": _q_topk,
+        "q_scope_semi": _q_scope_semi,
+        "q_equi_join": _q_equi_join,
+        "q_union_budget": _q_union_budget,
+        "q_window_wave": _q_window_wave,
+        "q_props_json": _q_props_json,
+        "q_distinct": _q_distinct,
+        "q_embedding_norm": _q_embedding_norm,
+        "q_text_hash_dedup": _q_text_hash_dedup,
+        "q_token_count": _q_token_count,
+        "q_quality_stats": _q_quality_stats,
+        "q_minhash_dedup": _q_minhash_dedup,
+        "q_simhash_dedup": _q_simhash_dedup,
+        "q_ngram_dedup": _q_ngram_dedup,
+        "q_embed_neardup": _q_embed_neardup,
+        "q_ann_topk": _q_ann_topk,
+        "q_ivf_ann": _q_ivf_ann,
+        "q_langid": _q_langid,
+        "q_fingerprint": _q_fingerprint,
+        "q_quality_score": _q_quality_score,
+        "q_image_features": _q_image_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_host_counts":
+            "SELECT source, COUNT(*) AS c FROM documents GROUP BY source",
+        "q_exact_dedup":
+            "SELECT event_id, user_id, event_type, ts, value FROM events "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) = 1",
+        "q_seen_anti_join":
+            "SELECT event_id, user_id FROM events e WHERE NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id "
+            "AND c.c_mktsegment = 'BUILDING')",
+        "q_priority_rebalance":
+            "SELECT l_suppkey, SUM(l_quantity) AS total_qty FROM lineitem "
+            "GROUP BY l_suppkey ORDER BY total_qty DESC, l_suppkey",
+        "q_topk":
+            "SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey "
+            "ORDER BY c DESC, o_custkey LIMIT 10",
+        "q_scope_semi":
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE "
+            "o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')",
+        "q_equi_join":
+            "SELECT n_name, COUNT(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+        "q_union_budget":
+            "SELECT event_id, event_type, value FROM ("
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE event_type = 'click' UNION ALL "
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE event_type = 'error') "
+            "ORDER BY value DESC, event_id LIMIT 100",
+        "q_window_wave":
+            "SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events "
+            "GROUP BY 1",
+        "q_props_json":
+            "SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS c "
+            "FROM events GROUP BY 1",
+        "q_distinct":
+            "SELECT COUNT(DISTINCT lang) AS n_langs FROM documents",
+        "q_embedding_norm":
+            "SELECT vec_id, ROUND(sqrt(list_sum(list_transform("
+            "embedding::DOUBLE[], x -> x*x))), 3) AS l2norm FROM embeddings",
+        "q_text_hash_dedup":
+            "SELECT doc_id, lang, source FROM documents "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1",
+        "q_token_count":
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\w+')) "
+            "AS BIGINT) AS n_tokens FROM documents",
+        "q_quality_stats":
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(regexp_extract_all(lower(text), '\\w+'))) "
+            "AS BIGINT) AS n_uniq, "
+            "CAST(len(list_filter(regexp_extract_all(lower(text), '\\w+'), "
+            f"x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stop, "
+            "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) "
+            "AS n_punct FROM documents",
+        "q_embed_neardup":
+            "SELECT vec_id, label FROM embeddings a WHERE NOT EXISTS ("
+            "SELECT 1 FROM embeddings b WHERE b.vec_id < a.vec_id AND "
+            "list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) >= 0.35)",
+        "q_ann_topk":
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 1, 2, 3)) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "SELECT q.query_id, e.vec_id, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY q.query_id ORDER BY list_cosine_similarity("
+            "e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC, e.vec_id) AS BIGINT)"
+            " AS rank FROM embeddings e CROSS JOIN q) WHERE rank <= 5",
+        # q_minhash_dedup / q_simhash_dedup / q_ngram_dedup / q_ivf_ann /
+        # q_langid / q_fingerprint / q_quality_score / q_image_features:
+        # SQL-inexpressible (LSH banding, heuristic langid, approximate ANN,
+        # binary decode) -> rows-only driver check + pytest oracles.
+    }

@@ -1,0 +1,158 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Payloads are opaque ``binary`` columns with typed metadata columns
+alongside. The Ray-side plumbing — schemas, small batch sizes, actor
+pools with per-actor setup, output layout — is real and tested; the
+actual media decode is pluggable:
+
+  * images: REAL decode for png/bmp/raw via ``functions.codec`` (no
+    Pillow in this sandbox; jpeg raises ``UnsupportedFormatError``).
+  * audio/video: the sandbox has no codec libraries, so ``AudioDecode``
+    and ``VideoFrameSample`` run a deterministic fake (seeded from the
+    payload hash) unless a real backend is injected; constructing them
+    with ``backend="real"`` raises ``NotImplementedError`` to make the
+    stub boundary explicit.
+
+Batch-size guidance (SURVEY.md §4.4): callers must pass a small
+``batch_size`` (<=64) for these stages — payload bytes dominate block
+memory, and the streaming executor backpressures on block size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.codec import UnsupportedFormatError, decode, sniff_format
+from ..functions.phash import area_resample, phash64
+
+AUDIO_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("payload", pa.binary()),
+    ("codec", pa.string()),
+    ("sample_rate", pa.int32()),
+    ("n_channels", pa.int32()),
+])
+
+VIDEO_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("payload", pa.binary()),
+    ("codec", pa.string()),
+    ("fps", pa.float32()),
+    ("n_frames", pa.int32()),
+])
+
+
+def _payload_seed(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+class ImageFeatures:
+    """Actor stage: binary image -> (w, h, fmt, phash, thumb) columns.
+
+    Real decode (png/bmp/raw). Thumbnail = 8x8 grayscale area-resample,
+    stored as 64 fixed bytes — the downstream-embedding-friendly layout.
+    """
+
+    def __init__(self, bytes_col: str = "bytes", thumb: int = 8):
+        self.col = bytes_col
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.col).to_pylist()
+        n = len(blobs)
+        ws = np.zeros(n, np.int32)
+        hs = np.zeros(n, np.int32)
+        fmts, phs, thumbs, ok = [], np.zeros(n, np.int64), [], np.zeros(n, bool)
+        for i, data in enumerate(blobs):
+            fmt = sniff_format(data)
+            fmts.append(fmt)
+            if not fmt:
+                thumbs.append(b"")
+                continue
+            try:
+                px = decode(data, fmt)
+            except UnsupportedFormatError:
+                thumbs.append(b"")
+                continue
+            ok[i] = True
+            hs[i], ws[i] = px.shape[0], px.shape[1]
+            phs[i] = phash64(px)
+            gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            t = area_resample(gray, self.thumb, self.thumb)
+            thumbs.append(np.clip(t, 0, 255).astype(np.uint8).tobytes())
+        out = batch.append_column("w", pa.array(ws, pa.int32()))
+        out = out.append_column("h", pa.array(hs, pa.int32()))
+        out = out.append_column("fmt", pa.array(fmts, pa.string()))
+        out = out.append_column("phash", pa.array(phs, pa.int64()))
+        out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
+        return out.filter(pa.array(ok))
+
+
+class AudioDecode:
+    """Actor stage: audio payload -> (duration_sec, rms) feature columns.
+
+    ``backend="fake"`` (default): deterministic features derived from the
+    payload hash — makes the distributed plumbing testable byte-for-byte.
+    ``backend="real"``: NotImplementedError (no audio libs in sandbox);
+    a production deployment injects a decoder with the same signature.
+    """
+
+    def __init__(self, backend: str = "fake"):
+        if backend != "fake":
+            raise NotImplementedError(
+                "real audio decode needs an audio library not present in "
+                "this environment; inject backend='fake' or subclass")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        rates = batch.column("sample_rate").to_numpy(zero_copy_only=False)
+        dur = np.empty(len(payloads), np.float64)
+        rms = np.empty(len(payloads), np.float64)
+        for i, data in enumerate(payloads):
+            rng = np.random.Generator(np.random.PCG64(_payload_seed(data)))
+            dur[i] = len(data) / max(1, int(rates[i]))  # bytes≈samples fake
+            rms[i] = float(rng.uniform(0.01, 1.0))
+        out = batch.append_column("duration_sec", pa.array(dur, pa.float64()))
+        return out.append_column("rms", pa.array(rms, pa.float64()))
+
+
+class VideoFrameSample:
+    """Actor stage: video payload -> exploded frame rows
+    (media_id, frame_idx, frame_bytes), sampling every ``stride``-th
+    frame. Fake backend synthesizes deterministic frame bytes."""
+
+    def __init__(self, stride: int = 10, backend: str = "fake"):
+        if backend != "fake":
+            raise NotImplementedError(
+                "real video decode needs a video library not present in "
+                "this environment")
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        nframes = batch.column("n_frames").to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_bytes = [], [], []
+        for i, data in enumerate(payloads):
+            seed = _payload_seed(data)
+            for f in range(0, int(nframes[i]), self.stride):
+                rng = np.random.Generator(np.random.PCG64(seed ^ f))
+                out_id.append(ids[i])
+                out_idx.append(f)
+                out_bytes.append(rng.bytes(64))
+        return pa.table({
+            "media_id": pa.array(out_id, pa.string()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "frame_bytes": pa.array(out_bytes, pa.binary()),
+        })
+
+
+def image_features(ds: ray.data.Dataset, bytes_col: str = "bytes",
+                   batch_size: int = 64, concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(ImageFeatures, fn_constructor_args=(bytes_col,),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=(1, concurrency))

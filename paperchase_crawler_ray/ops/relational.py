@@ -1,0 +1,124 @@
+"""Generic relational operators over Ray Datasets (SURVEY.md §2.4-2.7).
+
+These are the SQL-checkable building blocks the crawl engine uses
+(groupby-agg, dedup-first, anti/semi/equi join, top-k, union+limit) in
+their general form, exercised by the driver's DuckDB oracle at sf0.01.
+
+Scale notes baked into the design:
+  * pre-aggregation happens inside Ray's hash aggregate (partial per
+    block, final per key partition) — we never materialize groups for
+    plain aggregates;
+  * dedup / anti / semi joins with a SMALL distinct-key side broadcast
+    the key set via ``ray.put`` and filter inside ``map_batches`` —
+    no all-to-all shuffle;
+  * dedup with a LARGE key domain uses ``groupby(keys).map_groups``
+    (hash-partition + per-group first) with a deterministic total-order
+    winner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def exact_dedup(ds: ray.data.Dataset, keys: list[str],
+                order_by: list[tuple[str, bool]]) -> ray.data.Dataset:
+    """U2 generalized: keep one row per `keys` group — the first under
+    `order_by` ([(col, descending)]; ties MUST be broken by a unique
+    column for determinism). Hash-partition by keys + per-group first."""
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        arrays = []
+        for col, desc in reversed(order_by):
+            a = g[col].to_numpy()
+            if desc:
+                a = -a if np.issubdtype(a.dtype, np.number) else a[::-1]
+            arrays.append(a)
+        idx = np.lexsort(arrays)
+        return g.iloc[idx[:1]]
+
+    return ds.groupby(keys).map_groups(first_row, batch_format="pandas")
+
+
+def broadcast_anti_join(ds: ray.data.Dataset, key: str,
+                        small_keys: ray.data.Dataset, small_key: str
+                        ) -> ray.data.Dataset:
+    """J1: drop rows whose key appears in the (small) right side.
+
+    The right side is distilled to a numpy array on the driver and
+    broadcast once via ``ray.put`` — a lookup per batch, not a shuffle.
+    """
+    vals = np.unique(_column_numpy(small_keys, small_key))
+    ref = ray.put(vals)
+
+    def drop_seen(batch: pa.Table) -> pa.Table:
+        seen = ray.get(ref)
+        h = batch.column(key).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(h, seen)))
+
+    return ds.map_batches(drop_seen, batch_format="pyarrow")
+
+
+def broadcast_semi_join(ds: ray.data.Dataset, key: str,
+                        small_keys: ray.data.Dataset, small_key: str
+                        ) -> ray.data.Dataset:
+    """J3: keep rows whose key appears in the (small) right side."""
+    vals = np.unique(_column_numpy(small_keys, small_key))
+    ref = ray.put(vals)
+
+    def keep_in(batch: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        h = batch.column(key).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(h, keep)))
+
+    return ds.map_batches(keep_in, batch_format="pyarrow")
+
+
+def _column_numpy(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    """Materialize ONE small column to the driver (driver-side only for
+    genuinely small sides — seed scopes, dimension keys)."""
+    t = pa.concat_tables([pa.table(b) if not isinstance(b, pa.Table) else b
+                          for b in ds.select_columns([col])
+                          .iter_batches(batch_format="pyarrow", batch_size=65536)])
+    return t.column(col).to_numpy(zero_copy_only=False)
+
+
+def grouped_topk(ds: ray.data.Dataset, group_key: str, order_col: str,
+                 k: int, descending: bool = True,
+                 tie_col: str | None = None) -> ray.data.Dataset:
+    """Per-group top-k with deterministic tie-break (O2 generalized)."""
+    tie = tie_col or group_key
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[order_col].to_numpy()
+        t = g[tie].to_numpy()
+        idx = np.lexsort((t, -o if descending else o))
+        return g.iloc[idx[:k]]
+
+    return ds.groupby(group_key).map_groups(topk, batch_format="pandas")
+
+
+def global_topk(ds: ray.data.Dataset, order_cols: list[tuple[str, bool]],
+                k: int) -> ray.data.Dataset:
+    """O1+O3: global sort (range-partitioned shuffle) + limit.
+
+    Per-block pre-truncation to k rows happens first, so the shuffle
+    moves at most k rows per block — the standard distributed top-k.
+    """
+
+    def prune(batch: pa.Table) -> pa.Table:
+        arrays = []
+        for col, desc in reversed(order_cols):
+            a = batch.column(col).to_numpy(zero_copy_only=False)
+            arrays.append(-a if desc and np.issubdtype(a.dtype, np.number) else a)
+        idx = np.lexsort(arrays)[:k]
+        return batch.take(pa.array(np.sort(idx)))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.sort([c for c, _ in order_cols],
+                       descending=[d for _, d in order_cols]).limit(k)

@@ -1,0 +1,141 @@
+"""Text analysis for training-data pipelines (SURVEY.md task axis):
+token counting, quality stats, language ID, document fingerprinting.
+
+All stateless vectorized ``map_batches`` transforms; the regexes and
+frequency profiles are module-level constants compiled once per worker
+process (import time), not per batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.texthash import rolling_fingerprint, simhash64, stable_hash64
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+# Small stopword list — part of the op's spec (mirrored in the SQL oracle).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Tiny per-language character/digraph profiles for the n-gram heuristic
+# language ID. Public-knowledge frequency facts; scores are deterministic.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", "th"),
+    "de": ("der", "und", "sch", "ein", "ch"),
+    "fr": ("les", "ent", "que", "eau", "ou"),
+    "es": ("los", "que", "cion", "ado", "ll"),
+    "zh": (),  # detected by CJK codepoint ratio instead
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    n = np.array([len(_WORD_RE.findall(t)) for t in texts], np.int64)
+    return batch.append_column("n_tokens", pa.array(n, pa.int64()))
+
+
+def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality components (ints so the SQL oracle compares
+    exactly): token count, distinct tokens, stopword hits, punct chars."""
+    texts = batch.column(text_col).to_pylist()
+    n_tok = np.empty(len(texts), np.int64)
+    n_uniq = np.empty(len(texts), np.int64)
+    n_stop = np.empty(len(texts), np.int64)
+    n_punct = np.empty(len(texts), np.int64)
+    stop = set(STOPWORDS)
+    for i, t in enumerate(texts):
+        toks = [w.lower() for w in _WORD_RE.findall(t)]
+        n_tok[i] = len(toks)
+        n_uniq[i] = len(set(toks))
+        n_stop[i] = sum(1 for w in toks if w in stop)
+        n_punct[i] = len(_PUNCT_RE.findall(t))
+    out = batch.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+    out = out.append_column("n_uniq", pa.array(n_uniq, pa.int64()))
+    out = out.append_column("n_stop", pa.array(n_stop, pa.int64()))
+    return out.append_column("n_punct", pa.array(n_punct, pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Scalar quality score in [0,1]: lexical diversity x stopword
+    plausibility x length factor. Deterministic; rows-only checked."""
+    s = quality_stats_batch(batch, text_col)
+    n_tok = s.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_uniq = s.column("n_uniq").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_stop = s.column("n_stop").to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        diversity = np.where(n_tok > 0, n_uniq / n_tok, 0.0)
+        stop_ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+    length_factor = np.clip(n_tok / 64.0, 0.0, 1.0)
+    plaus = 1.0 - np.abs(stop_ratio - 0.08) / 0.92
+    score = np.clip(diversity * 0.5 + plaus * 0.25 + length_factor * 0.25, 0, 1)
+    return batch.append_column("quality", pa.array(score, pa.float64()))
+
+
+def language_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic n-gram language ID -> ``lang_pred`` column.
+
+    CJK codepoint ratio decides zh; otherwise the marker-n-gram density
+    argmax (ties broken by language name for determinism).
+    """
+    texts = batch.column(text_col).to_pylist()
+    preds = []
+    for t in texts:
+        low = t.lower()
+        if not low.strip():
+            preds.append("und")
+            continue
+        cjk = sum(1 for ch in low if "一" <= ch <= "鿿")
+        if cjk / max(1, len(low)) > 0.1:
+            preds.append("zh")
+            continue
+        best, best_score = "und", 0.0
+        for lang in sorted(_LANG_MARKERS):
+            markers = _LANG_MARKERS[lang]
+            if not markers:
+                continue
+            score = sum(low.count(m) * len(m) for m in markers) / max(1, len(low))
+            if score > best_score:
+                best, best_score = lang, score
+        preds.append(best)
+    return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Winnowing rolling-hash fingerprint + simhash + exact text hash."""
+    texts = batch.column(text_col).to_pylist()
+    fp = np.array([rolling_fingerprint(t) for t in texts], np.int64)
+    sh = np.array([simhash64(t) for t in texts], np.int64)
+    xh = np.array([stable_hash64(t) for t in texts], np.int64)
+    out = batch.append_column("fingerprint", pa.array(fp, pa.int64()))
+    out = out.append_column("simhash", pa.array(sh, pa.int64()))
+    return out.append_column("text_hash", pa.array(xh, pa.int64()))
+
+
+def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(lambda b: token_count_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def quality_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(lambda b: quality_stats_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(lambda b: quality_score_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(lambda b: language_id_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(lambda b: fingerprint_batch(b, text_col),
+                          batch_format="pyarrow")

@@ -1,0 +1,306 @@
+"""Pure-Python naive twins for the training-data operators (dedup /
+similarity / textstats / multimodal). Each Ray op must reproduce its
+naive twin exactly (same semantics, same determinism) on real sf0.001
+driver tables."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from paperchase_crawler_ray.functions.texthash import (jaccard, ngram_set,
+                                                       simhash64, tokens)
+from paperchase_crawler_ray.functions.phash import hamming64
+from paperchase_crawler_ray.ops.dedup import (band_keys, embedding_lsh_dedup,
+                                              embedding_neardup_dedup,
+                                              minhash_lsh_dedup,
+                                              minhash_params32, minhash_sig32,
+                                              ngram_jaccard_dedup,
+                                              simhash_dedup)
+from paperchase_crawler_ray.ops.dedup import _ngram_hashes, word_shingles
+from paperchase_crawler_ray.ops.relational import (broadcast_anti_join,
+                                                   broadcast_semi_join,
+                                                   exact_dedup, global_topk)
+from paperchase_crawler_ray.ops.similarity import brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+def _docs_ds(docs_table):
+    return ray.data.from_arrow(docs_table)
+
+
+# -- dedup -------------------------------------------------------------------
+
+def _naive_lsh_drops(ids, texts, sig_fn, bands, verify_fn, threshold):
+    """Reference LSH-dedup: bucket -> pairs -> verify -> drop larger id."""
+    buckets: dict = {}
+    for i, t in zip(ids, texts):
+        for bk in band_keys(sig_fn(t), bands):
+            buckets.setdefault(bk, []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(set(members))[:64]
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                pairs.add((ms[x], ms[y]))
+    lookup = dict(zip(ids, texts))
+    return {b for a, b in pairs if verify_fn(lookup[a], lookup[b]) >= threshold}
+
+
+def test_minhash_lsh_dedup_matches_naive(docs_table):
+    ids = docs_table.column("doc_id").to_pylist()
+    texts = docs_table.column("text").to_pylist()
+    a, b = minhash_params32(128)
+
+    def sig(t):
+        return minhash_sig32(word_shingles(t, 3), a, b)
+
+    def verify(t1, t2):
+        def s(t):
+            tk = tokens(t)
+            return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)} if len(tk) >= 3 \
+                else ({" ".join(tk)} if tk else set())
+        return jaccard(s(t1), s(t2))
+
+    drops = _naive_lsh_drops(ids, texts, sig, 16, verify, 0.6)
+    want = sorted(set(ids) - drops)
+    got = sorted(minhash_lsh_dedup(_docs_ds(docs_table), "doc_id", "text",
+                                   threshold=0.6).to_pandas()["doc_id"])
+    assert got == want
+    assert len(want) < len(ids)  # the op actually drops something
+
+
+def test_ngram_dedup_matches_naive(docs_table):
+    ids = docs_table.column("doc_id").to_pylist()
+    texts = docs_table.column("text").to_pylist()
+    a, b = minhash_params32(128)
+
+    def sig(t):
+        return minhash_sig32(_ngram_hashes(t, 5), a, b)
+
+    def verify(t1, t2):
+        return jaccard(ngram_set(t1, 5), ngram_set(t2, 5))
+
+    drops = _naive_lsh_drops(ids, texts, sig, 32, verify, 0.8)
+    want = sorted(set(ids) - drops)
+    got = sorted(ngram_jaccard_dedup(_docs_ds(docs_table), "doc_id", "text",
+                                     threshold=0.8).to_pandas()["doc_id"])
+    assert got == want
+
+
+def test_simhash_dedup_matches_naive(docs_table):
+    ids = np.array(docs_table.column("doc_id").to_pylist())
+    texts = docs_table.column("text").to_pylist()
+    sigs = np.array([simhash64(t) for t in texts], np.int64)
+    buckets: dict = {}
+    for i in range(len(ids)):
+        u = sigs[i:i + 1].view(np.uint64)[0]
+        for bi in range(4):
+            key = (bi << 16) | int((u >> np.uint64(16 * bi)) & np.uint64(0xFFFF))
+            buckets.setdefault(key, []).append(i)
+    drops = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                if hamming64(sigs[ms[x]:ms[x] + 1], sigs[ms[y]:ms[y] + 1])[0] <= 3:
+                    drops.add(int(ids[ms[y]]))
+    want = sorted(set(ids.tolist()) - drops)
+    got = sorted(simhash_dedup(_docs_ds(docs_table), "doc_id", "text",
+                               hamming_max=3).to_pandas()["doc_id"])
+    assert got == want
+    assert len(want) < len(ids)
+
+
+def _norm(m):
+    m = m.astype(np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def test_embedding_neardup_matches_naive(emb_table):
+    ids = np.array(emb_table.column("vec_id").to_pylist())
+    E = _norm(np.stack([np.asarray(v) for v in
+                        emb_table.column("embedding").to_pylist()]))
+    order = np.argsort(ids)
+    ids_s, E_s = ids[order], E[order]
+    S = E_s @ E_s.T
+    t = 0.32
+    dominated = np.triu(S >= t, k=1).any(axis=0)
+    want = sorted(ids_s[~dominated].tolist())
+    ds = ray.data.from_arrow(emb_table)
+    got = sorted(embedding_neardup_dedup(ds, threshold=t).to_pandas()["vec_id"])
+    assert got == want
+    assert 0 < len(want) < len(ids)
+
+
+def test_embedding_lsh_recall(emb_table):
+    """The LSH-bucketed scale path must keep a superset of the exact
+    survivors (it can only MISS duplicate pairs, never invent them)."""
+    ds = ray.data.from_arrow(emb_table)
+    exact = set(embedding_neardup_dedup(ds, threshold=0.32).to_pandas()["vec_id"])
+    approx = set(embedding_lsh_dedup(ds, dim=64, threshold=0.32,
+                                     nbits=6).to_pandas()["vec_id"])
+    assert exact <= approx
+
+
+def test_exact_dedup_matches_pandas(docs_table):
+    df = pd.DataFrame({
+        "k": [1, 1, 2, 2, 2, 3],
+        "v": [5, 4, 9, 9, 1, 0],
+        "id": [10, 11, 12, 13, 14, 15],
+    })
+    ds = ray.data.from_pandas(df)
+    got = exact_dedup(ds, ["k"], [("v", False), ("id", False)]).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["id"].tolist() == [11, 14, 15]
+
+
+def test_broadcast_joins():
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "x": list("abcd")}))
+    right = ray.data.from_pandas(pd.DataFrame({"j": [2, 4, 9]}))
+    anti = broadcast_anti_join(left, "k", right, "j").to_pandas()
+    semi = broadcast_semi_join(left, "k", right, "j").to_pandas()
+    assert sorted(anti["k"]) == [1, 3]
+    assert sorted(semi["k"]) == [2, 4]
+
+
+def test_global_topk_deterministic():
+    df = pd.DataFrame({"v": [3.0, 3.0, 2.0, 5.0, 3.0], "id": [4, 2, 9, 7, 3]})
+    ds = ray.data.from_pandas(df)
+    got = global_topk(ds, [("v", True), ("id", False)], 3).to_pandas()
+    assert got["id"].tolist() == [7, 2, 3]
+
+
+# -- similarity --------------------------------------------------------------
+
+def test_brute_force_topk_matches_naive(emb_table):
+    ids = np.array(emb_table.column("vec_id").to_pylist())
+    E = _norm(np.stack([np.asarray(v) for v in
+                        emb_table.column("embedding").to_pylist()]))
+    qids = [0, 5, 7]
+    ds = ray.data.from_arrow(emb_table)
+    got = brute_force_topk(ds, qids, k=4).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    for q in qids:
+        Q = E[ids == q][0]
+        sims = E @ Q
+        order = np.lexsort((ids, -sims))[:4]
+        want = ids[order].tolist()
+        sub = got[got["query_id"] == q]
+        assert sub["vec_id"].tolist() == want
+        assert sub["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_ivf_recall(emb_table):
+    ds = ray.data.from_arrow(emb_table)
+    qids = [0, 5, 7, 11]
+    exact = brute_force_topk(ds, qids, k=5).to_pandas()
+    approx = ivf_topk(ds, qids, k=5, ncell=8, nprobe=3).to_pandas()
+    hits = tot = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.5  # nprobe=3/8 cells: recall well above chance
+
+
+# -- textstats ---------------------------------------------------------------
+
+def test_textstats_match_re(docs_table):
+    from paperchase_crawler_ray.ops.textstats import (STOPWORDS,
+                                                      quality_stats_batch)
+    texts = docs_table.column("text").to_pylist()
+    out = quality_stats_batch(docs_table)
+    wre = re.compile(r"\w+")
+    for i in (0, 1, 17, 100, len(texts) - 1):
+        toks = [w.lower() for w in wre.findall(texts[i])]
+        assert out.column("n_tokens")[i].as_py() == len(toks)
+        assert out.column("n_uniq")[i].as_py() == len(set(toks))
+        assert out.column("n_stop")[i].as_py() == sum(
+            1 for w in toks if w in set(STOPWORDS))
+
+
+def test_langid_deterministic_and_sane(docs_table):
+    from paperchase_crawler_ray.ops.textstats import language_id_batch
+    out1 = language_id_batch(docs_table)
+    out2 = language_id_batch(docs_table)
+    assert out1.column("lang_pred").to_pylist() == out2.column("lang_pred").to_pylist()
+    assert language_id_batch(
+        pa.table({"text": pa.array(["the cat and the dog in the house"])})
+    ).column("lang_pred")[0].as_py() == "en"
+    assert language_id_batch(
+        pa.table({"text": pa.array(["der hund und der schein ein buch"])})
+    ).column("lang_pred")[0].as_py() == "de"
+    assert language_id_batch(
+        pa.table({"text": pa.array(["这是一个中文句子的测试文本"])})
+    ).column("lang_pred")[0].as_py() == "zh"
+    assert language_id_batch(
+        pa.table({"text": pa.array([""])})).column("lang_pred")[0].as_py() == "und"
+
+
+def test_quality_score_bounds(docs_table):
+    from paperchase_crawler_ray.ops.textstats import quality_score_batch
+    q = quality_score_batch(docs_table).column("quality").to_numpy()
+    assert ((q >= 0) & (q <= 1)).all()
+    assert q.std() > 0  # non-degenerate
+
+
+# -- multimodal --------------------------------------------------------------
+
+def test_image_features_match_fixture():
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import image_features
+    rows = make_image_rows(24)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    got = image_features(ds, batch_size=8).to_pandas().set_index("image_id")
+    want = rows.to_pandas().set_index("image_id")
+    assert len(got) == 24
+    for iid in want.index:
+        assert got.loc[iid, "w"] == want.loc[iid, "w"]
+        assert got.loc[iid, "h"] == want.loc[iid, "h"]
+        assert got.loc[iid, "fmt"] == want.loc[iid, "fmt"]
+        assert got.loc[iid, "phash"] == want.loc[iid, "phash"]
+        assert len(got.loc[iid, "thumb"]) == 64
+
+
+def test_audio_video_stubs():
+    from paperchase_crawler_ray.ops.multimodal import (AudioDecode,
+                                                       VideoFrameSample)
+    with pytest.raises(NotImplementedError):
+        AudioDecode(backend="real")
+    with pytest.raises(NotImplementedError):
+        VideoFrameSample(backend="real")
+    batch = pa.table({
+        "media_id": pa.array(["m1", "m2"]),
+        "payload": pa.array([b"x" * 1000, b"y" * 500], pa.binary()),
+        "codec": pa.array(["fake", "fake"]),
+        "sample_rate": pa.array([16000, 8000], pa.int32()),
+    })
+    a1 = AudioDecode()(batch)
+    a2 = AudioDecode()(batch)
+    assert a1.column("rms").to_pylist() == a2.column("rms").to_pylist()
+    vbatch = pa.table({
+        "media_id": pa.array(["v1"]),
+        "payload": pa.array([b"z" * 100], pa.binary()),
+        "n_frames": pa.array([25], pa.int32()),
+    })
+    frames = VideoFrameSample(stride=10)(vbatch)
+    assert frames.column("frame_idx").to_pylist() == [0, 10, 20]
+    assert all(len(x) == 64 for x in frames.column("frame_bytes").to_pylist())
