@@ -1,0 +1,257 @@
+"""Bench harness (driver contract): headline crawl pipelines + operator
+queries over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": <sustained crawl sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "sustained": {...}, "multiwave": {...}}
+
+Two crawl benchmarks:
+  * sustained — ONE fat wave over a pre-seeded frontier of every page
+    URL (+ duplicate variants), politeness budget effectively unbounded:
+    measures steady-state frontier->fetch->parse->image throughput, the
+    BASELINE.json "sustained crawl throughput" metric. Image bytes are
+    synthesized in the fetch stage (GenerativeFetcher) so fetch+decode
+    carry the compute a real crawl's I/O+decode would.
+  * multiwave — the full wave loop with real politeness budgets and
+    frontier ramp (ordering/resume machinery included).
+
+--scaling: runs the SUSTAINED benchmark twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency T32/(4*T8) — the sandbox stand-in for the N vs 4N
+node criterion (no real cluster here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_DIR = "/tmp/pc_bench_cache"
+
+# sustained-phase scale: ~40k page URLs wide, images synthesized at
+# fetch time at 2x dims (up to 256x192) so decode work dominates.
+SUS_HOSTS = 64
+SUS_PAGES = 80000
+SUS_IMG_SCALE = 3
+SCALING_CPUS = (4, 16)   # N and 4N CPUs, fresh processes
+
+# multiwave (ramp + politeness) scale
+MW_HOSTS = 64
+MW_PAGES = 8000
+MW_WAVES = 4
+MW_HOST_BUDGET = 128
+
+BENCH_QUERIES = [
+    "q_exact_dedup", "q_priority_rebalance", "q_equi_join", "q_window_wave",
+    "q_token_count", "q_minhash_dedup", "q_simhash_dedup", "q_embed_neardup",
+    "q_ann_topk", "q_quality_stats",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _cached_web(n_hosts: int, pages: int, lazy: bool, img_scale: int):
+    """Deterministic fixture web, cached on disk across processes/rounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from paperchase_crawler_ray.fixtures import make_web
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = f"web_h{n_hosts}_p{pages}_l{int(lazy)}_s{img_scale}.parquet"
+    path = os.path.join(CACHE_DIR, key)
+    if os.path.exists(path):
+        return pq.read_table(path)
+    web = make_web(n_hosts=n_hosts, total_pages=pages,
+                   materialize_images=not lazy, img_scale=img_scale)
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(web, tmp)
+    os.replace(tmp, path)
+    return web
+
+
+def _sustained_seeds(n_hosts: int, pages: int):
+    """Every page URL as a depth-0 seed, plus non-canonical duplicate
+    variants for every 3rd page (exercises U2 dedup at full width)."""
+    import numpy as np
+    import pyarrow as pa
+    from paperchase_crawler_ray.fixtures import host_name, _pages_per_host
+    urls = []
+    per_host = _pages_per_host(n_hosts, pages)
+    for i in range(n_hosts):
+        h = host_name(i)
+        for j in range(per_host[i]):
+            urls.append(f"http://{h}/p/{j}")
+            if j % 3 == 0:
+                urls.append(f"http://{h.upper()}:80/p/{j}#dup")
+    n = len(urls)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "seed_id": pa.array((np.arange(n) % 2**31).astype(np.int32), pa.int32()),
+        "priority": pa.array(np.ones(n), pa.float64()),
+    })
+
+
+def _warmup(num_cpus: int) -> None:
+    """Small throwaway crawl: spawns workers, shuffle aggregators and
+    actor pools so the timed run measures sustained throughput, not Ray
+    session startup."""
+    from paperchase_crawler_ray.fixtures import make_seeds, make_web
+    from paperchase_crawler_ray.oracle import CrawlConfig
+    from paperchase_crawler_ray.pipelines.crawl import RunConfig, crawl
+    out = tempfile.mkdtemp(prefix="pc_warm_")
+    crawl(make_web(n_hosts=2, total_pages=30), make_seeds(2, 2), out,
+          CrawlConfig(max_waves=1), RunConfig(nshards=2))
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def run_sustained(num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    from paperchase_crawler_ray.oracle import CrawlConfig
+    from paperchase_crawler_ray.pipelines.crawl import RunConfig, crawl
+
+    _warmup(num_cpus)
+    web = _cached_web(SUS_HOSTS, SUS_PAGES, lazy=True, img_scale=SUS_IMG_SCALE)
+    seeds = _sustained_seeds(SUS_HOSTS, SUS_PAGES)
+    # memory-backed output: the sandbox has ONE disk, so a disk-bound
+    # sink write would serialize the CPU-scaling measurement; a real
+    # cluster's sink bandwidth scales with nodes.
+    out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="pc_sus_", dir=out_base)
+    cfg = CrawlConfig(max_waves=1, host_budget=1 << 30, wave_seconds=1e12)
+    run = RunConfig(nshards=8, lazy_images=True, img_scale=SUS_IMG_SCALE,
+                    host_partitions=8,
+                    neardup_partitions=max(4, num_cpus // 2),
+                    fetch_parallelism=num_cpus * 2,
+                    image_parallelism=num_cpus * 16,
+                    fetch_concurrency=max(2, num_cpus // 2),
+                    fetch_batch_size=128, image_batch_size=32)
+    t0 = time.monotonic()
+    res = crawl(web, seeds, out, cfg, run)
+    wall = time.monotonic() - t0
+    c = res.counters
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "wall_sec": round(wall, 3),
+        "frontier_rows": c["frontier_rows"],
+        "admitted": c["admitted"],
+        "images_landed": c["images_landed"],
+        "urls_per_sec": round(c["frontier_rows"] / wall, 1),
+        "fetched_per_sec": round(c["admitted"] / wall, 1),
+        "images_per_sec": round(c["images_landed"] / wall, 1),
+    }
+
+
+def run_multiwave(num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    from paperchase_crawler_ray.fixtures import make_seeds
+    from paperchase_crawler_ray.oracle import CrawlConfig
+    from paperchase_crawler_ray.pipelines.crawl import RunConfig, crawl
+
+    web = _cached_web(MW_HOSTS, MW_PAGES, lazy=True, img_scale=1)
+    seeds = make_seeds(MW_HOSTS, MW_HOSTS)
+    out = tempfile.mkdtemp(prefix="pc_mw_")
+    cfg = CrawlConfig(max_waves=MW_WAVES, host_budget=MW_HOST_BUDGET,
+                      wave_seconds=128.0)
+    run = RunConfig(nshards=8, lazy_images=True,
+                    fetch_concurrency=max(2, num_cpus // 4))
+    t0 = time.monotonic()
+    res = crawl(web, seeds, out, cfg, run)
+    wall = time.monotonic() - t0
+    c = res.counters
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "wall_sec": round(wall, 3),
+        "waves": res.waves_run,
+        "frontier_rows": c["frontier_rows"],
+        "admitted": c["admitted"],
+        "images_landed": c["images_landed"],
+        "urls_per_sec": round(c["frontier_rows"] / wall, 1),
+        "images_per_sec": round(c["images_landed"] / wall, 1),
+    }
+
+
+def run_queries(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import pandas as pd
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        n = len(res) if isinstance(res, pd.DataFrame) else res.count()
+        assert n >= 0
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sustained-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args.scaling:
+        runs = {}
+        for n in SCALING_CPUS:
+            p = subprocess.run(
+                [sys.executable, __file__, "--sustained-only", "--cpus", str(n)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            runs[n] = json.loads(p.stdout.strip().splitlines()[-1])["sustained"]
+        n1, n2 = SCALING_CPUS
+        t8, t32 = runs[n1]["urls_per_sec"], runs[n2]["urls_per_sec"]
+        print(json.dumps({
+            "metric": "sustained crawl scaling efficiency "
+                      f"({n1} vs {n2} CPUs, fresh processes)",
+            "value": round(t32 / (4 * t8), 3),
+            "unit": "efficiency",
+            f"throughput_{n1}cpu_urls_per_sec": t8,
+            f"throughput_{n2}cpu_urls_per_sec": t32,
+            f"images_{n1}cpu_per_sec": runs[n1]["images_per_sec"],
+            f"images_{n2}cpu_per_sec": runs[n2]["images_per_sec"],
+            "runs": runs,
+        }))
+        return
+
+    import ray
+    sustained = run_sustained(args.cpus)
+    result = {
+        "metric": f"sustained crawl wall-clock ({SUS_PAGES} page frontier, "
+                  f"{SUS_HOSTS} hosts, images synthesized at fetch)",
+        "value": sustained["wall_sec"],
+        "unit": "sec",
+        "sf": float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "")
+                    or 0.1),
+        "num_cpus": args.cpus,
+        "sustained": sustained,
+    }
+    if not args.sustained_only:
+        result["multiwave"] = run_multiwave(args.cpus)
+        result["queries"] = run_queries(args.sf_dir, args.cpus)
+    else:
+        result["queries"] = {}
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

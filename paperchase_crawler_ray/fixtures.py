@@ -156,8 +156,33 @@ def _page_html(host_i: int, page_j: int, pages: list[int], seed: int) -> tuple[s
     return body, imgs
 
 
-def make_web(n_hosts: int = 20, total_pages: int = 400, seed: int = 42) -> pa.Table:
-    """The synthetic web the sandbox Fetcher serves (FIXTURES.md §3)."""
+def image_spec(src: str, img_scale: int = 1) -> tuple[int, int, str]:
+    """(w, h, fmt) for a fixture image URL — the shared rule both the
+    eager web generator and the GenerativeFetcher derive bytes from."""
+    fmt = src.rsplit(".", 1)[-1]
+    tail = src.rsplit("/", 1)[-1]          # "{j}-{k}.{fmt}"
+    j, rest = tail.split("-", 1)
+    idx = int(rest.split(".")[0])
+    c = (int(j) + idx) % 4
+    return _W_CYCLE[c] * img_scale, _H_CYCLE[c] * img_scale, fmt
+
+
+def gen_image_bytes(src: str, img_scale: int = 1, seed: int = 42
+                    ) -> tuple[bytes, str]:
+    """Deterministic image body for a fixture image URL -> (bytes, fmt)."""
+    w, h, fmt = image_spec(src, img_scale)
+    return encode(make_pixels(src, w, h, seed), fmt), fmt
+
+
+def make_web(n_hosts: int = 20, total_pages: int = 400, seed: int = 42,
+             materialize_images: bool = True, img_scale: int = 1) -> pa.Table:
+    """The synthetic web the sandbox Fetcher serves (FIXTURES.md §3).
+
+    ``materialize_images=False`` returns only the HTML/robots rows — image
+    bodies are then synthesized on demand by ``stages.fetch
+    .GenerativeFetcher`` (same deterministic rule), which keeps the
+    broadcast table tiny at bench scale.
+    """
     pages = _pages_per_host(n_hosts, total_pages)
     urls, statuses, ctypes, bodies, locations = [], [], [], [], []
 
@@ -185,12 +210,10 @@ def make_web(n_hosts: int = 20, total_pages: int = 400, seed: int = 42) -> pa.Ta
                 continue
             body, imgs = _page_html(i, j, pages, seed)
             add(url, 200, "text/html", body.encode())
-            for src in imgs:
-                fmt = src.rsplit(".", 1)[-1]
-                idx = int(src.rsplit("-", 1)[-1].split(".")[0])
-                w, h = _W_CYCLE[(j + idx) % 4], _H_CYCLE[(j + idx) % 4]
-                px = make_pixels(src, w, h, seed)
-                add(src, 200, f"image/{fmt}", encode(px, fmt))
+            if materialize_images:
+                for src in imgs:
+                    data, fmt = gen_image_bytes(src, img_scale, seed)
+                    add(src, 200, f"image/{fmt}", data)
     return pa.table(
         {
             "url_canon": pa.array(urls, pa.string()),

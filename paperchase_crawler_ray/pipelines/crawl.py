@@ -43,12 +43,14 @@ import ray.data
 from ..fixtures import make_seeds, make_web
 from ..oracle import CrawlConfig
 from ..schemas import LINEAGE
-from ..stages.fetch import FixtureFetcher
-from ..stages.frontier import CanonicalizeBatch, dedup_wave_group
-from ..stages.image import DecodeImages, canonicalize_image_refs, neardup_suppress_group
+from ..stages.fetch import (FixtureFetcher, GenerativeFetcher,
+                            SyntheticImageFetch)
+from ..stages.frontier import CanonicalizeBatch, dedup_block
+from ..stages.image import (DecodeImages, canonicalize_image_refs,
+                            neardup_block, neardup_drops_block)
 from ..stages.parse import explode_images, explode_links, explode_redirects, parse_pages
-from ..stages.politeness import PolitenessScheduler
-from ..stages.robots_gate import RobotsGate
+from ..stages.politeness import schedule_block
+from ..stages.robots_gate import RobotsFilter, robots_rules_from_web
 from ..stages.seen import (SeenCheckAndInsert, SeenInsert, SeenLookup,
                            checkpoint_seen, make_seen_actors, restore_seen,
                            seen_counts)
@@ -61,6 +63,14 @@ class RunConfig:
     """Physical knobs, sized per node; logical semantics live in CrawlConfig."""
 
     nshards: int = 8
+    lazy_images: bool = False   # synthesize image bytes in the fetcher
+    img_scale: int = 1
+    dedup_partitions: int = 8
+    host_partitions: int = 8
+    neardup_partitions: int = 4
+    neardup_driver_max: int = 2_000_000
+    fetch_parallelism: int = 16    # blocks for the fetch+parse chain
+    image_parallelism: int = 32    # blocks for the image fetch+decode chain
     canon_concurrency: int = 2
     robots_concurrency: int = 2
     fetch_concurrency: int = 4
@@ -128,7 +138,8 @@ def _committed(out_dir: str, wave: int) -> bool:
 def _write_frontier(table: pa.Table, out_dir: str, wave: int) -> None:
     d = os.path.join(_wave_dir(out_dir, wave), "frontier")
     os.makedirs(d, exist_ok=True)
-    pq.write_table(table.select(FRONTIER_FILE_COLS), os.path.join(d, "part-0.parquet"))
+    pq.write_table(table.select(FRONTIER_FILE_COLS), os.path.join(d, "part-0.parquet"),
+                   row_group_size=4096)
 
 
 def _save_seen(handles: list, out_dir: str, wave: int) -> None:
@@ -171,8 +182,28 @@ def crawl(web: pa.Table, seeds: pa.Table, out_dir: str,
           resume: bool = True) -> CrawlResult:
     """Run the full crawl over a fixture web. Ray must already be
     initialised by the caller (driver contract — never ray.init here)."""
+    # keys= repartitioning (the U2/A3/U3 partition-by-key shuffles)
+    # requires the hash-shuffle strategy; restore the caller's strategy on
+    # exit — other pipelines in the same session may rely on sort shuffle.
+    from ray.data.context import DataContext, ShuffleStrategy
+    ctx = DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _crawl_inner(web, seeds, out_dir, cfg, run, resume)
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+
+
+def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
+                 cfg: CrawlConfig, run: RunConfig, resume: bool) -> CrawlResult:
     os.makedirs(out_dir, exist_ok=True)
     web_ref = ray.put(web)
+    robots_rules = robots_rules_from_web(web)
+    if run.lazy_images:
+        fetcher_cls, fetcher_args = GenerativeFetcher, (web_ref, run.img_scale)
+    else:
+        fetcher_cls, fetcher_args = FixtureFetcher, (web_ref,)
     handles = make_seen_actors(run.nshards)
     res = CrawlResult(out_dir=out_dir)
 
@@ -189,32 +220,46 @@ def crawl(web: pa.Table, seeds: pa.Table, out_dir: str,
 
     counters = {"admitted": 0, "deferred": 0, "fetched_pages": 0,
                 "images_landed": 0, "frontier_rows": 0}
+    profile = os.environ.get("PC_PROFILE") == "1"
+    _tm = {"last": time.monotonic()}
+
+    def _mark(label: str) -> None:
+        if profile:
+            now = time.monotonic()
+            print(f"PCPROF {label} {now - _tm['last']:.2f}s", flush=True)
+            _tm["last"] = now
+
     t0 = time.monotonic()
     for wave in range(start_wave, cfg.max_waves):
         wd = _wave_dir(out_dir, wave)
         frontier_dir = os.path.join(wd, "frontier")
         if not os.path.isdir(frontier_dir):
             break
-        fr = ray.data.read_parquet(frontier_dir)
+        fr = ray.data.read_parquet(
+            frontier_dir, override_num_blocks=run.fetch_parallelism)
         n_frontier = fr.count()
         if n_frontier == 0:
             break
         counters["frontier_rows"] += n_frontier
 
-        prep = fr.map_batches(CanonicalizeBatch, fn_constructor_args=(cfg,),
-                              batch_format="pyarrow",
-                              batch_size=run.frontier_batch_size,
-                              concurrency=(1, run.canon_concurrency))
-        ded = prep.groupby("url_hash").map_groups(dedup_wave_group,
-                                                  batch_format="pandas")
-        unseen = ded.map_batches(SeenLookup(handles), batch_format="pyarrow")
-        gated = unseen.map_batches(RobotsGate, fn_constructor_args=(web_ref,),
-                                   batch_format="pyarrow",
-                                   concurrency=(1, run.robots_concurrency))
-        sched_fn = PolitenessScheduler(cfg)
-        sched = gated.groupby("host").map_groups(lambda g: sched_fn(g),
-                                                 batch_format="pandas")
+        # All stateless per-row stages run as TASK-based map_batches (no
+        # actor-pool spinup per wave); only fetch keeps an actor pool
+        # (its URL index is per-actor state).
+        prep = fr.map_batches(CanonicalizeBatch(cfg), batch_format="pyarrow",
+                              batch_size=run.frontier_batch_size)
+        unseen = prep.map_batches(SeenLookup(handles), batch_format="pyarrow")
+        gated = unseen.map_batches(RobotsFilter(robots_rules),
+                                   batch_format="pyarrow")
+        # ONE hash-partition by host co-locates equal url_hashes too (a
+        # URL's host is a function of the URL), so the U2 dedup and the
+        # A3 politeness schedule run back-to-back on the same blocks —
+        # one all-to-all instead of two. batch_size=None => whole blocks.
+        sched = gated.repartition(num_blocks=run.host_partitions, keys=["host"]) \
+            .map_batches(lambda b: schedule_block(dedup_block(b), cfg),
+                         batch_format="pyarrow", batch_size=None)
         sched = sched.materialize()  # wave working set (compact rows, no bodies)
+        _mark("sched_materialize")
+        n_sched = sched.count()
 
         admitted = sched.map_batches(
             lambda t: t.filter(t.column("admitted")), batch_format="pyarrow")
@@ -228,54 +273,109 @@ def crawl(web: pa.Table, seeds: pa.Table, out_dir: str,
         admitted.select_columns(
             ["url_canon", "url_hash", "host", "depth", "priority", "seed_id"]
         ).write_parquet(admitted_dir)
-        admitted_w = ray.data.read_parquet(admitted_dir)
-        n_admitted = admitted_w.count()
+        _mark("admitted_write")
+        n_admitted = admitted.count()  # sched is materialized: cheap
         counters["admitted"] += n_admitted
+        counters["deferred"] += n_sched - n_admitted
 
-        # fetch + parse, stream to compact parsed rows
+        # fetch + parse -> compact parsed rows, materialized once and
+        # reused by the parquet log, the image branch and the link branch.
         parsed_dir = os.path.join(wd, "parsed")
-        (admitted_w
-         .map_batches(SeenInsert(handles), batch_format="pyarrow")
-         .map_batches(FixtureFetcher, fn_constructor_args=(web_ref,),
-                      batch_format="pyarrow", batch_size=run.fetch_batch_size,
-                      concurrency=(1, run.fetch_concurrency), num_cpus=0.5)
-         .map_batches(parse_pages, batch_format="pyarrow",
-                      batch_size=run.fetch_batch_size)
-         .write_parquet(parsed_dir))
-        parsed = ray.data.read_parquet(parsed_dir)
+        # Rebalance: admitted inherits the (skewed) host-partition blocks;
+        # splitting into uniform blocks keeps the hot host from becoming a
+        # straggler task in the fetch/parse/decode chains.
+        parsed = (admitted
+                  .repartition(num_blocks=run.fetch_parallelism)
+                  .map_batches(SeenInsert(handles), batch_format="pyarrow")
+                  .map_batches(fetcher_cls, fn_constructor_args=fetcher_args,
+                               batch_format="pyarrow",
+                               batch_size=run.fetch_batch_size,
+                               concurrency=(1, run.fetch_concurrency),
+                               num_cpus=0.5)
+                  .map_batches(parse_pages, batch_format="pyarrow",
+                               batch_size=run.fetch_batch_size)
+                  .materialize())
+        parsed.write_parquet(parsed_dir)
+        _mark("fetch_parse")
         n_parsed = parsed.count()
         counters["fetched_pages"] += n_parsed
 
-        # image branch
+        # image branch. In lazy mode the image fetch is a stateless TASK
+        # stage (bytes synthesized per URL) — full parallelism, no pool.
         images_dir = os.path.join(wd, "images")
-        imgs = (parsed
-                .map_batches(explode_images, batch_format="pyarrow")
-                .map_batches(canonicalize_image_refs, batch_format="pyarrow")
-                .map_batches(SeenCheckAndInsert(handles), batch_format="pyarrow")
-                .map_batches(FixtureFetcher, fn_constructor_args=(web_ref,),
-                             batch_format="pyarrow",
-                             batch_size=run.image_batch_size,
-                             concurrency=(1, run.fetch_concurrency), num_cpus=0.5)
-                .map_batches(DecodeImages, batch_format="pyarrow",
-                             batch_size=run.image_batch_size,
-                             concurrency=(1, run.decode_concurrency)))
-        imgs = imgs.groupby("bucket").map_groups(
-            lambda g: neardup_suppress_group(g, cfg.neardup_hamming),
-            batch_format="pandas")
-        imgs.write_parquet(images_dir)
+        img_refs = (parsed
+                    .map_batches(explode_images, batch_format="pyarrow")
+                    .map_batches(canonicalize_image_refs, batch_format="pyarrow")
+                    .map_batches(SeenCheckAndInsert(handles),
+                                 batch_format="pyarrow")
+                    .repartition(num_blocks=run.image_parallelism))
+        if run.lazy_images:
+            fetched_imgs = img_refs.map_batches(
+                SyntheticImageFetch(run.img_scale), batch_format="pyarrow",
+                batch_size=run.image_batch_size)
+        else:
+            fetched_imgs = img_refs.map_batches(
+                fetcher_cls, fn_constructor_args=fetcher_args,
+                batch_format="pyarrow", batch_size=run.image_batch_size,
+                concurrency=(1, run.fetch_concurrency), num_cpus=0.5)
+        imgs = fetched_imgs.map_batches(DecodeImages(), batch_format="pyarrow",
+                                        batch_size=run.image_batch_size) \
+            .materialize()
+        _mark("img_gen_decode")
+        # U3 near-dup: shuffle only the NARROW (image_id, phash, bucket)
+        # columns, broadcast the (small) drop set, filter the wide stream
+        # — image bytes never cross an all-to-all.
+        # Small narrow side (one wave's image metadata): consolidate on
+        # the driver — one vectorized pass, no shuffle. Above the
+        # threshold (true 10^10 scale), fall back to the bucket-keyed
+        # hash shuffle; either path is the same per-bucket greedy.
+        narrow_parts = []
+        for b in imgs.select_columns(["image_id", "phash", "bucket"])                 .iter_batches(batch_format="pyarrow", batch_size=65536):
+            narrow_parts.append(b if isinstance(b, pa.Table) else pa.table(b))
+        narrow = pa.concat_tables(narrow_parts) if narrow_parts else None
+        drop_ids: set = set()
+        if narrow is not None and narrow.num_rows <= run.neardup_driver_max:
+            drop_ids.update(
+                neardup_drops_block(narrow, cfg.neardup_hamming)
+                .column("drop_id").to_pylist())
+        elif narrow is not None:
+            drops_ds = (imgs.select_columns(["image_id", "phash", "bucket"])
+                        .repartition(num_blocks=run.neardup_partitions,
+                                     keys=["bucket"])
+                        .map_batches(lambda b: neardup_drops_block(
+                            b, cfg.neardup_hamming),
+                            batch_format="pyarrow", batch_size=None))
+            for b in drops_ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=65536):
+                t = b if isinstance(b, pa.Table) else pa.table(b)
+                drop_ids.update(t.column("drop_id").to_pylist())
+        _mark("neardup_narrow")
+        drop_ref = ray.put(drop_ids)
+
+        def drop_neardups(t: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            keep = pa.array([i not in d
+                             for i in t.column("image_id").to_pylist()])
+            return t.filter(keep).drop_columns(["bucket"])
+
+        imgs_final = imgs.map_batches(drop_neardups, batch_format="pyarrow")
+        # bytes column holds already-compressed codec payloads — recompressing
+        # them in parquet costs seconds/GB and saves nothing
+        imgs_final.write_parquet(images_dir, compression="none")
+        _mark("images_filter_write")
         n_images = (ray.data.read_parquet(images_dir).count()
                     if os.path.isdir(images_dir) and os.listdir(images_dir) else 0)
         counters["images_landed"] += n_images
 
-        # links branch -> next frontier (streamed union, parquet-to-parquet)
+        # links branch -> next frontier (one streamed union execution)
         links = parsed.map_batches(explode_links, batch_format="pyarrow")
         redirects = parsed.map_batches(explode_redirects, batch_format="pyarrow")
         nxt = (links.select_columns(FRONTIER_FILE_COLS)
                .union(redirects.select_columns(FRONTIER_FILE_COLS))
                .union(deferred.select_columns(FRONTIER_FILE_COLS))
                .materialize())
+        _mark("links_union")
         n_next = nxt.count()
-        counters["deferred"] += int(deferred.count())
         # Always persist the residual frontier — even past max_waves — so a
         # resume with a larger wave budget continues instead of stopping.
         if n_next > 0:
@@ -299,6 +399,7 @@ def crawl(web: pa.Table, seeds: pa.Table, out_dir: str,
         _save_seen(handles, out_dir, wave)
         with open(os.path.join(wd, "_COMMITTED"), "w") as f:
             f.write("ok")
+        _mark("checkpoint_commit")
         res.waves_run = wave + 1
 
     counters["seen_urls"] = seen_counts(handles)

@@ -62,3 +62,82 @@ def pc_if_else(cond, a, b):
     import pyarrow.compute as pc
 
     return pc.if_else(cond, a, b)
+
+
+import re as _re
+
+_IMG_URL_RE = _re.compile(r"^http://h\d{3}\.[^/]+/img/\d+-\d+\.(png|bmp|raw)$")
+
+
+class SyntheticImageFetch:
+    """TASK-based map_batches fn for the image branch in lazy mode: every
+    fixture image URL's bytes are synthesized deterministically (shared
+    ``gen_image_bytes`` rule) — stateless, so it runs at full task
+    parallelism with no actor pool or broadcast table at all."""
+
+    def __init__(self, img_scale: int = 1):
+        self.img_scale = img_scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fixtures import gen_image_bytes
+
+        urls = batch.column("url_canon").to_pylist()
+        n = len(urls)
+        status = np.full(n, 404, np.int32)
+        ctypes = [""] * n
+        bodies: list[bytes] = [b""] * n
+        for i, u in enumerate(urls):
+            if _IMG_URL_RE.match(u):
+                data, fmt = gen_image_bytes(u, self.img_scale)
+                status[i], ctypes[i], bodies[i] = 200, f"image/{fmt}", data
+        out = batch.append_column("status", pa.array(status, pa.int32()))
+        out = out.append_column("content_type", pa.array(ctypes, pa.string()))
+        out = out.append_column("body", pa.array(bodies, pa.binary()))
+        return out.append_column("location", pa.array([""] * n, pa.string()))
+
+
+class GenerativeFetcher(FixtureFetcher):
+    """Fetcher whose image responses are SYNTHESIZED deterministically at
+    fetch time (the 'origin server' computes them) instead of being
+    pre-materialized in the broadcast table.
+
+    Rationale: at bench scale a fully materialized web would broadcast
+    gigabytes of encoded pixels; a real crawl's fetch cost lives in the
+    fetch stage, so generating bytes there keeps the benchmark's compute
+    where a production crawl's I/O+decode cost would be, and lets the
+    fixture table stay HTML-only (``make_web(materialize_images=False)``).
+    Byte-for-byte identical to the eager web (shared ``gen_image_bytes``
+    rule), so oracle invariants still hold.
+    """
+
+    def __init__(self, web_ref, img_scale: int = 1):
+        super().__init__(web_ref)
+        self.img_scale = img_scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fixtures import gen_image_bytes
+
+        urls = batch.column("url_canon").to_pylist()
+        misses = [u for u in urls if u not in self._index
+                  and _IMG_URL_RE.match(u)]
+        if not misses:
+            return super().__call__(batch)
+        gen_status, gen_ct, gen_body = {}, {}, {}
+        for u in misses:
+            data, fmt = gen_image_bytes(u, self.img_scale)
+            gen_status[u], gen_ct[u], gen_body[u] = 200, f"image/{fmt}", data
+        out = super().__call__(batch)
+        status = out.column("status").to_numpy(zero_copy_only=False).copy()
+        ctype = out.column("content_type").to_pylist()
+        body = out.column("body").to_pylist()
+        for i, u in enumerate(urls):
+            if u in gen_status:
+                status[i] = gen_status[u]
+                ctype[i] = gen_ct[u]
+                body[i] = gen_body[u]
+        out = out.set_column(out.schema.get_field_index("status"), "status",
+                             pa.array(status, pa.int32()))
+        out = out.set_column(out.schema.get_field_index("content_type"),
+                             "content_type", pa.array(ctype, pa.string()))
+        return out.set_column(out.schema.get_field_index("body"), "body",
+                              pa.array(body, pa.binary()))

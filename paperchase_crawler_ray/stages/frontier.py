@@ -59,6 +59,25 @@ class CanonicalizeBatch:
         return out.filter(pa.array(keep))
 
 
+def dedup_block(batch: pa.Table) -> pa.Table:
+    """U2 vectorized: keep one row per url_hash — min (depth, parent_hash,
+    -priority) — within a WHOLE block. Correct only after
+    ``repartition(keys=["url_hash"])`` co-located equal hashes; one
+    lexsort + unique per block, no per-group Python.
+    """
+    if batch.num_rows == 0:
+        return batch
+    h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+    order = np.lexsort((-batch.column("priority").to_numpy(zero_copy_only=False),
+                        batch.column("parent_hash").to_numpy(zero_copy_only=False),
+                        batch.column("depth").to_numpy(zero_copy_only=False),
+                        h))
+    hs = h[order]
+    first = np.ones(len(hs), bool)
+    first[1:] = hs[1:] != hs[:-1]
+    return batch.take(pa.array(order[first]))
+
+
 def dedup_wave_group(g: pd.DataFrame) -> pd.DataFrame:
     """U2 per-group winner: min (depth, parent_hash, -priority).
 

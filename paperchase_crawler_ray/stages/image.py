@@ -85,6 +85,42 @@ class DecodeImages:
         )
 
 
+def neardup_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:
+    """U3 over a WHOLE block holding complete phash-prefix buckets
+    (correct only after ``repartition(keys=["bucket"])``): greedy
+    keep-first by image_id within each bucket, matching the oracle's
+    sequential pass. Vectorized hamming per bucket."""
+    if batch.num_rows == 0:
+        return batch.drop_columns(["bucket"]) if "bucket" in batch.column_names else batch
+    order = np.lexsort((np.asarray(batch.column("image_id").to_pylist()),
+                        batch.column("bucket").to_numpy(zero_copy_only=False)))
+    bucket = batch.column("bucket").to_numpy(zero_copy_only=False)[order]
+    ph = batch.column("phash").to_numpy(zero_copy_only=False)[order]
+    keep_idx: list[int] = []
+    start = 0
+    for i in range(1, len(order) + 1):
+        if i == len(order) or bucket[i] != bucket[start]:
+            kept: list[int] = []
+            for j in range(start, i):
+                if not kept or hamming64(ph[np.array(kept)], ph[j]).min() > hamming_max:
+                    kept.append(j)
+            keep_idx.extend(order[k] for k in kept)
+            start = i
+    return batch.take(pa.array(sorted(keep_idx))).drop_columns(["bucket"])
+
+
+def neardup_drops_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:
+    """U3 narrow path: same per-bucket greedy keep-first as
+    ``neardup_block`` but over (image_id, phash, bucket) ONLY, returning
+    the DROPPED image_ids. The wide image rows never shuffle — the crawl
+    broadcasts this (small) drop set and filters the decoded stream."""
+    kept_t = neardup_block(batch, hamming_max)
+    kept_ids = set(kept_t.column("image_id").to_pylist())
+    all_ids = batch.column("image_id").to_pylist()
+    dropped = [i for i in all_ids if i not in kept_ids]
+    return pa.table({"drop_id": pa.array(dropped, pa.string())})
+
+
 def neardup_suppress_group(g: pd.DataFrame, hamming_max: int = 2) -> pd.DataFrame:
     """U3 within one phash-prefix bucket: greedy keep-first by image_id.
 

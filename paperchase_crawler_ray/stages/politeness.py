@@ -27,6 +27,38 @@ import pandas as pd
 from ..oracle import CrawlConfig
 
 
+def schedule_block(batch, cfg: CrawlConfig):
+    """A3 vectorized over a WHOLE block holding complete hosts (correct
+    only after ``repartition(keys=["host"])``): one lexsort orders every
+    host's rows by the deterministic total order (-priority, depth,
+    url_hash); per-host rank < budget admits; deferred priorities decay.
+    """
+    import pyarrow as pa
+
+    if batch.num_rows == 0:
+        return batch.append_column("admitted", pa.array([], pa.bool_()))
+    host = np.asarray(batch.column("host").to_pylist())
+    pri = batch.column("priority").to_numpy(zero_copy_only=False).copy()
+    depth = batch.column("depth").to_numpy(zero_copy_only=False)
+    uh = batch.column("url_hash").to_numpy(zero_copy_only=False)
+    delay = batch.column("crawl_delay").to_numpy(zero_copy_only=False)
+    order = np.lexsort((uh, depth, -pri, host))
+    hs = host[order]
+    new_host = np.ones(len(hs), bool)
+    new_host[1:] = hs[1:] != hs[:-1]
+    group_start = np.maximum.accumulate(np.where(new_host, np.arange(len(hs)), 0))
+    rank = np.arange(len(hs)) - group_start
+    budgets = np.array([cfg.host_wave_budget(float(d))
+                        for d in delay[order]], np.int64)
+    admitted_sorted = rank < budgets
+    admitted = np.zeros(len(hs), bool)
+    admitted[order] = admitted_sorted
+    pri[~admitted] *= cfg.defer_decay
+    out = batch.set_column(batch.schema.get_field_index("priority"),
+                           "priority", pa.array(pri, pa.float64()))
+    return out.append_column("admitted", pa.array(admitted, pa.bool_()))
+
+
 class PolitenessScheduler:
     """map_groups callable over per-host frontier groups."""
 

@@ -21,6 +21,42 @@ def _path_of(url_canon: str) -> str:
     return "/" + rest.split("/", 1)[-1] if "/" in rest else "/"
 
 
+def robots_rules_from_web(web: pa.Table) -> dict[str, RobotsRules]:
+    """Driver-side one-time parse of every host's robots.txt (tiny: one
+    entry per host). The resulting dict rides inside the task closure —
+    at real scale, ``ray.put`` it and resolve in an actor pool instead."""
+    mask = pa.array([u.endswith("/robots.txt")
+                     for u in web.column("url_canon").to_pylist()])
+    sub = web.filter(mask)
+    return {
+        u.split("://", 1)[-1].rsplit("/robots.txt", 1)[0]: parse_robots(b)
+        for u, b in zip(sub.column("url_canon").to_pylist(),
+                        sub.column("body").to_pylist())
+    }
+
+
+class RobotsFilter:
+    """Task-based map_batches fn: drop disallowed URLs, attach
+    ``crawl_delay``; rules pre-parsed once on the driver."""
+
+    def __init__(self, rules: dict[str, RobotsRules]):
+        self._rules = rules
+        self._default = RobotsRules()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        urls = batch.column("url_canon").to_pylist()
+        keep = np.zeros(len(hosts), bool)
+        delays = np.zeros(len(hosts), np.float64)
+        for i, (host, u) in enumerate(zip(hosts, urls)):
+            rules = self._rules.get(host, self._default)
+            if rules.allowed(_path_of(u)):
+                keep[i] = True
+                delays[i] = rules.crawl_delay
+        out = batch.append_column("crawl_delay", pa.array(delays, pa.float64()))
+        return out.filter(pa.array(keep))
+
+
 class RobotsGate:
     """Filter disallowed URLs, attach ``crawl_delay``; host-cached rules."""
 
