@@ -30,6 +30,7 @@ RPC compact int64 arrays to shard actors (stages/seen.py).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -44,7 +45,7 @@ from ..fixtures import make_seeds, make_web
 from ..oracle import CrawlConfig
 from ..schemas import LINEAGE
 from ..stages.fetch import (FixtureFetcher, GenerativeFetcher,
-                            SyntheticImageFetch)
+                            SyntheticImageFetch, TaskFetcher)
 from ..stages.frontier import CanonicalizeBatch, dedup_block
 from ..stages.image import (DecodeImages, canonicalize_image_refs,
                             neardup_block, neardup_drops_block)
@@ -88,17 +89,36 @@ class CrawlResult:
     lineage: list[dict] = field(default_factory=list)
 
     def images_dataset(self) -> "ray.data.Dataset":
-        dirs = sorted(
-            os.path.join(self.out_dir, d, "images")
-            for d in os.listdir(self.out_dir)
-            if d.startswith("wave=") and os.path.isdir(os.path.join(self.out_dir, d, "images"))
-        )
-        files = [os.path.join(d, f) for d in dirs
-                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        """Landed image_caption rows: data files minus the per-wave
+        near-dup TOMBSTONE sidecars (delete-vector read path)."""
+        waves = sorted(d for d in os.listdir(self.out_dir)
+                       if d.startswith("wave="))
+        files, tombstones = [], set()
+        for d in waves:
+            img_dir = os.path.join(self.out_dir, d, "images")
+            if os.path.isdir(img_dir):
+                files.extend(os.path.join(img_dir, f)
+                             for f in sorted(os.listdir(img_dir))
+                             if f.endswith(".parquet"))
+            ts = os.path.join(self.out_dir, d, "images_tombstones.parquet")
+            if os.path.exists(ts):
+                tombstones.update(
+                    pq.read_table(ts).column("image_id").to_pylist())
         if not files:
             return ray.data.from_arrow(
                 pa.table({"image_id": pa.array([], pa.string())}))
-        return ray.data.read_parquet(files)
+        ds = ray.data.read_parquet(files)
+        ts_ref = ray.put(tombstones)
+
+        def apply_tombstones(t: pa.Table) -> pa.Table:
+            dead = ray.get(ts_ref)
+            if dead:
+                keep = pa.array([i not in dead
+                                 for i in t.column("image_id").to_pylist()])
+                t = t.filter(keep)
+            return t.drop_columns(["bucket"]) if "bucket" in t.column_names else t
+
+        return ds.map_batches(apply_tombstones, batch_format="pyarrow")
 
     def admitted_per_wave(self) -> list[list[str]]:
         out = []
@@ -197,6 +217,15 @@ def crawl(web: pa.Table, seeds: pa.Table, out_dir: str,
 
 def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                  cfg: CrawlConfig, run: RunConfig, resume: bool) -> CrawlResult:
+    profile = os.environ.get("PC_PROFILE") == "1"
+    _tm = {"last": time.monotonic()}
+
+    def _mark(label: str) -> None:
+        if profile:
+            now = time.monotonic()
+            print(f"PCPROF {label} {now - _tm['last']:.2f}s", flush=True)
+            _tm["last"] = now
+
     os.makedirs(out_dir, exist_ok=True)
     web_ref = ray.put(web)
     robots_rules = robots_rules_from_web(web)
@@ -204,6 +233,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         fetcher_cls, fetcher_args = GenerativeFetcher, (web_ref, run.img_scale)
     else:
         fetcher_cls, fetcher_args = FixtureFetcher, (web_ref,)
+    _mark("web_put_robots")
     handles = make_seen_actors(run.nshards)
     res = CrawlResult(out_dir=out_dir)
 
@@ -218,22 +248,14 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
     if start_wave == 0:
         _write_frontier(seeds_to_frontier(seeds), out_dir, 0)
 
+    _mark("setup_resume")
     counters = {"admitted": 0, "deferred": 0, "fetched_pages": 0,
                 "images_landed": 0, "frontier_rows": 0}
-    profile = os.environ.get("PC_PROFILE") == "1"
-    _tm = {"last": time.monotonic()}
-
-    def _mark(label: str) -> None:
-        if profile:
-            now = time.monotonic()
-            print(f"PCPROF {label} {now - _tm['last']:.2f}s", flush=True)
-            _tm["last"] = now
-
     t0 = time.monotonic()
     for wave in range(start_wave, cfg.max_waves):
         wd = _wave_dir(out_dir, wave)
         frontier_dir = os.path.join(wd, "frontier")
-        if not os.path.isdir(frontier_dir):
+        if not os.path.isdir(frontier_dir) or not os.listdir(frontier_dir):
             break
         fr = ray.data.read_parquet(
             frontier_dir, override_num_blocks=run.fetch_parallelism)
@@ -241,6 +263,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         if n_frontier == 0:
             break
         counters["frontier_rows"] += n_frontier
+        _mark("frontier_read")
 
         # All stateless per-row stages run as TASK-based map_batches (no
         # actor-pool spinup per wave); only fetch keeps an actor pool
@@ -270,6 +293,8 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
             batch_format="pyarrow")
 
         admitted_dir = os.path.join(wd, "admitted")
+        if os.path.isdir(admitted_dir):
+            shutil.rmtree(admitted_dir, ignore_errors=True)
         admitted.select_columns(
             ["url_canon", "url_hash", "host", "depth", "priority", "seed_id"]
         ).write_parquet(admitted_dir)
@@ -284,17 +309,24 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         # Rebalance: admitted inherits the (skewed) host-partition blocks;
         # splitting into uniform blocks keeps the hot host from becoming a
         # straggler task in the fetch/parse/decode chains.
-        parsed = (admitted
-                  .repartition(num_blocks=run.fetch_parallelism)
-                  .map_batches(SeenInsert(handles), batch_format="pyarrow")
-                  .map_batches(fetcher_cls, fn_constructor_args=fetcher_args,
-                               batch_format="pyarrow",
-                               batch_size=run.fetch_batch_size,
-                               concurrency=(1, run.fetch_concurrency),
-                               num_cpus=0.5)
-                  .map_batches(parse_pages, batch_format="pyarrow",
-                               batch_size=run.fetch_batch_size)
-                  .materialize())
+        rebalanced = (admitted
+                      .repartition(num_blocks=run.fetch_parallelism)
+                      .map_batches(SeenInsert(handles), batch_format="pyarrow"))
+        if run.lazy_images:
+            # task-based fetch (per-process index cache): full parallelism
+            fetched = rebalanced.map_batches(
+                TaskFetcher(web_ref, run.img_scale), batch_format="pyarrow",
+                batch_size=run.fetch_batch_size)
+        else:
+            fetched = rebalanced.map_batches(
+                fetcher_cls, fn_constructor_args=fetcher_args,
+                batch_format="pyarrow", batch_size=run.fetch_batch_size,
+                concurrency=(1, run.fetch_concurrency), num_cpus=0.5)
+        parsed = fetched.map_batches(parse_pages, batch_format="pyarrow",
+                                     batch_size=run.fetch_batch_size) \
+            .materialize()
+        if os.path.isdir(parsed_dir):
+            shutil.rmtree(parsed_dir, ignore_errors=True)
         parsed.write_parquet(parsed_dir)
         _mark("fetch_parse")
         n_parsed = parsed.count()
@@ -318,53 +350,55 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                 fetcher_cls, fn_constructor_args=fetcher_args,
                 batch_format="pyarrow", batch_size=run.image_batch_size,
                 concurrency=(1, run.fetch_concurrency), num_cpus=0.5)
+        # Decoded images stream straight to the sink parquet — never
+        # materialized in the object store and never rewritten. The U3
+        # near-dup drop set is computed afterwards from a COLUMN-PRUNED
+        # read (image_id/phash/bucket — KBs, not GBs) and recorded as a
+        # TOMBSTONE sidecar (the delete-vector pattern of modern table
+        # formats); every reader (images_dataset(), downstream jobs)
+        # applies it on read and a background compaction can fold it in.
+        # Above `neardup_driver_max` the drop computation swaps to the
+        # bucket-keyed hash shuffle over the same narrow columns.
+        if os.path.isdir(images_dir):
+            shutil.rmtree(images_dir, ignore_errors=True)
         imgs = fetched_imgs.map_batches(DecodeImages(), batch_format="pyarrow",
-                                        batch_size=run.image_batch_size) \
-            .materialize()
+                                        batch_size=run.image_batch_size)
+        # bytes column holds already-compressed codec payloads —
+        # recompressing them in parquet costs seconds/GB and saves nothing
+        imgs.write_parquet(images_dir, compression="none")
         _mark("img_gen_decode")
-        # U3 near-dup: shuffle only the NARROW (image_id, phash, bucket)
-        # columns, broadcast the (small) drop set, filter the wide stream
-        # — image bytes never cross an all-to-all.
-        # Small narrow side (one wave's image metadata): consolidate on
-        # the driver — one vectorized pass, no shuffle. Above the
-        # threshold (true 10^10 scale), fall back to the bucket-keyed
-        # hash shuffle; either path is the same per-bucket greedy.
-        narrow_parts = []
-        for b in imgs.select_columns(["image_id", "phash", "bucket"])                 .iter_batches(batch_format="pyarrow", batch_size=65536):
-            narrow_parts.append(b if isinstance(b, pa.Table) else pa.table(b))
-        narrow = pa.concat_tables(narrow_parts) if narrow_parts else None
         drop_ids: set = set()
-        if narrow is not None and narrow.num_rows <= run.neardup_driver_max:
-            drop_ids.update(
-                neardup_drops_block(narrow, cfg.neardup_hamming)
-                .column("drop_id").to_pylist())
-        elif narrow is not None:
-            drops_ds = (imgs.select_columns(["image_id", "phash", "bucket"])
-                        .repartition(num_blocks=run.neardup_partitions,
-                                     keys=["bucket"])
-                        .map_batches(lambda b: neardup_drops_block(
-                            b, cfg.neardup_hamming),
-                            batch_format="pyarrow", batch_size=None))
-            for b in drops_ds.iter_batches(batch_format="pyarrow",
-                                           batch_size=65536):
-                t = b if isinstance(b, pa.Table) else pa.table(b)
-                drop_ids.update(t.column("drop_id").to_pylist())
-        _mark("neardup_narrow")
-        drop_ref = ray.put(drop_ids)
-
-        def drop_neardups(t: pa.Table) -> pa.Table:
-            d = ray.get(drop_ref)
-            keep = pa.array([i not in d
-                             for i in t.column("image_id").to_pylist()])
-            return t.filter(keep).drop_columns(["bucket"])
-
-        imgs_final = imgs.map_batches(drop_neardups, batch_format="pyarrow")
-        # bytes column holds already-compressed codec payloads — recompressing
-        # them in parquet costs seconds/GB and saves nothing
-        imgs_final.write_parquet(images_dir, compression="none")
-        _mark("images_filter_write")
-        n_images = (ray.data.read_parquet(images_dir).count()
-                    if os.path.isdir(images_dir) and os.listdir(images_dir) else 0)
+        n_staged = 0
+        if os.path.isdir(images_dir) and os.listdir(images_dir):
+            # parallel column-pruned read of the narrow dedup columns
+            nb = []
+            for b in ray.data.read_parquet(
+                    images_dir, columns=["image_id", "phash", "bucket"]) \
+                    .iter_batches(batch_format="pyarrow", batch_size=None):
+                nb.append(b if isinstance(b, pa.Table) else pa.table(b))
+            narrow = pa.concat_tables(nb)
+            n_staged = narrow.num_rows
+            if narrow.num_rows <= run.neardup_driver_max:
+                drop_ids.update(
+                    neardup_drops_block(narrow, cfg.neardup_hamming)
+                    .column("drop_id").to_pylist())
+            else:
+                drops_ds = (ray.data.read_parquet(
+                    images_dir, columns=["image_id", "phash", "bucket"])
+                    .repartition(num_blocks=run.neardup_partitions,
+                                 keys=["bucket"])
+                    .map_batches(lambda b: neardup_drops_block(
+                        b, cfg.neardup_hamming),
+                        batch_format="pyarrow", batch_size=None))
+                for b in drops_ds.iter_batches(batch_format="pyarrow",
+                                               batch_size=65536):
+                    t = b if isinstance(b, pa.Table) else pa.table(b)
+                    drop_ids.update(t.column("drop_id").to_pylist())
+        pq.write_table(
+            pa.table({"image_id": pa.array(sorted(drop_ids), pa.string())}),
+            os.path.join(wd, "images_tombstones.parquet"))
+        n_images = n_staged - len(drop_ids)
+        _mark("neardup_tombstones")
         counters["images_landed"] += n_images
 
         # links branch -> next frontier (one streamed union execution)
@@ -372,14 +406,18 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         redirects = parsed.map_batches(explode_redirects, batch_format="pyarrow")
         nxt = (links.select_columns(FRONTIER_FILE_COLS)
                .union(redirects.select_columns(FRONTIER_FILE_COLS))
-               .union(deferred.select_columns(FRONTIER_FILE_COLS))
-               .materialize())
-        _mark("links_union")
-        n_next = nxt.count()
+               .union(deferred.select_columns(FRONTIER_FILE_COLS)))
         # Always persist the residual frontier — even past max_waves — so a
         # resume with a larger wave budget continues instead of stopping.
-        if n_next > 0:
-            nxt.write_parquet(os.path.join(_wave_dir(out_dir, wave + 1), "frontier"))
+        nf_dir = os.path.join(_wave_dir(out_dir, wave + 1), "frontier")
+        if os.path.isdir(nf_dir):
+            shutil.rmtree(nf_dir, ignore_errors=True)
+        nxt.write_parquet(nf_dir)
+        _mark("links_union")
+        n_next = (ray.data.read_parquet(nf_dir).count()
+                  if os.path.isdir(nf_dir) and os.listdir(nf_dir) else 0)
+        if n_next == 0 and os.path.isdir(nf_dir):
+            shutil.rmtree(nf_dir, ignore_errors=True)
 
         # lineage + checkpoint + commit marker
         lineage_rows = [
@@ -402,6 +440,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         _mark("checkpoint_commit")
         res.waves_run = wave + 1
 
+    _mark("final_tail")
     counters["seen_urls"] = seen_counts(handles)
     counters["wall_sec"] = time.monotonic() - t0
     res.counters = counters

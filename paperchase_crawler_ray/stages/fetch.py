@@ -69,6 +69,33 @@ import re as _re
 _IMG_URL_RE = _re.compile(r"^http://h\d{3}\.[^/]+/img/\d+-\d+\.(png|bmp|raw)$")
 
 
+_PROCESS_FETCHERS: dict = {}
+
+
+class TaskFetcher:
+    """TASK-based page fetcher: holds only the plasma ref; the url index
+    is built once per WORKER PROCESS (module-level cache keyed by ref) —
+    repeated ``ray.get`` of the same ref is a zero-copy cache hit, so
+    tasks pay index construction once per process, not per task. Full
+    task parallelism without actor-pool sizing."""
+
+    def __init__(self, web_ref, img_scale: int = 1):
+        self.web_ref = web_ref
+        self.img_scale = img_scale
+
+    def _impl(self) -> "GenerativeFetcher":
+        key = self.web_ref.hex() if hasattr(self.web_ref, "hex") else id(self.web_ref)
+        impl = _PROCESS_FETCHERS.get(key)
+        if impl is None:
+            impl = GenerativeFetcher(self.web_ref, self.img_scale)
+            _PROCESS_FETCHERS.clear()   # one web per process is typical
+            _PROCESS_FETCHERS[key] = impl
+        return impl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._impl()(batch)
+
+
 class SyntheticImageFetch:
     """TASK-based map_batches fn for the image branch in lazy mode: every
     fixture image URL's bytes are synthesized deterministically (shared
