@@ -167,6 +167,43 @@ def _q_embedding_norm(sf: str):
     return emb.map_batches(norms, batch_format="pyarrow")
 
 
+def _q_agg_stats(sf: str):
+    """Multi-aggregate groupby (Ray native Sum/Count partial+final)."""
+    from ray.data.aggregate import Count, Sum
+    li = _rp(sf, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="count_order"))
+
+
+def _q_minmax(sf: str):
+    from ray.data.aggregate import Count, Max, Min
+    o = _rp(sf, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return o.groupby("o_orderpriority").aggregate(
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Count(alias_name="c"))
+
+
+def _q_grouped_median(sf: str):
+    """D5 analog: per-group discrete median (quantile_disc semantics —
+    sorted[floor((n-1)/2)]), deterministic and exactly SQL-matchable."""
+    ev = _rp(sf, "events", columns=["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "median_value": [v[(len(v) - 1) // 2]]})
+
+    return ev.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+def _q_sample(sf: str):
+    """O4: seeded sample — rows-only check (sampling isn't SQL-stable)."""
+    docs = _rp(sf, "documents", columns=["doc_id", "lang"])
+    return docs.random_sample(0.2, seed=42)
+
+
 # -- training-data operators -------------------------------------------------
 
 def _q_text_hash_dedup(sf: str):
@@ -272,6 +309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_wave": _q_window_wave,
         "q_props_json": _q_props_json,
         "q_distinct": _q_distinct,
+        "q_agg_stats": _q_agg_stats,
+        "q_minmax": _q_minmax,
+        "q_grouped_median": _q_grouped_median,
+        "q_sample": _q_sample,
         "q_embedding_norm": _q_embedding_norm,
         "q_text_hash_dedup": _q_text_hash_dedup,
         "q_token_count": _q_token_count,
@@ -333,6 +374,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1",
         "q_distinct":
             "SELECT COUNT(DISTINCT lang) AS n_langs FROM documents",
+        "q_agg_stats":
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "COUNT(*) AS count_order FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus",
+        "q_minmax":
+            "SELECT o_orderpriority, MIN(o_totalprice) AS min_price, "
+            "MAX(o_totalprice) AS max_price, COUNT(*) AS c FROM orders "
+            "GROUP BY o_orderpriority",
+        "q_grouped_median":
+            "SELECT event_type, CAST(quantile_disc(value, 0.5) AS DOUBLE) "
+            "AS median_value FROM events GROUP BY event_type",
         "q_embedding_norm":
             "SELECT vec_id, ROUND(sqrt(list_sum(list_transform("
             "embedding::DOUBLE[], x -> x*x))), 3) AS l2norm FROM embeddings",

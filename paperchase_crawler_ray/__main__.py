@@ -1,0 +1,87 @@
+"""CLI entry point — the `ray job submit` surface (SURVEY.md §3.1):
+
+    ray job submit -- python -m paperchase_crawler_ray \\
+        --seeds seeds.parquet --web web.parquet --out /data/crawl \\
+        --waves 8 --host-budget 8
+
+In this sandbox there is no network, so the "web" is a fixture parquet
+table (WEB_FIXTURE schema) or the built-in deterministic generator
+(``--web fixture:<hosts>:<pages>``); in production the fetch stage would
+be swapped for an HTTP client (stages/fetch.py docstring).
+
+Owns the Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .fixtures import make_seeds, make_web
+from .oracle import CrawlConfig
+from .pipelines.crawl import RunConfig, crawl
+
+
+def _load_seeds(spec: str) -> pa.Table:
+    if spec.startswith("fixture:"):
+        _, n_seeds, n_hosts = spec.split(":")
+        return make_seeds(int(n_seeds), int(n_hosts))
+    if spec.endswith(".parquet"):
+        return pq.read_table(spec)
+    # plain text: one URL per line
+    with open(spec) as f:
+        urls = [ln.strip() for ln in f if ln.strip()]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "seed_id": pa.array(range(len(urls)), pa.int32()),
+        "priority": pa.array([1.0] * len(urls), pa.float64()),
+    })
+
+
+def _load_web(spec: str) -> pa.Table:
+    if spec.startswith("fixture:"):
+        parts = spec.split(":")
+        return make_web(n_hosts=int(parts[1]), total_pages=int(parts[2]),
+                        materialize_images=len(parts) < 4 or parts[3] != "lazy")
+    return pq.read_table(spec)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="paperchase_crawler_ray")
+    ap.add_argument("--seeds", required=True,
+                    help="parquet/text seed list, or fixture:<n>:<hosts>")
+    ap.add_argument("--web", required=True,
+                    help="WEB_FIXTURE parquet, or fixture:<hosts>:<pages>[:lazy]")
+    ap.add_argument("--out", required=True, help="checkpointed output dir")
+    ap.add_argument("--waves", type=int, default=8)
+    ap.add_argument("--host-budget", type=int, default=8)
+    ap.add_argument("--max-depth", type=int, default=3)
+    ap.add_argument("--scope-suffix", default=".example")
+    ap.add_argument("--nshards", type=int, default=8)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--lazy-images", action="store_true",
+                    help="synthesize image bytes in the fetch stage")
+    args = ap.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    cfg = CrawlConfig(max_waves=args.waves, host_budget=args.host_budget,
+                      max_depth=args.max_depth, host_suffix=args.scope_suffix)
+    run = RunConfig(nshards=args.nshards, lazy_images=args.lazy_images)
+    res = crawl(_load_web(args.web), _load_seeds(args.seeds), args.out,
+                cfg, run, resume=not args.no_resume)
+    print(json.dumps({"waves_run": res.waves_run, "out_dir": res.out_dir,
+                      "counters": {k: v for k, v in res.counters.items()
+                                   if k != "hot_hosts"}}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

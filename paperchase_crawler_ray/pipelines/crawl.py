@@ -270,6 +270,14 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         # (its URL index is per-actor state).
         prep = fr.map_batches(CanonicalizeBatch(cfg), batch_format="pyarrow",
                               batch_size=run.frontier_batch_size)
+        # COMBINER (skew mitigation, BASELINE.json:14): block-local
+        # pre-dedup before the shuffle. dedup_block keeps the min-ordered
+        # winner per url_hash, so block-local-then-global gives the same
+        # winner as global-only while shrinking a hot host's shuffle
+        # input by its duplicate factor — the partial-aggregation analog
+        # of hot-host salting for a merged dedup+politeness exchange.
+        prep = prep.map_batches(dedup_block, batch_format="pyarrow",
+                                batch_size=None)
         unseen = prep.map_batches(SeenLookup(handles), batch_format="pyarrow")
         gated = unseen.map_batches(RobotsFilter(robots_rules),
                                    batch_format="pyarrow")
@@ -277,6 +285,10 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         # URL's host is a function of the URL), so the U2 dedup and the
         # A3 politeness schedule run back-to-back on the same blocks —
         # one all-to-all instead of two. batch_size=None => whole blocks.
+        # The politeness exchange must stay strictly host-keyed (a host's
+        # budget is global), so hot-host skew here is bounded by the
+        # combiner above plus the budget cap on output; the dedup-only
+        # path (ops.relational.exact_dedup) salts instead.
         sched = gated.repartition(num_blocks=run.host_partitions, keys=["host"]) \
             .map_batches(lambda b: schedule_block(dedup_block(b), cfg),
                          batch_format="pyarrow", batch_size=None)
@@ -419,6 +431,20 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         if n_next == 0 and os.path.isdir(nf_dir):
             shutil.rmtree(nf_dir, ignore_errors=True)
 
+        # D1/O2 hot-host stats for this wave (drives salt thresholds /
+        # budget tuning): narrow driver-side count over the materialized
+        # sched rows — no extra Ray execution.
+        host_counts: dict[str, int] = {}
+        for b in sched.select_columns(["host"]).iter_batches(
+                batch_format="pyarrow", batch_size=65536):
+            t = b if isinstance(b, pa.Table) else pa.table(b)
+            vals, cnts = np.unique(np.asarray(t.column("host").to_pylist()),
+                                   return_counts=True)
+            for v, c in zip(vals, cnts):
+                host_counts[v] = host_counts.get(v, 0) + int(c)
+        hot = sorted(host_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        counters["hot_hosts"] = hot
+
         # lineage + checkpoint + commit marker
         lineage_rows = [
             {"run_id": "r0", "wave": wave, "stage": s, "rows_in": ri,
@@ -429,6 +455,10 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                 ("fetch_parse", n_admitted, n_parsed),
                 ("images", n_parsed, n_images),
             )
+        ] + [
+            {"run_id": "r0", "wave": wave, "stage": f"hot_host:{h}",
+             "rows_in": c, "rows_out": min(c, n_admitted), "bytes": 0}
+            for h, c in hot
         ]
         res.lineage.extend(lineage_rows)
         pq.write_table(

