@@ -14,3 +14,4 @@ is owned by the caller (driver, bench.py, or the pytest fixture).
 """
 
 __version__ = "0.1.0"
+

@@ -33,17 +33,30 @@ def tokens(text: str) -> list[str]:
     return _WORD_RE.findall(text.lower())
 
 
+_SHINGLE_COEF = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                          0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                          0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
+                         np.uint64)
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """uint64 hashes of word k-shingles (k=1 token granularity fallback)."""
+    """uint64 hashes of word k-shingles.
+
+    One blake2b per TOKEN, then a vectorized wrapping-uint64 linear
+    combination per k-window — ~k x fewer cryptographic hashes than
+    hashing each joined shingle string.
+    """
     toks = tokens(text)
     if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(shingles), np.uint64)
-    for i, sh in enumerate(shingles):
-        out[i] = np.uint64(stable_hash64(sh) & ((1 << 61) - 1))
-    return out
+        base = " ".join(toks) if toks else ""
+        return np.array([np.uint64(stable_hash64(base) & ((1 << 61) - 1))],
+                        np.uint64)
+    th = np.array([stable_hash64(t) for t in toks], np.int64).view(np.uint64)
+    n_out = len(toks) - k + 1
+    acc = np.zeros(n_out, np.uint64)
+    for j in range(k):
+        acc = acc + th[j:j + n_out] * _SHINGLE_COEF[j % len(_SHINGLE_COEF)]
+    return acc & np.uint64((1 << 61) - 1)
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:

@@ -25,6 +25,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -32,11 +33,27 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.texthash import (jaccard, ngram_set, simhash64, tokens,
-                                  word_shingles)
+from ..functions.texthash import (jaccard, ngram_set, simhash64,
+                                  stable_hash64, tokens, word_shingles)
 from ..functions.phash import hamming64
 
 _P32 = np.uint64(4294967311)  # prime > 2^32: (a*x+b) mod p stays in uint64
+
+
+@contextmanager
+def _hash_shuffle(ds: "ray.data.Dataset"):
+    """Scope the HASH_SHUFFLE strategy onto ``ds``'s (shared) context for
+    keyed repartitions; build AND drain inside the scope. Restored on
+    exit because ray 2.49 groupby.map_groups can hang under hash shuffle
+    in small sessions."""
+    from ray.data.context import ShuffleStrategy
+    ctx = ds.context
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
 
 
 def minhash_params32(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -97,23 +114,77 @@ class MinHashSignatures:
         })
 
 
-def _bucket_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """All (smaller, larger) id pairs within one bucket (groups are tiny
-    for sane band widths; hot buckets are capped to bound worst case)."""
-    ids = np.unique(g[id_col].to_numpy())[:64]  # cap pathological buckets
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []}).astype({"id_a": ids.dtype if len(ids) else np.int64, "id_b": ids.dtype if len(ids) else np.int64})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+def _bucket_pairs_block(batch: pa.Table, id_col: str) -> pa.Table:
+    """Vectorized candidate pairs over a WHOLE block of (id, band_key)
+    rows holding complete buckets (after ``repartition(keys=["band_key"])``
+    or ``sort``): one lexsort, then per-bucket upper-triangle pairs.
+    Pathological buckets are capped at 64 members to bound the worst case
+    (capped members are logged by callers via row counts)."""
+    if batch.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    bands = batch.column("band_key").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bands))
+    ids_s, bands_s = ids[order], bands[order]
+    out_a, out_b = [], []
+    start = 0
+    n = len(ids_s)
+    for i in range(1, n + 1):
+        if i == n or bands_s[i] != bands_s[start]:
+            members = np.unique(ids_s[start:i])[:64]
+            if len(members) > 1:
+                ia, ib = np.triu_indices(len(members), k=1)
+                out_a.append(members[ia])
+                out_b.append(members[ib])
+            start = i
+    if not out_a:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
 
-def lsh_candidate_pairs(ds_bands: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
-    """groupby(band_key) -> unique candidate pairs (the LSH shuffle)."""
-    pairs = ds_bands.groupby("band_key").map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pandas")
-    # dedup identical pairs discovered in multiple bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.iloc[:1], batch_format="pandas")
+def lsh_candidate_pairs(ds_bands: ray.data.Dataset, id_col: str,
+                        driver_max: int = 2_000_000,
+                        est_rows: int | None = None) -> pa.Table:
+    """(id, band_key) rows -> UNIQUE candidate pairs, returned eagerly
+    (pairs are small — the whole point of LSH banding).
+
+    Small band tables (one fine-grained corpus shard) consolidate on the
+    driver in one vectorized pass; larger ones hash-shuffle by band_key
+    and generate pairs per block (the 100 TB path), draining inside the
+    scoped HASH_SHUFFLE strategy because lazy datasets read the strategy
+    at execution time.
+    """
+    # est_rows (docs x bands, computable from parquet metadata) avoids
+    # double-executing the signature stage just to pick the path
+    total = est_rows if est_rows is not None else ds_bands.count()
+    if total <= driver_max:
+        parts = [b if isinstance(b, pa.Table) else pa.table(b)
+                 for b in ds_bands.iter_batches(batch_format="pyarrow",
+                                                batch_size=None)]
+        raw = _bucket_pairs_block(
+            pa.concat_tables(parts) if parts else
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "band_key": pa.array([], pa.int64())}), id_col)
+    else:
+        with _hash_shuffle(ds_bands):
+            pairs_ds = (ds_bands.repartition(num_blocks=16, keys=["band_key"])
+                        .map_batches(lambda b: _bucket_pairs_block(b, id_col),
+                                     batch_format="pyarrow", batch_size=None))
+            parts = [b if isinstance(b, pa.Table) else pa.table(b)
+                     for b in pairs_ds.iter_batches(batch_format="pyarrow",
+                                                    batch_size=None)]
+        raw = pa.concat_tables(parts) if parts else \
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    a = raw.column("id_a").to_numpy(zero_copy_only=False)
+    b = raw.column("id_b").to_numpy(zero_copy_only=False)
+    m = np.unique(np.stack([a, b], axis=1), axis=0) if len(a) else \
+        np.empty((0, 2), np.int64)
+    return pa.table({"id_a": pa.array(m[:, 0], pa.int64()),
+                     "id_b": pa.array(m[:, 1], pa.int64())})
 
 
 class VerifyJaccard:
@@ -126,19 +197,32 @@ class VerifyJaccard:
         self._texts = lookup
         self.k = shingle_k
         self.char_ngram = char_ngram
+        # per-actor shingle-set cache: a doc appears in many candidate
+        # pairs, and set construction dominates verification cost
+        self._sets: dict = {}
 
-    def _set(self, text: str) -> set:
+    def _set(self, doc_id) -> set:
+        s = self._sets.get(doc_id)
+        if s is not None:
+            return s
+        text = self._texts[doc_id]
         if self.char_ngram:
-            return ngram_set(text, self.char_ngram)
-        toks = tokens(text)
-        if len(toks) < self.k:
-            return {" ".join(toks)} if toks else set()
-        return {" ".join(toks[i:i + self.k]) for i in range(len(toks) - self.k + 1)}
+            s = ngram_set(text, self.char_ngram)
+        else:
+            toks = tokens(text)
+            if len(toks) < self.k:
+                s = {" ".join(toks)} if toks else set()
+            else:
+                s = {" ".join(toks[i:i + self.k])
+                     for i in range(len(toks) - self.k + 1)}
+        if len(self._sets) < 1_000_000:
+            self._sets[doc_id] = s
+        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ia = batch.column("id_a").to_pylist()
         ib = batch.column("id_b").to_pylist()
-        sims = np.array([jaccard(self._set(self._texts[a]), self._set(self._texts[b]))
+        sims = np.array([jaccard(self._set(a), self._set(b))
                          for a, b in zip(ia, ib)], np.float64)
         return batch.append_column("sim", pa.array(sims, pa.float64()))
 
@@ -184,7 +268,8 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
     bands_ds = ds.map_batches(
         MinHashSignatures, fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
         batch_format="pyarrow", concurrency=(1, 4))
-    pairs = lsh_candidate_pairs(bands_ds, id_col)
+    pairs = ray.data.from_arrow(lsh_candidate_pairs(
+        bands_ds, id_col, est_rows=ds.count() * bands))
     texts_ref = _broadcast_texts(ds, id_col, text_col)
     verified = pairs.map_batches(VerifyJaccard, fn_constructor_args=(texts_ref, shingle_k),
                                  batch_format="pyarrow", concurrency=(1, 4))
@@ -215,7 +300,8 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
     bands_ds = ds.map_batches(
         CharSignatures, fn_constructor_args=(id_col, text_col, num_perm, bands),
         batch_format="pyarrow", concurrency=(1, 4))
-    pairs = lsh_candidate_pairs(bands_ds, id_col)
+    pairs = ray.data.from_arrow(lsh_candidate_pairs(
+        bands_ds, id_col, est_rows=ds.count() * bands))
     texts_ref = _broadcast_texts(ds, id_col, text_col)
     verified = pairs.map_batches(
         VerifyJaccard, fn_constructor_args=(texts_ref, 3, char_ngram),
@@ -224,8 +310,20 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
 
 
 def _ngram_hashes(text: str, n: int) -> np.ndarray:
-    return np.array(sorted(np.uint64(h & ((1 << 64) - 1)) for h in ngram_set(text, n)),
-                    np.uint64)
+    """Vectorized char-n-gram hashes: codepoint vector + wrapping-uint64
+    polynomial over each n-window (candidate-generation only — the exact
+    jaccard VERIFY still uses ``ngram_set``)."""
+    s = " ".join(tokens(text))
+    if len(s) < n:
+        return (np.array([stable_hash64(s)], np.int64).view(np.uint64)
+                & np.uint64((1 << 61) - 1)) if s else np.zeros(0, np.uint64)
+    c = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    n_out = len(s) - n + 1
+    B = np.uint64(1099511628211)
+    acc = np.zeros(n_out, np.uint64)
+    for j in range(n):
+        acc = acc * B + c[j:j + n_out]
+    return np.unique(acc & np.uint64((1 << 61) - 1))
 
 
 class SimHashBuckets:
@@ -262,24 +360,40 @@ def simhash_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
     bands_ds = ds.map_batches(SimHashBuckets, fn_constructor_args=(id_col, text_col),
                               batch_format="pyarrow", concurrency=(1, 4))
 
-    def bucket_drops(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = sub[id_col].to_numpy()
-        sigs = sub["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"drop_id": np.empty(0, ids.dtype)})
-        dm = hamming64(sigs[:, None], sigs[None, :])
-        close = (dm <= hamming_max)
-        np.fill_diagonal(close, False)
-        dominated = np.triu(close, k=1).any(axis=0)  # some smaller id is close
-        return pd.DataFrame({"drop_id": ids[dominated]})
+    def bucket_drops_block(batch: pa.Table) -> pa.Table:
+        """Whole-block (complete buckets) vectorized drops: one lexsort,
+        per-bucket hamming matrix against smaller ids."""
+        if batch.num_rows == 0:
+            return pa.table({"drop_id": pa.array([], pa.int64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bands = batch.column("band_key").to_numpy(zero_copy_only=False)
+        sigs = batch.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bands))
+        ids_s, bands_s, sigs_s = ids[order], bands[order], sigs[order]
+        drops = []
+        start = 0
+        n = len(ids_s)
+        for i in range(1, n + 1):
+            if i == n or bands_s[i] != bands_s[start]:
+                sub_i, uniq_idx = np.unique(ids_s[start:i], return_index=True)
+                if len(sub_i) > 1:
+                    sub_s = sigs_s[start:i][uniq_idx]
+                    dm = hamming64(sub_s[:, None], sub_s[None, :])
+                    close = dm <= hamming_max
+                    dominated = np.triu(close, k=1).any(axis=0)
+                    drops.append(sub_i[dominated])
+                start = i
+        flat = np.concatenate(drops) if drops else np.empty(0, np.int64)
+        return pa.table({"drop_id": pa.array(flat, pa.int64())})
 
-    drops_ds = bands_ds.groupby("band_key").map_groups(bucket_drops,
-                                                       batch_format="pandas")
     drops: set = set()
-    for b in drops_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        t = b if isinstance(b, pa.Table) else pa.table(b)
-        drops.update(t.column("drop_id").to_pylist())
+    with _hash_shuffle(bands_ds):
+        drops_ds = (bands_ds.repartition(num_blocks=8, keys=["band_key"])
+                    .map_batches(bucket_drops_block, batch_format="pyarrow",
+                                 batch_size=None))
+        for b in drops_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            t = b if isinstance(b, pa.Table) else pa.table(b)
+            drops.update(t.column("drop_id").to_pylist())
     return _filter_dropped(ds, id_col, drops)
 
 
@@ -358,19 +472,35 @@ def embedding_lsh_dedup(ds: ray.data.Dataset, dim: int, threshold: float = 0.35,
     bucketed = ds.map_batches(HyperplaneLSH, fn_constructor_args=(dim, nbits),
                               batch_format="pyarrow", concurrency=(1, 4))
 
-    def bucket_drops(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id").reset_index(drop=True)
-        ids = g["vec_id"].to_numpy()
-        E = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+    def bucket_drops_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"drop_id": pa.array([], pa.int64())})
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        buckets = batch.column("lsh_bucket").to_numpy(zero_copy_only=False)
+        E = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
         E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
-        sims = E @ E.T
-        close = np.triu(sims >= threshold, k=1)
-        return pd.DataFrame({"drop_id": ids[close.any(axis=0)]})
+        order = np.lexsort((ids, buckets))
+        ids_s, buckets_s, E_s = ids[order], buckets[order], E[order]
+        drops = []
+        start = 0
+        n = len(ids_s)
+        for i in range(1, n + 1):
+            if i == n or buckets_s[i] != buckets_s[start]:
+                if i - start > 1:
+                    sub = E_s[start:i]
+                    close = np.triu(sub @ sub.T >= threshold, k=1)
+                    drops.append(ids_s[start:i][close.any(axis=0)])
+                start = i
+        flat = np.concatenate(drops) if drops else np.empty(0, np.int64)
+        return pa.table({"drop_id": pa.array(flat, pa.int64())})
 
-    drops_ds = bucketed.groupby("lsh_bucket").map_groups(bucket_drops,
-                                                         batch_format="pandas")
     drops: set = set()
-    for b in drops_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        t = b if isinstance(b, pa.Table) else pa.table(b)
-        drops.update(t.column("drop_id").to_pylist())
+    with _hash_shuffle(bucketed):
+        drops_ds = (bucketed.repartition(num_blocks=8, keys=["lsh_bucket"])
+                    .map_batches(bucket_drops_block, batch_format="pyarrow",
+                                 batch_size=None))
+        for b in drops_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            t = b if isinstance(b, pa.Table) else pa.table(b)
+            drops.update(t.column("drop_id").to_pylist())
     return _filter_dropped(ds, "vec_id", drops)

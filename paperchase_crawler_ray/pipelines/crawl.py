@@ -202,9 +202,11 @@ def crawl(web: pa.Table, seeds: pa.Table, out_dir: str,
           resume: bool = True) -> CrawlResult:
     """Run the full crawl over a fixture web. Ray must already be
     initialised by the caller (driver contract — never ray.init here)."""
-    # keys= repartitioning (the U2/A3/U3 partition-by-key shuffles)
-    # requires the hash-shuffle strategy; restore the caller's strategy on
-    # exit — other pipelines in the same session may rely on sort shuffle.
+    # keys= repartitioning requires the hash-shuffle strategy. Datasets
+    # snapshot the DataContext at creation and SHARE it along the chain,
+    # and ray 2.49's groupby.map_groups can hang under HASH_SHUFFLE in
+    # small sessions — so the strategy is scoped: set for this crawl's
+    # dataset creations + executions, restored on exit.
     from ray.data.context import DataContext, ShuffleStrategy
     ctx = DataContext.get_current()
     prev_strategy = ctx.shuffle_strategy
