@@ -22,25 +22,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from .fixtures import make_seeds, make_web
+from .fixtures import make_web
 from .oracle import CrawlConfig
 from .pipelines.crawl import RunConfig, crawl
-
-
-def _load_seeds(spec: str) -> pa.Table:
-    if spec.startswith("fixture:"):
-        _, n_seeds, n_hosts = spec.split(":")
-        return make_seeds(int(n_seeds), int(n_hosts))
-    if spec.endswith(".parquet"):
-        return pq.read_table(spec)
-    # plain text: one URL per line
-    with open(spec) as f:
-        urls = [ln.strip() for ln in f if ln.strip()]
-    return pa.table({
-        "url": pa.array(urls, pa.string()),
-        "seed_id": pa.array(range(len(urls)), pa.int32()),
-        "priority": pa.array([1.0] * len(urls), pa.float64()),
-    })
+from .sources import read_seeds
 
 
 def _load_web(spec: str) -> pa.Table:
@@ -74,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = CrawlConfig(max_waves=args.waves, host_budget=args.host_budget,
                       max_depth=args.max_depth, host_suffix=args.scope_suffix)
     run = RunConfig(nshards=args.nshards, lazy_images=args.lazy_images)
-    res = crawl(_load_web(args.web), _load_seeds(args.seeds), args.out,
+    res = crawl(_load_web(args.web), read_seeds(args.seeds), args.out,
                 cfg, run, resume=not args.no_resume)
     print(json.dumps({"waves_run": res.waves_run, "out_dir": res.out_dir,
                       "counters": {k: v for k, v in res.counters.items()

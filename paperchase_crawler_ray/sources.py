@@ -1,0 +1,126 @@
+"""Sources / sinks (SURVEY.md §2.1 S1-S6) — the user-facing I/O surface.
+
+The image sink is parquet in this sandbox; ``format="lance"`` routes to
+``Dataset.write_lance`` / ``ray.data.read_lance`` (the production target
+per BASELINE.json:15) behind an import guard because the ``lance``
+package cannot be installed here (no network).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from .fixtures import make_seeds
+from .schemas import IMAGE_CAPTION
+
+
+def read_seeds(spec: str) -> pa.Table:
+    """S1: seed list from parquet (url, seed_id, priority), plain text
+    (one URL per line), or the deterministic fixture
+    (``fixture:<n_seeds>:<n_hosts>``)."""
+    if spec.startswith("fixture:"):
+        _, n_seeds, n_hosts = spec.split(":")
+        return make_seeds(int(n_seeds), int(n_hosts))
+    if spec.endswith(".parquet"):
+        return pq.read_table(spec)
+    with open(spec) as f:
+        urls = [ln.strip() for ln in f if ln.strip()]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "seed_id": pa.array(range(len(urls)), pa.int32()),
+        "priority": pa.array([1.0] * len(urls), pa.float64()),
+    })
+
+
+def last_committed_wave(out_dir: str) -> int | None:
+    """Highest wave K with a ``_COMMITTED`` marker, or None."""
+    best = None
+    if not os.path.isdir(out_dir):
+        return None
+    for d in os.listdir(out_dir):
+        if d.startswith("wave=") and os.path.exists(
+                os.path.join(out_dir, d, "_COMMITTED")):
+            k = int(d.split("=", 1)[1])
+            best = k if best is None else max(best, k)
+    return best
+
+
+def read_frontier_checkpoint(out_dir: str) -> ray.data.Dataset | None:
+    """S2: the NEXT wave's frontier after the last committed wave (what a
+    resumed run would process first), or None if nothing is committed /
+    the crawl finished."""
+    last = last_committed_wave(out_dir)
+    if last is None:
+        return None
+    nxt = os.path.join(out_dir, f"wave={last + 1}", "frontier")
+    if not os.path.isdir(nxt) or not os.listdir(nxt):
+        return None
+    return ray.data.read_parquet(nxt)
+
+
+def read_image_table(path: str, format: str = "parquet") -> ray.data.Dataset:
+    """S3: an image_caption table (IMAGE_CAPTION schema)."""
+    if format == "lance":
+        return ray.data.read_lance(path)  # needs the lance package (prod)
+    return ray.data.read_parquet(path)
+
+
+def write_image_table(ds: ray.data.Dataset, path: str,
+                      format: str = "parquet") -> None:
+    """S4: append image rows to the sink. Parquet is written uncompressed
+    (the ``bytes`` column holds already-compressed codec payloads)."""
+    if format == "lance":
+        try:
+            ds.write_lance(path)  # ray 2.49 API; lance package required
+            return
+        except ImportError as e:  # pragma: no cover - sandbox has no lance
+            raise ImportError(
+                "the 'lance' package is not installed in this environment; "
+                "use format='parquet'") from e
+    ds.write_parquet(path, compression="none")
+
+
+def compact_images(out_dir: str) -> int:
+    """Fold the per-wave near-dup TOMBSTONE sidecars into the data files
+    (the background-compaction half of the delete-vector design): each
+    wave's image files are rewritten without dead rows, file-by-file on
+    the driver (files are block-sized), then the sidecar is removed.
+    Returns the number of rows dropped. Idempotent and crash-safe: a
+    sidecar is deleted only after every file of its wave is rewritten.
+    """
+    dropped = 0
+    if not os.path.isdir(out_dir):
+        return 0
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("wave="):
+            continue
+        ts_path = os.path.join(out_dir, d, "images_tombstones.parquet")
+        img_dir = os.path.join(out_dir, d, "images")
+        if not os.path.exists(ts_path):
+            continue
+        dead = set(pq.read_table(ts_path).column("image_id").to_pylist())
+        if dead and os.path.isdir(img_dir):
+            for f in sorted(os.listdir(img_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(img_dir, f)
+                t = pq.read_table(fp)
+                keep = pa.array([i not in dead
+                                 for i in t.column("image_id").to_pylist()])
+                kept = t.filter(keep)
+                if kept.num_rows != t.num_rows:
+                    dropped += t.num_rows - kept.num_rows
+                    tmp = fp + ".compact"
+                    pq.write_table(kept, tmp, compression="none")
+                    os.replace(tmp, fp)
+        os.remove(ts_path)
+    return dropped
+
+
+def image_sink_schema() -> pa.Schema:
+    return IMAGE_CAPTION
