@@ -198,6 +198,23 @@ def _q_grouped_median(sf: str):
     return ev.groupby("event_type").map_groups(med, batch_format="pandas")
 
 
+def _q_sessionize(sf: str):
+    """Windowed aggregate: 30-min-gap sessionization per user."""
+    from paperchase_crawler_ray.ops.relational import sessionize
+    ev = _rp(sf, "events", columns=["user_id", "ts", "event_id"])
+    return sessionize(ev, "user_id", "ts", gap_minutes=30.0, tie_col="event_id")
+
+
+def _q_asof_join(sf: str):
+    """As-of join: latest order date at or before each event, per user."""
+    from paperchase_crawler_ray.ops.relational import asof_join_with_id
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts"])
+    orders = _rp(sf, "orders", columns=["o_custkey", "o_orderdate"])
+    out = asof_join_with_id(ev, orders, "user_id", "o_custkey",
+                            "ts", "o_orderdate", "event_id")
+    return out.select_columns(["event_id", "matched_ts"])
+
+
 def _q_sample(sf: str):
     """O4: seeded sample — rows-only check (sampling isn't SQL-stable)."""
     docs = _rp(sf, "documents", columns=["doc_id", "lang"])
@@ -313,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minmax": _q_minmax,
         "q_grouped_median": _q_grouped_median,
         "q_sample": _q_sample,
+        "q_sessionize": _q_sessionize,
+        "q_asof_join": _q_asof_join,
         "q_embedding_norm": _q_embedding_norm,
         "q_text_hash_dedup": _q_text_hash_dedup,
         "q_token_count": _q_token_count,
@@ -385,6 +404,16 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_median":
             "SELECT event_type, CAST(quantile_disc(value, 0.5) AS DOUBLE) "
             "AS median_value FROM events GROUP BY event_type",
+        "q_sessionize":
+            "SELECT user_id, SUM(new_s) AS n_sessions FROM ("
+            "SELECT user_id, CASE WHEN LAG(ts) OVER w IS NULL OR "
+            "ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS new_s FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) GROUP BY user_id",
+        "q_asof_join":
+            "SELECT e.event_id, o.o_orderdate AS matched_ts FROM events e "
+            "ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey "
+            "AND e.ts >= o.o_orderdate",
         "q_embedding_norm":
             "SELECT vec_id, ROUND(sqrt(list_sum(list_transform("
             "embedding::DOUBLE[], x -> x*x))), 3) AS l2norm FROM embeddings",

@@ -103,6 +103,89 @@ def grouped_topk(ds: ray.data.Dataset, group_key: str, order_col: str,
     return ds.groupby(group_key).map_groups(topk, batch_format="pandas")
 
 
+def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
+               gap_minutes: float = 30.0, tie_col: str | None = None
+               ) -> ray.data.Dataset:
+    """Windowed aggregate: per-user session count, where a gap greater
+    than ``gap_minutes`` between consecutive events starts a new session.
+    Hash-partition by user (groupby), vectorized diff inside each group —
+    the classic sessionization shape for clickstream training data.
+    Matches ``LAG(ts) OVER (PARTITION BY user ORDER BY ts, tie)`` SQL.
+    """
+    gap = np.timedelta64(int(gap_minutes * 60_000_000), "us")
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(((g[tie_col].to_numpy() if tie_col is not None
+                             else np.arange(len(g))),
+                            g[ts_col].to_numpy()))
+        ts = g[ts_col].to_numpy()[order]
+        n = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
+                             "n_sessions": np.array([n], np.int64)})
+
+    return ds.groupby(user_col).map_groups(count_sessions, batch_format="pandas")
+
+
+def asof_join_time(left: ray.data.Dataset, right: ray.data.Dataset,
+                   key: str, right_key: str, left_ts: str, right_ts: str
+                   ) -> ray.data.Dataset:
+    """As-of join: for every left row, the LATEST right timestamp at or
+    before the left row's timestamp for the same key (DuckDB ``ASOF LEFT
+    JOIN`` semantics; unmatched -> null).
+
+    Ray Data lacks a native as-of join, so it is composed as: tag + union
+    both sides -> groupby(key) (ONE hash shuffle) -> per-group vectorized
+    searchsorted merge. Returns the matched right timestamp (a value that
+    is deterministic under ties, unlike an arbitrary matched row id).
+    """
+    return _asof_impl(left, right, key, right_key, left_ts, right_ts, None)
+
+
+def _asof_impl(left, right, key, right_key, left_ts, right_ts, left_id):
+    import pyarrow.compute as _pc
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {key: b.column(key), left_ts: b.column(left_ts),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8))}
+        cols["_id"] = (b.column(left_id) if left_id
+                       else pa.array(np.zeros(b.num_rows, np.int64)))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        return pa.table({key: b.column(right_key),
+                         left_ts: b.column(right_ts),
+                         "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                         "_id": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    l = left.select_columns([key, left_ts] + ([left_id] if left_id else [])) \
+        .map_batches(tag_left, batch_format="pyarrow")
+    r = right.select_columns([right_key, right_ts]) \
+        .map_batches(tag_right, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["_side"] == 0]
+        od = np.sort(g[g["_side"] == 1][left_ts].to_numpy())
+        ts = ev[left_ts].to_numpy()
+        if len(od) == 0:
+            matched = np.full(len(ts), np.datetime64("NaT", "us"))
+        else:
+            idx = np.searchsorted(od, ts, side="right") - 1
+            matched = np.where(idx >= 0, od[np.maximum(idx, 0)],
+                               np.datetime64("NaT", "us"))
+        out = {key: ev[key].to_numpy(), left_ts: ts, "matched_ts": matched}
+        if left_id:
+            out[left_id] = ev["_id"].to_numpy()
+        return pd.DataFrame(out)
+
+    return l.union(r).groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def asof_join_with_id(left, right, key, right_key, left_ts, right_ts,
+                      left_id):
+    """As-of join carrying a left id column through (for SQL comparison)."""
+    return _asof_impl(left, right, key, right_key, left_ts, right_ts, left_id)
+
+
 def global_topk(ds: ray.data.Dataset, order_cols: list[tuple[str, bool]],
                 k: int) -> ray.data.Dataset:
     """O1+O3: global sort (range-partitioned shuffle) + limit.

@@ -304,3 +304,52 @@ def test_audio_video_stubs():
     frames = VideoFrameSample(stride=10)(vbatch)
     assert frames.column("frame_idx").to_pylist() == [0, 10, 20]
     assert all(len(x) == 64 for x in frames.column("frame_bytes").to_pylist())
+
+
+# -- windowed / as-of operators ---------------------------------------------
+
+def test_sessionize_matches_naive():
+    from paperchase_crawler_ray.ops.relational import sessionize
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    users = rng.integers(0, 12, 300)
+    ts = base + rng.integers(0, 86_400_000_000, 300).astype("timedelta64[us]")
+    ids = np.arange(300)
+    df = pd.DataFrame({"user_id": users, "ts": ts, "event_id": ids})
+    ds = ray.data.from_pandas(df)
+    got = sessionize(ds, "user_id", "ts", gap_minutes=30.0,
+                     tie_col="event_id").to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    gap = np.timedelta64(30 * 60_000_000, "us")
+    want = {}
+    for u, g in df.groupby("user_id"):
+        t = np.sort(g["ts"].to_numpy())
+        want[u] = 1 + int((np.diff(t) > gap).sum())
+    assert dict(zip(got["user_id"], got["n_sessions"])) == want
+
+
+def test_asof_join_matches_naive():
+    from paperchase_crawler_ray.ops.relational import asof_join_with_id
+    rng = np.random.Generator(np.random.PCG64(8))
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    ev = pd.DataFrame({
+        "event_id": np.arange(200),
+        "user_id": rng.integers(0, 10, 200),
+        "ts": base + rng.integers(0, 1_000_000_000, 200).astype("timedelta64[us]"),
+    })
+    orders = pd.DataFrame({
+        "o_custkey": rng.integers(0, 12, 50),
+        "o_orderdate": base + rng.integers(-100_000_000, 900_000_000, 50)
+        .astype("timedelta64[us]"),
+    })
+    got = asof_join_with_id(ray.data.from_pandas(ev),
+                            ray.data.from_pandas(orders),
+                            "user_id", "o_custkey", "ts", "o_orderdate",
+                            "event_id").to_pandas() \
+        .set_index("event_id")["matched_ts"]
+    for row in ev.itertuples():
+        cand = orders[(orders["o_custkey"] == row.user_id)
+                      & (orders["o_orderdate"] <= row.ts)]["o_orderdate"]
+        want = cand.max() if len(cand) else pd.NaT
+        g = got.loc[row.event_id]
+        assert (pd.isna(g) and pd.isna(want)) or g == want, row.event_id
