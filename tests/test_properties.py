@@ -1,0 +1,93 @@
+"""Hypothesis property tests for the spec-defining primitives
+(SURVEY.md §5.2 item 1): URL canonicalization idempotence, seen-set
+no-false-negatives, codec round-trips, dedup-combiner associativity."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from paperchase_crawler_ray.functions.codec import decode, encode
+from paperchase_crawler_ray.functions.urlnorm import canonicalize, url_hash64
+from paperchase_crawler_ray.state.cuckoo import ShardFilter
+
+_HOST = st.from_regex(r"[a-zA-Z][a-zA-Z0-9\-]{0,10}(\.[a-zA-Z]{2,7}){1,2}",
+                      fullmatch=True)
+_PATH = st.lists(
+    st.text(alphabet="abcdefXYZ019-._~%", min_size=0, max_size=6)
+    | st.sampled_from([".", ".."]),
+    min_size=0, max_size=5).map(lambda segs: "/" + "/".join(segs))
+_QUERY = st.lists(
+    st.tuples(st.text(alphabet="abz19", min_size=1, max_size=3),
+              st.text(alphabet="abz19", min_size=0, max_size=3)),
+    min_size=0, max_size=4).map(
+        lambda kvs: "&".join(f"{k}={v}" for k, v in kvs))
+
+
+@settings(max_examples=200, deadline=None)
+@given(scheme=st.sampled_from(["http", "HTTP", "https"]), host=_HOST,
+       port=st.sampled_from(["", ":80", ":443", ":8080"]), path=_PATH,
+       query=_QUERY, frag=st.sampled_from(["", "#f", "#frag/x"]))
+def test_canonicalize_idempotent(scheme, host, port, path, query, frag):
+    url = f"{scheme}://{host}{port}{path}"
+    if query:
+        url += "?" + query
+    url += frag
+    c1 = canonicalize(url)
+    assert canonicalize(c1) == c1
+    # canonical form never keeps a fragment and always has a path
+    assert "#" not in c1
+    assert "://" in c1 and c1.split("://", 1)[1].count("/") >= 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+                min_size=0, max_size=500))
+def test_shard_filter_no_false_negatives(keys):
+    f = ShardFilter(capacity=1 << 14, promote_at=64)
+    h = np.array(keys, np.int64) if keys else np.empty(0, np.int64)
+    f.check_and_insert(h)
+    if len(h):
+        assert f.contains_many(h).all()
+        # idempotent: nothing is novel the second time
+        assert not f.check_and_insert(h).any()
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(min_value=1, max_value=40),
+       h=st.integers(min_value=1, max_value=40),
+       seed=st.integers(min_value=0, max_value=2 ** 31),
+       fmt=st.sampled_from(["png", "bmp", "raw"]))
+def test_codec_roundtrip_property(w, h, seed, fmt):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode(encode(px, fmt)) == px).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(min_size=0, max_size=300))
+def test_url_hash_is_stable_and_text_safe(s):
+    u = "http://h.example/" + s.replace("\n", "")
+    assert url_hash64(u) == url_hash64(u)
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 3),
+                               st.integers(0, 5),
+                               st.floats(0, 1, allow_nan=False)),
+                     min_size=1, max_size=200),
+       split=st.integers(min_value=0, max_value=200))
+def test_dedup_combiner_property(rows, split):
+    """Block-local pre-dedup then global == global (any split point)."""
+    import pyarrow as pa
+    from paperchase_crawler_ray.stages.frontier import dedup_block
+    t = pa.table({
+        "url_hash": pa.array([r[0] for r in rows], pa.int64()),
+        "depth": pa.array([r[1] for r in rows], pa.int32()),
+        "parent_hash": pa.array([r[2] for r in rows], pa.int64()),
+        "priority": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    split = min(split, t.num_rows)
+    combined = dedup_block(pa.concat_tables(
+        [dedup_block(t.slice(0, split)), dedup_block(t.slice(split))]))
+    direct = dedup_block(t)
+    key = lambda tab: sorted(map(tuple, tab.to_pandas().values.tolist()))
+    assert key(combined) == key(direct)
