@@ -11,11 +11,12 @@ Scale design:
   * signatures (minhash / simhash / hyperplane-LSH) are computed in
     stateful ``map_batches`` actor stages — permutation tables built once
     per actor in ``__init__``;
-  * candidate generation is a ``groupby`` on the bucket key — the ONLY
-    all-to-all shuffle, and it moves (id, signature) pairs, never texts;
-  * verification joins candidate pairs back to payloads via broadcast at
-    sandbox scale; at 100 TB swap for ``Dataset.join`` on doc_id — noted
-    inline;
+  * candidate generation is a bucket-keyed HASH-partition + whole-block
+    vectorized pass (driver-side consolidation below a size threshold) —
+    the only all-to-all, and it moves (id, signature) rows, never texts;
+  * verification joins candidate pairs back to payloads via a broadcast
+    id->text lookup with a per-actor shingle-set cache at sandbox scale;
+    at 100 TB swap for ``Dataset.join`` on doc_id — noted inline;
   * the final "drop set" of duplicate ids is collected to the driver and
     broadcast via ``ray.put`` — it is at most the number of verified
     duplicates, which for real corpora is ≪ corpus size. This is the

@@ -1,30 +1,40 @@
 """The crawl lifecycle (SURVEY.md §3.1): a driver-side wave loop where each
 wave is one bounded Ray Data streaming job.
 
-Per wave:
-  frontier.parquet -> canonicalize/hash/host/scope -> U2 exact dedup
-  (groupby url_hash) -> seen-filter (shard actors) -> robots gate (actor
-  pool) -> politeness schedule (groupby host) -> [admitted | deferred]
-  admitted -> seen-insert -> fetch (actor pool) -> parse -> parsed.parquet
+Per wave (as built — see SURVEY.md §2.9b for the operator map):
+  frontier.parquet (small row groups, parallel read)
+    -> canonicalize/hash/host/scope [tasks]
+    -> block-local pre-dedup combiner [tasks, shrinks the shuffle]
+    -> seen-filter lookup [RPC to shard actors]
+    -> robots gate [tasks; rules pre-parsed once on the driver]
+    -> repartition(keys=[host])   <- the wave's ONE all-to-all
+    -> U2 dedup + A3 politeness schedule [whole-block vectorized;
+       host co-location implies url_hash co-location]
+    -> materialize (compact rows) -> [admitted log | deferred]
+  admitted -> seen-insert -> fetch -> parse -> parsed.parquet
   parsed -> links + redirects -> (∪ deferred) -> next frontier.parquet
-  parsed -> images -> img-seen -> fetch -> decode/phash -> near-dup ->
-           images/ sink (wave-partitioned parquet)
+  parsed -> images -> img-seen -> fetch -> decode+phash
+         -> images/ parquet (written ONCE, uncompressed)
+         -> near-dup drop set from a column-pruned narrow read
+         -> images_tombstones.parquet sidecar (delete-vector pattern;
+            ``sources.compact_images`` folds it in later)
 
 Durability (BASELINE.json:14 "resumes exactly from checkpoint"): every
 wave directory is committed atomically — frontier for the NEXT wave,
-parsed rows, landed images, per-stage lineage counters and the seen-set
-shard dumps are all written, then a ``_COMMITTED`` marker. Resume scans
-for the last committed wave, restores the shard actors and continues;
-a partially-written wave is simply rerun (sink writes are per-wave
+parsed rows, landed images + tombstones, per-stage lineage counters
+(incl. hot-host stats) and the seen-set shard dumps are all written,
+then a ``_COMMITTED`` marker. Resume scans for the last committed wave,
+restores the shard actors and continues; a partially-written wave is
+rerun after wiping its stale outputs (sink writes are per-wave
 directories, seen inserts are idempotent).
 
 Scale notes: the frontier lives in parquet between waves (at 10^10 URLs
-it cannot live on the driver); bodies never cross a wave boundary —
-parsed rows are compact. The only all-to-all shuffles are the U2 dedup
-(key: url_hash, uniform by construction) and the politeness groupby
-(key: host — hot hosts are capped by budget on output; their input skew
-is bounded by the dedup ahead). The seen set is NOT a shuffle: batches
-RPC compact int64 arrays to shard actors (stages/seen.py).
+it cannot live on the driver); page bodies never cross a wave boundary
+and image bytes never cross an all-to-all (the near-dup exchange moves
+only image_id/phash/bucket). The seen set is NOT a shuffle: batches RPC
+compact int64 arrays to shard actors (stages/seen.py). Hot-host skew is
+mitigated by the pre-shuffle combiner plus the budget cap; the
+politeness exchange itself must stay strictly host-keyed.
 """
 
 from __future__ import annotations
