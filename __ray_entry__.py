@@ -82,7 +82,7 @@ def _q_seen_anti_join(sf: str):
     from paperchase_crawler_ray.ops.relational import broadcast_anti_join
     ev = _rp(sf, "events", columns=["event_id", "user_id"])
     cust = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
-        .filter(lambda r: r["c_mktsegment"] == "BUILDING")
+        .filter(expr="c_mktsegment == 'BUILDING'")
     return broadcast_anti_join(ev, "user_id", cust, "c_custkey")
 
 
@@ -104,7 +104,7 @@ def _q_scope_semi(sf: str):
     from paperchase_crawler_ray.ops.relational import broadcast_semi_join
     o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     c = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
-        .filter(lambda r: r["c_mktsegment"] == "BUILDING")
+        .filter(expr="c_mktsegment == 'BUILDING'")
     return broadcast_semi_join(o, "o_custkey", c, "c_custkey")
 
 
@@ -122,8 +122,8 @@ def _q_equi_join(sf: str):
 def _q_union_budget(sf: str):
     from paperchase_crawler_ray.ops.relational import global_topk
     ev = _rp(sf, "events", columns=["event_id", "event_type", "value"])
-    a = ev.filter(lambda r: r["event_type"] == "click")
-    b = ev.filter(lambda r: r["event_type"] == "error")
+    a = ev.filter(expr="event_type == 'click'")
+    b = ev.filter(expr="event_type == 'error'")
     return global_topk(a.union(b), [("value", True), ("event_id", False)], 100)
 
 
@@ -196,6 +196,41 @@ def _q_grouped_median(sf: str):
                              "median_value": [v[(len(v) - 1) // 2]]})
 
     return ev.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+def _q_word_count(sf: str):
+    """Corpus word count: per-batch token explode (vectorized flat-map)
+    -> wide groupby-count -> top 50 by (count desc, word). The classic
+    vocabulary-statistics pipeline over the documents table."""
+    import re as _re
+    from paperchase_crawler_ray.ops.relational import global_topk
+    docs = _rp(sf, "documents", columns=["text"])
+    wre = _re.compile(r"\w+")
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        words = []
+        for t in batch.column("text").to_pylist():
+            words.extend(wre.findall(t.lower()))
+        return pa.table({"word": pa.array(words, pa.string())})
+
+    counts = _rename(docs.map_batches(explode_tokens, batch_format="pyarrow")
+                     .groupby("word").count(), {"count()": "c"})
+    return global_topk(counts, [("c", True), ("word", False)], 50)
+
+
+def _q_redact(sf: str):
+    """PII-style scrub: digits -> '#' (vectorized regex via re.sub;
+    byte-identical to DuckDB regexp_replace global)."""
+    import re as _re
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    digit = _re.compile(r"\d")
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        red = [digit.sub("#", t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "redacted": pa.array(red, pa.string())})
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
 
 
 def _q_sessionize(sf: str):
@@ -330,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minmax": _q_minmax,
         "q_grouped_median": _q_grouped_median,
         "q_sample": _q_sample,
+        "q_word_count": _q_word_count,
+        "q_redact": _q_redact,
         "q_sessionize": _q_sessionize,
         "q_asof_join": _q_asof_join,
         "q_embedding_norm": _q_embedding_norm,
@@ -404,6 +441,13 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_median":
             "SELECT event_type, CAST(quantile_disc(value, 0.5) AS DOUBLE) "
             "AS median_value FROM events GROUP BY event_type",
+        "q_word_count":
+            "SELECT word, c FROM (SELECT word, COUNT(*) AS c FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word "
+            "FROM documents) GROUP BY word) ORDER BY c DESC, word LIMIT 50",
+        "q_redact":
+            "SELECT doc_id, regexp_replace(text, '\\d', '#', 'g') "
+            "AS redacted FROM documents",
         "q_sessionize":
             "SELECT user_id, SUM(new_s) AS n_sessions FROM ("
             "SELECT user_id, CASE WHEN LAG(ts) OVER w IS NULL OR "
