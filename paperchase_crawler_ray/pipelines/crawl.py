@@ -76,16 +76,12 @@ class RunConfig:
     nshards: int = 8
     lazy_images: bool = False   # synthesize image bytes in the fetcher
     img_scale: int = 1
-    dedup_partitions: int = 8
     host_partitions: int = 8
     neardup_partitions: int = 4
     neardup_driver_max: int = 2_000_000
     fetch_parallelism: int = 16    # blocks for the fetch+parse chain
     image_parallelism: int = 32    # blocks for the image fetch+decode chain
-    canon_concurrency: int = 2
-    robots_concurrency: int = 2
-    fetch_concurrency: int = 4
-    decode_concurrency: int = 4
+    fetch_concurrency: int = 4   # eager-mode fetch actor pool size
     fetch_batch_size: int = 256
     image_batch_size: int = 64
     frontier_batch_size: int = 4096

@@ -21,7 +21,7 @@ from paperchase_crawler_ray.pipelines.crawl import RunConfig, crawl
 def ray_result(fixture_web, fixture_seeds, crawl_cfg, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("crawl"))
     return crawl(fixture_web, fixture_seeds, out, crawl_cfg,
-                 RunConfig(nshards=4, fetch_concurrency=2, decode_concurrency=2))
+                 RunConfig(nshards=4, fetch_concurrency=2))
 
 
 def test_admitted_ordering_matches_oracle(ray_result, oracle_result):
@@ -62,8 +62,7 @@ def test_parallelism_invariance(fixture_web, fixture_seeds, crawl_cfg,
     """Same admitted order and seen set at a different shard/actor count."""
     out = str(tmp_path / "p1")
     res = crawl(fixture_web, fixture_seeds, out, crawl_cfg,
-                RunConfig(nshards=1, canon_concurrency=1, robots_concurrency=1,
-                          fetch_concurrency=1, decode_concurrency=1))
+                RunConfig(nshards=1, fetch_concurrency=1))
     assert res.admitted_per_wave() == oracle_result.admitted_per_wave[: res.waves_run]
     assert res.seen_hashes() == oracle_result.seen_hashes
 
