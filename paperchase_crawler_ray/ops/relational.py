@@ -30,7 +30,21 @@ def exact_dedup(ds: ray.data.Dataset, keys: list[str],
                 order_by: list[tuple[str, bool]]) -> ray.data.Dataset:
     """U2 generalized: keep one row per `keys` group — the first under
     `order_by` ([(col, descending)]; ties MUST be broken by a unique
-    column for determinism). Hash-partition by keys + per-group first."""
+    column for determinism).
+
+    Two-phase (skew mitigation, the partial-aggregation analog of
+    salting): a vectorized BLOCK-LOCAL winner pass first — picking the
+    min-ordered row per key is associative, so block-local-then-global
+    equals global — shrinks the shuffle by each block's duplicate factor
+    and caps what any hot key contributes per block to ONE row; then the
+    hash-partitioned per-group final winner.
+    """
+    by = [c for c, _ in order_by]
+    asc = [not d for _, d in order_by]
+
+    def block_winners(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by=by, ascending=asc, kind="mergesort") \
+            .drop_duplicates(subset=keys, keep="first")
 
     def first_row(g: pd.DataFrame) -> pd.DataFrame:
         arrays = []
@@ -42,7 +56,9 @@ def exact_dedup(ds: ray.data.Dataset, keys: list[str],
         idx = np.lexsort(arrays)
         return g.iloc[idx[:1]]
 
-    return ds.groupby(keys).map_groups(first_row, batch_format="pandas")
+    combined = ds.map_batches(block_winners, batch_format="pandas",
+                              batch_size=None)
+    return combined.groupby(keys).map_groups(first_row, batch_format="pandas")
 
 
 def broadcast_anti_join(ds: ray.data.Dataset, key: str,
