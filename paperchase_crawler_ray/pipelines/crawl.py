@@ -79,6 +79,8 @@ class RunConfig:
     host_partitions: int = 8
     neardup_partitions: int = 4
     neardup_driver_max: int = 2_000_000
+    driver_wave_max: int = 65536   # frontier rows below which the narrow
+                                   # wave plane runs driver-local
     fetch_parallelism: int = 16    # blocks for the fetch+parse chain
     image_parallelism: int = 32    # blocks for the image fetch+decode chain
     fetch_concurrency: int = 4   # eager-mode fetch actor pool size
@@ -273,36 +275,55 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         counters["frontier_rows"] += n_frontier
         _mark("frontier_read")
 
-        # All stateless per-row stages run as TASK-based map_batches (no
-        # actor-pool spinup per wave); only fetch keeps an actor pool
-        # (its URL index is per-actor state).
-        prep = fr.map_batches(CanonicalizeBatch(cfg), batch_format="pyarrow",
-                              batch_size=run.frontier_batch_size)
-        # COMBINER (skew mitigation, BASELINE.json:14): block-local
-        # pre-dedup before the shuffle. dedup_block keeps the min-ordered
-        # winner per url_hash, so block-local-then-global gives the same
-        # winner as global-only while shrinking a hot host's shuffle
-        # input by its duplicate factor — the partial-aggregation analog
-        # of hot-host salting for a merged dedup+politeness exchange.
-        prep = prep.map_batches(dedup_block, batch_format="pyarrow",
-                                batch_size=None)
-        unseen = prep.map_batches(SeenLookup(handles), batch_format="pyarrow")
-        gated = unseen.map_batches(RobotsFilter(robots_rules),
-                                   batch_format="pyarrow")
-        # ONE hash-partition by host co-locates equal url_hashes too (a
-        # URL's host is a function of the URL), so the U2 dedup and the
-        # A3 politeness schedule run back-to-back on the same blocks —
-        # one all-to-all instead of two. batch_size=None => whole blocks.
-        # The politeness exchange must stay strictly host-keyed (a host's
-        # budget is global), so hot-host skew here is bounded by the
-        # combiner above plus the budget cap on output; the dedup-only
-        # path (ops.relational.exact_dedup) salts instead.
-        sched = gated.repartition(num_blocks=run.host_partitions, keys=["host"]) \
-            .map_batches(lambda b: schedule_block(dedup_block(b), cfg),
-                         batch_format="pyarrow", batch_size=None)
-        sched = sched.materialize()  # wave working set (compact rows, no bodies)
+        if n_frontier <= run.driver_wave_max:
+            # ADAPTIVE small-wave path (crawl ramp waves are tiny): the
+            # frontier plane runs driver-local with the SAME block
+            # functions on one "block" = the whole wave — identical
+            # semantics, none of the per-execution/shuffle latency. The
+            # payload plane (fetch/parse/decode) below stays distributed.
+            t = pq.read_table(frontier_dir)
+            t = CanonicalizeBatch(cfg)(t)
+            t = SeenLookup(handles)(t)
+            t = RobotsFilter(robots_rules)(t)
+            sched_t = schedule_block(dedup_block(t), cfg)
+            sched = ray.data.from_arrow(sched_t)
+            n_sched = sched_t.num_rows
+        else:
+            # All stateless per-row stages run as TASK-based map_batches
+            # (no actor-pool spinup per wave); only eager-mode fetch
+            # keeps an actor pool (its URL index is per-actor state).
+            prep = fr.map_batches(CanonicalizeBatch(cfg),
+                                  batch_format="pyarrow",
+                                  batch_size=run.frontier_batch_size)
+            # COMBINER (skew mitigation, BASELINE.json:14): block-local
+            # pre-dedup before the shuffle. dedup_block keeps the
+            # min-ordered winner per url_hash, so block-local-then-global
+            # gives the same winner as global-only while shrinking a hot
+            # host's shuffle input by its duplicate factor — the
+            # partial-aggregation analog of hot-host salting for a merged
+            # dedup+politeness exchange.
+            prep = prep.map_batches(dedup_block, batch_format="pyarrow",
+                                    batch_size=None)
+            unseen = prep.map_batches(SeenLookup(handles),
+                                      batch_format="pyarrow")
+            gated = unseen.map_batches(RobotsFilter(robots_rules),
+                                       batch_format="pyarrow")
+            # ONE hash-partition by host co-locates equal url_hashes too
+            # (a URL's host is a function of the URL), so the U2 dedup
+            # and the A3 politeness schedule run back-to-back on the same
+            # blocks — one all-to-all instead of two. batch_size=None =>
+            # whole blocks. The politeness exchange must stay strictly
+            # host-keyed (a host's budget is global), so hot-host skew
+            # here is bounded by the combiner above plus the budget cap
+            # on output; the dedup-only path (ops.relational.exact_dedup)
+            # salts instead.
+            sched = gated.repartition(num_blocks=run.host_partitions,
+                                      keys=["host"]) \
+                .map_batches(lambda b: schedule_block(dedup_block(b), cfg),
+                             batch_format="pyarrow", batch_size=None)
+            sched = sched.materialize()  # wave working set, no bodies
+            n_sched = sched.count()
         _mark("sched_materialize")
-        n_sched = sched.count()
 
         admitted = sched.map_batches(
             lambda t: t.filter(t.column("admitted")), batch_format="pyarrow")
