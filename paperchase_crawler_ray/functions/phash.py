@@ -27,16 +27,19 @@ _DCT = _dct_matrix(_N)
 
 
 def area_resample(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
-    """Deterministic area-binning resample of a 2-D float array."""
+    """Deterministic area-binning resample of a 2-D float array.
+
+    Implemented with ``np.bincount`` (both it and the previous
+    ``np.add.at`` accumulate in flat element order, so sums are
+    bit-identical, ~5-10x faster on large images)."""
     h, w = gray.shape
     ys = (np.arange(h) * oh) // h
     xs = (np.arange(w) * ow) // w
-    out = np.zeros((oh, ow), np.float64)
-    cnt = np.zeros((oh, ow), np.float64)
-    np.add.at(out, (ys[:, None], xs[None, :]), gray)
-    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    idx = (ys[:, None] * ow + xs[None, :]).ravel()
+    out = np.bincount(idx, weights=gray.ravel(), minlength=oh * ow)
+    cnt = np.bincount(idx, minlength=oh * ow).astype(np.float64)
     cnt[cnt == 0] = 1.0
-    return out / cnt
+    return (out / cnt).reshape(oh, ow)
 
 
 def phash64(img: np.ndarray) -> int:
