@@ -120,6 +120,15 @@ def png_decode(data: bytes) -> np.ndarray:
         raise UnsupportedFormatError("corrupt PNG data")
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     filters = rows[:, 0]
+    if not filters.any():
+        # fast path: every scanline filter is 0/None (what png_encode
+        # emits) — one vectorized slice instead of a per-row loop
+        img = np.ascontiguousarray(rows[:, 1:]).reshape(h, w, nch)
+        if nch == 1:
+            img = np.repeat(img, 3, axis=2)
+        elif nch == 4:
+            img = img[:, :, :3].copy()
+        return img
     out = np.zeros((h, stride), np.uint8)
     bpp = nch
     for y in range(h):
