@@ -67,6 +67,22 @@ def test_parallelism_invariance(fixture_web, fixture_seeds, crawl_cfg,
     assert res.seen_hashes() == oracle_result.seen_hashes
 
 
+def test_distributed_frontier_plane_matches_oracle(fixture_web, fixture_seeds,
+                                                   crawl_cfg, oracle_result,
+                                                   tmp_path):
+    """Force the DISTRIBUTED frontier plane (hash shuffle + block stages)
+    even for tiny waves — must equal the oracle exactly, like the
+    driver-local fast path the other tests exercise."""
+    out = str(tmp_path / "dist")
+    res = crawl(fixture_web, fixture_seeds, out, crawl_cfg,
+                RunConfig(nshards=4, driver_wave_max=0, host_partitions=4))
+    assert res.admitted_per_wave() == oracle_result.admitted_per_wave[: res.waves_run]
+    assert res.seen_hashes() == oracle_result.seen_hashes
+    imgs = res.images_dataset().to_pandas()
+    want_ids = sorted(r["image_id"] for r in oracle_result.image_rows)
+    assert sorted(imgs["image_id"]) == want_ids
+
+
 def test_resume_from_checkpoint(fixture_web, fixture_seeds, crawl_cfg,
                                 ray_result, tmp_path):
     """Kill after wave 1 commit (simulated by truncating the output dir),
