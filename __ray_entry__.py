@@ -338,6 +338,27 @@ def _q_quality_score(sf: str):
     return quality_score(docs).select_columns(["doc_id", "quality"])
 
 
+def _q_value_stats(sf: str):
+    """Ray native Mean/Std/Quantile aggregates (rows-only: float
+    aggregation order differs from DuckDB's, per the float policy)."""
+    from ray.data.aggregate import Mean, Quantile, Std
+    ev = _rp(sf, "events", columns=["event_type", "value"])
+    return ev.groupby("event_type").aggregate(
+        Mean("value", alias_name="mean_value"),
+        Std("value", alias_name="std_value"),
+        Quantile("value", q=0.9, alias_name="p90_value"))
+
+
+def _q_image_augment(sf: str):
+    """Multimodal: deterministic hflip/crop/brightness augmentations."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import image_augment
+    rows = make_image_rows(32)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    return image_augment(ds, batch_size=8).select_columns(
+        ["image_id", "aug", "w", "h", "phash"])
+
+
 def _q_image_features(sf: str):
     """Multimodal: image_caption fixture rows -> decoded feature columns."""
     from paperchase_crawler_ray.fixtures import make_image_rows
@@ -382,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": _q_langid,
         "q_fingerprint": _q_fingerprint,
         "q_quality_score": _q_quality_score,
+        "q_value_stats": _q_value_stats,
+        "q_image_augment": _q_image_augment,
         "q_image_features": _q_image_features,
     }
 

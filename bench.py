@@ -53,7 +53,8 @@ MW_HOST_BUDGET = 128
 BENCH_QUERIES = [
     "q_exact_dedup", "q_priority_rebalance", "q_equi_join", "q_window_wave",
     "q_token_count", "q_minhash_dedup", "q_simhash_dedup", "q_embed_neardup",
-    "q_ann_topk", "q_quality_stats",
+    "q_ann_topk", "q_quality_stats", "q_sessionize", "q_asof_join",
+    "q_word_count",
 ]
 
 

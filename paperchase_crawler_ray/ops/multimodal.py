@@ -151,6 +151,75 @@ class VideoFrameSample:
         })
 
 
+class ImageAugment:
+    """Actor stage: deterministic training-data image augmentations over
+    the binary payload — decode, transform (hflip / center-crop /
+    brightness), re-encode in the source format. One output row per
+    (input, augmentation). Real pixel math, stdlib codecs only."""
+
+    AUGS = ("hflip", "crop", "bright")
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 augs: tuple = AUGS, crop_frac: float = 0.8,
+                 brightness: float = 1.15):
+        self.col, self.id_col = bytes_col, id_col
+        self.augs = augs
+        self.crop_frac = crop_frac
+        self.brightness = brightness
+
+    def _apply(self, px: np.ndarray, aug: str) -> np.ndarray:
+        if aug == "hflip":
+            return px[:, ::-1]
+        if aug == "crop":
+            h, w = px.shape[:2]
+            ch = max(1, int(h * self.crop_frac))
+            cw = max(1, int(w * self.crop_frac))
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            return px[y0:y0 + ch, x0:x0 + cw]
+        if aug == "bright":
+            return np.clip(px.astype(np.float64) * self.brightness,
+                           0, 255).astype(np.uint8)
+        raise ValueError(aug)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codec import encode
+        ids = batch.column(self.id_col).to_pylist()
+        blobs = batch.column(self.col).to_pylist()
+        out_id, out_aug, out_bytes, out_w, out_h, out_ph = [], [], [], [], [], []
+        for i, data in enumerate(blobs):
+            fmt = sniff_format(data)
+            if not fmt:
+                continue
+            try:
+                px = decode(data, fmt)
+            except UnsupportedFormatError:
+                continue
+            for aug in self.augs:
+                apx = np.ascontiguousarray(self._apply(px, aug))
+                out_id.append(ids[i])
+                out_aug.append(aug)
+                out_bytes.append(encode(apx, fmt))
+                out_h.append(apx.shape[0])
+                out_w.append(apx.shape[1])
+                out_ph.append(phash64(apx))
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.string()),
+            "aug": pa.array(out_aug, pa.string()),
+            "bytes": pa.array(out_bytes, pa.binary()),
+            "w": pa.array(np.array(out_w, np.int32), pa.int32()),
+            "h": pa.array(np.array(out_h, np.int32), pa.int32()),
+            "phash": pa.array(np.array(out_ph, np.int64), pa.int64()),
+        })
+
+
+def image_augment(ds: ray.data.Dataset, bytes_col: str = "bytes",
+                  id_col: str = "image_id", batch_size: int = 32,
+                  concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(ImageAugment, fn_constructor_args=(bytes_col, id_col),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=(1, concurrency))
+
+
 def image_features(ds: ray.data.Dataset, bytes_col: str = "bytes",
                    batch_size: int = 64, concurrency: int = 4) -> ray.data.Dataset:
     return ds.map_batches(ImageFeatures, fn_constructor_args=(bytes_col,),

@@ -353,3 +353,26 @@ def test_asof_join_matches_naive():
         want = cand.max() if len(cand) else pd.NaT
         g = got.loc[row.event_id]
         assert (pd.isna(g) and pd.isna(want)) or g == want, row.event_id
+
+
+def test_image_augment_deterministic_and_real():
+    from paperchase_crawler_ray.fixtures import make_image_rows, make_pixels
+    from paperchase_crawler_ray.functions.codec import decode
+    from paperchase_crawler_ray.ops.multimodal import ImageAugment
+    rows = make_image_rows(6)
+    aug = ImageAugment()
+    out1 = aug(rows.select(["image_id", "bytes"]))
+    out2 = aug(rows.select(["image_id", "bytes"]))
+    assert out1.column("phash").to_pylist() == out2.column("phash").to_pylist()
+    assert out1.num_rows == 6 * 3
+    by = {(i, a): b for i, a, b in zip(out1.column("image_id").to_pylist(),
+                                       out1.column("aug").to_pylist(),
+                                       out1.column("bytes").to_pylist())}
+    iid = rows.column("image_id")[0].as_py()
+    w = rows.column("w")[0].as_py(); h = rows.column("h")[0].as_py()
+    orig = make_pixels(iid, w, h)
+    assert (decode(by[(iid, "hflip")]) == orig[:, ::-1]).all()
+    cropped = decode(by[(iid, "crop")])
+    assert cropped.shape[0] == max(1, int(h * 0.8))
+    bright = decode(by[(iid, "bright")])
+    assert bright.astype(int).sum() >= orig.astype(int).sum()
