@@ -79,8 +79,10 @@ class RunConfig:
     host_partitions: int = 8
     neardup_partitions: int = 4
     neardup_driver_max: int = 2_000_000
-    driver_wave_max: int = 65536   # frontier rows below which the narrow
-                                   # wave plane runs driver-local
+    driver_wave_max: int = 20000   # frontier rows below which the narrow
+                                   # wave plane runs driver-local (above
+                                   # this, driver-serial canonicalize
+                                   # would cost more than the shuffle)
     fetch_parallelism: int = 16    # blocks for the fetch+parse chain
     image_parallelism: int = 32    # blocks for the image fetch+decode chain
     fetch_concurrency: int = 4   # eager-mode fetch actor pool size
