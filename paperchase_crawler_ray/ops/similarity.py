@@ -117,6 +117,65 @@ def kmeans_lite(sample: np.ndarray, ncell: int, iters: int = 8,
     return C
 
 
+def kmeans_distributed(ds: ray.data.Dataset, ncell: int, iters: int = 8,
+                       seed: int = 42, init_sample: int = 4096) -> np.ndarray:
+    """Distributed Lloyd iterations: per-block partial (sum, count) per
+    cell via ``map_batches``, reduced ON THE DRIVER in sorted-block order
+    so the floating-point accumulation order — and therefore the
+    centroids — are deterministic for a given input. The per-iteration
+    exchange is ncell x dim floats per block, never the corpus.
+    """
+    init = np.stack(ds.limit(init_sample).to_pandas()["embedding"].to_numpy())
+    rng = np.random.Generator(np.random.PCG64(seed))
+    X0 = _normalize(init)
+    C = X0[rng.choice(len(X0), size=min(ncell, len(X0)), replace=False)]
+    dim = C.shape[1]
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            Cc = ray.get(cref)
+            E = _normalize(np.stack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            assign = (E @ Cc.T).argmax(axis=1)
+            sums = np.zeros((len(Cc), E.shape[1]))
+            cnts = np.zeros(len(Cc), np.int64)
+            for c in range(len(Cc)):
+                m = assign == c
+                cnts[c] = m.sum()
+                if cnts[c]:
+                    sums[c] = E[m].sum(axis=0)
+            return pa.table({
+                "block_key": pa.array([int(ids.min())], pa.int64()),
+                "sums": pa.array([sums.ravel().tolist()],
+                                 pa.list_(pa.float64())),
+                "counts": pa.array([cnts.tolist()], pa.list_(pa.int64())),
+            })
+
+        parts = []
+        for b in ds.map_batches(partials, batch_format="pyarrow",
+                                batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            t = b if isinstance(b, pa.Table) else pa.table(b)
+            for r in range(t.num_rows):
+                parts.append((t.column("block_key")[r].as_py(),
+                              np.array(t.column("sums")[r].as_py())
+                              .reshape(len(C), dim),
+                              np.array(t.column("counts")[r].as_py())))
+        parts.sort(key=lambda p: p[0])          # deterministic reduce order
+        total_s = np.zeros_like(C)
+        total_c = np.zeros(len(C), np.int64)
+        for _, s, c in parts:
+            total_s += s
+            total_c += c
+        nz = total_c > 0
+        C = C.copy()
+        C[nz] = total_s[nz] / total_c[nz, None]
+        C = _normalize(C)
+    return C
+
+
 class IVFAssign:
     """map_batches actor: append nearest-centroid cell id."""
 
@@ -130,14 +189,17 @@ class IVFAssign:
 
 
 def ivf_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
-             ncell: int = 16, nprobe: int = 4, sample_n: int = 4096
-             ) -> ray.data.Dataset:
+             ncell: int = 16, nprobe: int = 4, sample_n: int = 4096,
+             distributed_kmeans: bool = False) -> ray.data.Dataset:
     """IVF top-k: restrict scoring to rows in the nprobe cells closest to
     each query. One extra narrow column rides along; no extra shuffle —
     the probe filter happens inside the same scoring stage."""
-    sample = np.stack(
-        ds.limit(sample_n).to_pandas()["embedding"].to_numpy())
-    C = kmeans_lite(sample, ncell)
+    if distributed_kmeans:
+        C = kmeans_distributed(ds, ncell)
+    else:
+        sample = np.stack(
+            ds.limit(sample_n).to_pandas()["embedding"].to_numpy())
+        C = kmeans_lite(sample, ncell)
     cref = ray.put(C)
     qids, Q = load_queries(ds, query_ids)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)

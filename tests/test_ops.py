@@ -376,3 +376,24 @@ def test_image_augment_deterministic_and_real():
     assert cropped.shape[0] == max(1, int(h * 0.8))
     bright = decode(by[(iid, "bright")])
     assert bright.astype(int).sum() >= orig.astype(int).sum()
+
+
+def test_kmeans_distributed_deterministic_and_usable(emb_table):
+    from paperchase_crawler_ray.ops.similarity import kmeans_distributed
+    ds = ray.data.from_arrow(emb_table)
+    C1 = kmeans_distributed(ds, ncell=6, iters=3)
+    C2 = kmeans_distributed(ds, ncell=6, iters=3)
+    assert (C1 == C2).all()  # deterministic: sorted-block-order reduce
+    assert C1.shape == (6, 64)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+    # distributed-kmeans IVF keeps reasonable recall vs brute force
+    qids = [0, 5, 7]
+    exact = brute_force_topk(ds, qids, k=5).to_pandas()
+    approx = ivf_topk(ds, qids, k=5, ncell=6, nprobe=3,
+                      distributed_kmeans=True).to_pandas()
+    hits = tot = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a); tot += len(e)
+    assert hits / tot >= 0.4
