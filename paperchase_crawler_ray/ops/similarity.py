@@ -120,32 +120,38 @@ def kmeans_lite(sample: np.ndarray, ncell: int, iters: int = 8,
 def kmeans_distributed(ds: ray.data.Dataset, ncell: int, iters: int = 8,
                        seed: int = 42, init_sample: int = 4096) -> np.ndarray:
     """Distributed Lloyd iterations: per-block partial (sum, count) per
-    cell via ``map_batches``, reduced ON THE DRIVER in sorted-block order
-    so the floating-point accumulation order — and therefore the
-    centroids — are deterministic for a given input. The per-iteration
+    cell via ``map_batches``, reduced ON THE DRIVER in sorted-block
+    order, so for a FIXED input block layout the accumulation order —
+    and therefore the centroids — are reproducible run-to-run. (A
+    different block layout regroups the float partial sums, so results
+    are layout-stable, not layout-independent.) The per-iteration
     exchange is ncell x dim floats per block, never the corpus.
     """
+    # materialize once: each Lloyd iteration re-executes `ds`, which for
+    # a lazy upstream pipeline would otherwise recompute it iters times
+    ds = ds.materialize()
     init = np.stack(ds.limit(init_sample).to_pandas()["embedding"].to_numpy())
-    rng = np.random.Generator(np.random.PCG64(seed))
-    X0 = _normalize(init)
-    C = X0[rng.choice(len(X0), size=min(ncell, len(X0)), replace=False)]
+    C = kmeans_lite(init, ncell, iters=0, seed=seed)  # shared seeding only
     dim = C.shape[1]
     for _ in range(iters):
         cref = ray.put(C)
 
         def partials(batch: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "block_key": pa.array([], pa.int64()),
+                "sums": pa.array([], pa.list_(pa.float64())),
+                "counts": pa.array([], pa.list_(pa.int64())),
+            })
+            if batch.num_rows == 0:
+                return empty
             Cc = ray.get(cref)
             E = _normalize(np.stack(
                 batch.column("embedding").to_numpy(zero_copy_only=False)))
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             assign = (E @ Cc.T).argmax(axis=1)
+            cnts = np.bincount(assign, minlength=len(Cc)).astype(np.int64)
             sums = np.zeros((len(Cc), E.shape[1]))
-            cnts = np.zeros(len(Cc), np.int64)
-            for c in range(len(Cc)):
-                m = assign == c
-                cnts[c] = m.sum()
-                if cnts[c]:
-                    sums[c] = E[m].sum(axis=0)
+            np.add.at(sums, assign, E)
             return pa.table({
                 "block_key": pa.array([int(ids.min())], pa.int64()),
                 "sums": pa.array([sums.ravel().tolist()],
@@ -158,12 +164,16 @@ def kmeans_distributed(ds: ray.data.Dataset, ncell: int, iters: int = 8,
                                 batch_size=None) \
                 .iter_batches(batch_format="pyarrow", batch_size=None):
             t = b if isinstance(b, pa.Table) else pa.table(b)
+            if t.num_rows == 0:
+                continue
+            keys = t.column("block_key").to_numpy(zero_copy_only=False)
+            sums = t.column("sums").combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).reshape(-1, len(C), dim)
+            cnts = t.column("counts").combine_chunks().flatten() \
+                .to_numpy(zero_copy_only=False).reshape(-1, len(C))
             for r in range(t.num_rows):
-                parts.append((t.column("block_key")[r].as_py(),
-                              np.array(t.column("sums")[r].as_py())
-                              .reshape(len(C), dim),
-                              np.array(t.column("counts")[r].as_py())))
-        parts.sort(key=lambda p: p[0])          # deterministic reduce order
+                parts.append((int(keys[r]), sums[r], cnts[r]))
+        parts.sort(key=lambda p: p[0])          # reproducible reduce order
         total_s = np.zeros_like(C)
         total_c = np.zeros(len(C), np.int64)
         for _, s, c in parts:
@@ -195,7 +205,7 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
     each query. One extra narrow column rides along; no extra shuffle —
     the probe filter happens inside the same scoring stage."""
     if distributed_kmeans:
-        C = kmeans_distributed(ds, ncell)
+        C = kmeans_distributed(ds, ncell, init_sample=sample_n)
     else:
         sample = np.stack(
             ds.limit(sample_n).to_pandas()["embedding"].to_numpy())
