@@ -58,7 +58,8 @@ from ..stages.fetch import (FixtureFetcher, GenerativeFetcher,
                             SyntheticImageFetch, TaskFetcher)
 from ..stages.frontier import CanonicalizeBatch, dedup_block
 from ..stages.image import (DecodeImages, canonicalize_image_refs,
-                            neardup_block, neardup_drops_block)
+                            dedup_image_refs_block, neardup_block,
+                            neardup_drops_block)
 from ..stages.parse import explode_images, explode_links, explode_redirects, parse_pages
 from ..stages.politeness import schedule_block
 from ..stages.robots_gate import RobotsFilter, robots_rules_from_web
@@ -74,6 +75,10 @@ class RunConfig:
     """Physical knobs, sized per node; logical semantics live in CrawlConfig."""
 
     nshards: int = 8
+    # cuckoo filters cannot be enumerated, so a full shard cannot be
+    # rebuilt bigger — provision capacity for the crawl's URL budget
+    # up front (SCALE.md §3: ~2 bytes/key)
+    seen_capacity_per_shard: int = 1 << 20
     lazy_images: bool = False   # synthesize image bytes in the fetcher
     img_scale: int = 1
     host_partitions: int = 8
@@ -141,7 +146,8 @@ class CrawlResult:
             idx = np.lexsort((t.column("url_hash").to_numpy(),
                               t.column("depth").to_numpy(zero_copy_only=False),
                               -t.column("priority").to_numpy()))
-            out.append([t.column("url_canon").to_pylist()[i] for i in idx])
+            vals = t.column("url_canon").to_pylist()
+            out.append([vals[i] for i in idx])
         return out
 
     def seen_hashes(self) -> set[int]:
@@ -177,10 +183,21 @@ def _save_seen(handles: list, out_dir: str, wave: int) -> None:
     os.makedirs(d, exist_ok=True)
     for i, state in enumerate(checkpoint_seen(handles)):
         np.savez(os.path.join(d, f"shard-{i:03d}.npz"), **state)
+    with open(os.path.join(d, "META"), "w") as f:
+        f.write(str(len(handles)))
 
 
-def _load_seen(handles: list, out_dir: str, wave: int) -> None:
+def _load_seen(handles: list, out_dir: str, wave: int, nshards: int) -> None:
     d = os.path.join(_wave_dir(out_dir, wave), "seen")
+    meta = os.path.join(d, "META")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            saved = int(f.read().strip())
+        if saved != nshards:
+            raise ValueError(
+                f"checkpoint was written with nshards={saved}; resuming "
+                f"with nshards={nshards} would mis-route the seen set — "
+                f"use the same shard count")
     states = []
     for i in range(len(handles)):
         raw = np.load(os.path.join(d, f"shard-{i:03d}.npz"), allow_pickle=True)
@@ -241,12 +258,12 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     web_ref = ray.put(web)
     robots_rules = robots_rules_from_web(web)
-    if run.lazy_images:
-        fetcher_cls, fetcher_args = GenerativeFetcher, (web_ref, run.img_scale)
-    else:
-        fetcher_cls, fetcher_args = FixtureFetcher, (web_ref,)
+    # eager-mode fetch actor pool; lazy mode uses TaskFetcher /
+    # SyntheticImageFetch instead (see the fetch stages below)
+    fetcher_cls, fetcher_args = FixtureFetcher, (web_ref,)
     _mark("web_put_robots")
-    handles = make_seen_actors(run.nshards)
+    handles = make_seen_actors(run.nshards,
+                               capacity_per_shard=run.seen_capacity_per_shard)
     res = CrawlResult(out_dir=out_dir)
 
     start_wave = 0
@@ -254,9 +271,15 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         committed = [k for k in range(cfg.max_waves) if _committed(out_dir, k)]
         if committed:
             last = max(committed)
-            _load_seen(handles, out_dir, last)
+            _load_seen(handles, out_dir, last, run.nshards)
             start_wave = last + 1
             res.waves_run = start_wave
+    else:
+        # fresh run over a reused out_dir: stale wave dirs (and their
+        # _COMMITTED markers) would corrupt resume scans and readers
+        for d in list(os.listdir(out_dir)):
+            if d.startswith("wave="):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     if start_wave == 0:
         _write_frontier(seeds_to_frontier(seeds), out_dir, 0)
 
@@ -266,6 +289,10 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
     t0 = time.monotonic()
     for wave in range(start_wave, cfg.max_waves):
         wd = _wave_dir(out_dir, wave)
+        # a marker from an older run of this wave must not survive a rerun
+        marker = os.path.join(wd, "_COMMITTED")
+        if os.path.exists(marker):
+            os.remove(marker)
         frontier_dir = os.path.join(wd, "frontier")
         if not os.path.isdir(frontier_dir) or not os.listdir(frontier_dir):
             break
@@ -378,12 +405,45 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         # image branch. In lazy mode the image fetch is a stateless TASK
         # stage (bytes synthesized per URL) — full parallelism, no pool.
         images_dir = os.path.join(wd, "images")
-        img_refs = (parsed
-                    .map_batches(explode_images, batch_format="pyarrow")
-                    .map_batches(canonicalize_image_refs, batch_format="pyarrow")
-                    .map_batches(SeenCheckAndInsert(handles),
-                                 batch_format="pyarrow")
-                    .repartition(num_blocks=run.image_parallelism))
+        # within-wave image-ref dedup: pick the deterministic
+        # earliest-admitted-page winner per image url_hash BEFORE the
+        # seen filter, so duplicate srcs cannot race on caption. Small
+        # waves run it driver-local (same block fns); large waves
+        # hash-partition by url_hash (which doubles as the rebalance for
+        # the wide fetch/decode chain).
+        if n_frontier <= run.driver_wave_max:
+            pparts = [b if isinstance(b, pa.Table) else pa.table(b)
+                      for b in parsed.iter_batches(batch_format="pyarrow",
+                                                   batch_size=None)]
+            if pparts:
+                refs_t = dedup_image_refs_block(canonicalize_image_refs(
+                    explode_images(pa.concat_tables(pparts))))
+                refs_t = SeenCheckAndInsert(handles)(refs_t)
+            else:
+                refs_t = None
+            if refs_t is not None and refs_t.num_rows:
+                k = min(run.image_parallelism, refs_t.num_rows)
+                chunk = -(-refs_t.num_rows // k)
+                img_refs = ray.data.from_arrow(
+                    [refs_t.slice(i * chunk, chunk)
+                     for i in range(k) if i * chunk < refs_t.num_rows])
+            else:
+                img_refs = ray.data.from_arrow(
+                    refs_t if refs_t is not None else
+                    pa.table({"url_canon": pa.array([], pa.string()),
+                              "caption": pa.array([], pa.string()),
+                              "url_hash": pa.array([], pa.int64())}))
+        else:
+            img_refs = (parsed
+                        .map_batches(explode_images, batch_format="pyarrow")
+                        .map_batches(canonicalize_image_refs,
+                                     batch_format="pyarrow")
+                        .repartition(num_blocks=run.image_parallelism,
+                                     keys=["url_hash"])
+                        .map_batches(dedup_image_refs_block,
+                                     batch_format="pyarrow", batch_size=None)
+                        .map_batches(SeenCheckAndInsert(handles),
+                                     batch_format="pyarrow"))
         if run.lazy_images:
             fetched_imgs = img_refs.map_batches(
                 SyntheticImageFetch(run.img_scale), batch_format="pyarrow",
@@ -413,15 +473,19 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         drop_ids: set = set()
         n_staged = 0
         if os.path.isdir(images_dir) and os.listdir(images_dir):
-            # parallel column-pruned read of the narrow dedup columns
-            nb = []
-            for b in ray.data.read_parquet(
-                    images_dir, columns=["image_id", "phash", "bucket"]) \
-                    .iter_batches(batch_format="pyarrow", batch_size=None):
-                nb.append(b if isinstance(b, pa.Table) else pa.table(b))
-            narrow = pa.concat_tables(nb)
-            n_staged = narrow.num_rows
-            if narrow.num_rows <= run.neardup_driver_max:
+            # row count from parquet METADATA first — the driver must not
+            # materialize the narrow table just to learn it is too big
+            n_staged = sum(
+                pq.read_metadata(os.path.join(images_dir, f)).num_rows
+                for f in os.listdir(images_dir) if f.endswith(".parquet"))
+            if n_staged <= run.neardup_driver_max:
+                # parallel column-pruned read of the narrow dedup columns
+                nb = []
+                for b in ray.data.read_parquet(
+                        images_dir, columns=["image_id", "phash", "bucket"]) \
+                        .iter_batches(batch_format="pyarrow", batch_size=None):
+                    nb.append(b if isinstance(b, pa.Table) else pa.table(b))
+                narrow = pa.concat_tables(nb)
                 drop_ids.update(
                     neardup_drops_block(narrow, cfg.neardup_hamming)
                     .column("drop_id").to_pylist())
@@ -474,7 +538,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
             for v, c in zip(vals, cnts):
                 host_counts[v] = host_counts.get(v, 0) + int(c)
         hot = sorted(host_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-        counters["hot_hosts"] = hot
+        counters.setdefault("hot_hosts", {})[wave] = hot
 
         # lineage + checkpoint + commit marker
         lineage_rows = [

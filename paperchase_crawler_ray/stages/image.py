@@ -10,7 +10,6 @@ independently of the fetch pool.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.codec import UnsupportedFormatError, decode, sniff_format
@@ -85,6 +84,28 @@ class DecodeImages:
         )
 
 
+def dedup_image_refs_block(batch: pa.Table) -> pa.Table:
+    """Within-wave image-ref dedup over a WHOLE block of co-located
+    url_hashes (after ``repartition(keys=["url_hash"])``): one row per
+    image url_hash, winner = the reference from the earliest-admitted
+    page in the oracle's iteration order (-priority, depth, page_hash),
+    then in-page position — making the landed caption deterministic when
+    several pages reference the same src in one wave."""
+    if batch.num_rows == 0:
+        return batch
+    order = np.lexsort((
+        batch.column("img_pos").to_numpy(zero_copy_only=False),
+        batch.column("page_hash").to_numpy(zero_copy_only=False),
+        batch.column("page_depth").to_numpy(zero_copy_only=False),
+        -batch.column("page_priority").to_numpy(zero_copy_only=False),
+        batch.column("url_hash").to_numpy(zero_copy_only=False),
+    ))
+    h = batch.column("url_hash").to_numpy(zero_copy_only=False)[order]
+    first = np.ones(len(h), bool)
+    first[1:] = h[1:] != h[:-1]
+    return batch.take(pa.array(order[first]))
+
+
 def neardup_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:
     """U3 over a WHOLE block holding complete phash-prefix buckets
     (correct only after ``repartition(keys=["bucket"])``): greedy
@@ -119,18 +140,3 @@ def neardup_drops_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:
     all_ids = batch.column("image_id").to_pylist()
     dropped = [i for i in all_ids if i not in kept_ids]
     return pa.table({"drop_id": pa.array(dropped, pa.string())})
-
-
-def neardup_suppress_group(g: pd.DataFrame, hamming_max: int = 2) -> pd.DataFrame:
-    """U3 within one phash-prefix bucket: greedy keep-first by image_id.
-
-    Runs in ``groupby("bucket").map_groups``; greedy order = image_id
-    sort, matching the oracle crawler's sequential pass.
-    """
-    g = g.sort_values("image_id").reset_index(drop=True)
-    ph = g["phash"].to_numpy()
-    kept: list[int] = []
-    for i in range(len(g)):
-        if not kept or hamming64(ph[np.array(kept)], ph[i]).min() > hamming_max:
-            kept.append(i)
-    return g.iloc[kept].drop(columns=["bucket"])

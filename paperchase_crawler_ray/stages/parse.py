@@ -87,17 +87,28 @@ def explode_redirects(batch: pa.Table) -> pa.Table:
 
 
 def explode_images(batch: pa.Table) -> pa.Table:
-    """Parsed rows -> one row per (image src, caption) pair."""
+    """Parsed rows -> one row per (image src, caption) pair, carrying the
+    page's admission-order key (priority, depth, page_hash) plus the
+    in-page position so a duplicated src has a deterministic winner."""
     col = batch.column("images")
     flat = pc.list_flatten(col)  # struct array of (src, caption)
-    parents = _gather_parents(batch, col, ["url_hash", "seed_id"])
+    parents = _gather_parents(
+        batch, col, ["url_hash", "seed_id", "priority", "depth"])
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
+    # position of each image within its page's list
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    pos = np.arange(int(lengths.sum()), dtype=np.int64) - \
+        np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths)
     return pa.table(
         {
             "src": flat.field("src"),
             "caption": flat.field("caption"),
             "page_hash": parents["url_hash"],
             "seed_id": parents["seed_id"],
+            "page_priority": parents["priority"],
+            "page_depth": parents["depth"],
+            "img_pos": pa.array(pos, pa.int64()),
         }
     )

@@ -58,7 +58,10 @@ class RobotsFilter:
 
 
 class RobotsGate:
-    """Filter disallowed URLs, attach ``crawl_delay``; host-cached rules."""
+    """Actor-pool variant of the gate for deployments where the robots
+    source is too big to pre-parse on the driver (SCALE.md §1): each
+    actor lazily parses rules per host from a broadcast robots table,
+    with a bounded cache, then delegates filtering to RobotsFilter."""
 
     def __init__(self, web_ref, max_cached_hosts: int = 100_000):
         web = ray.get(web_ref) if not isinstance(web_ref, pa.Table) else web_ref
@@ -84,14 +87,6 @@ class RobotsGate:
         return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hosts = batch.column("host").to_pylist()
-        urls = batch.column("url_canon").to_pylist()
-        keep = np.zeros(len(hosts), bool)
-        delays = np.zeros(len(hosts), np.float64)
-        for i, (host, u) in enumerate(zip(hosts, urls)):
-            rules = self._rules_for(host)
-            if rules.allowed(_path_of(u)):
-                keep[i] = True
-                delays[i] = rules.crawl_delay
-        out = batch.append_column("crawl_delay", pa.array(delays, pa.float64()))
-        return out.filter(pa.array(keep))
+        for host in set(batch.column("host").to_pylist()):
+            self._rules_for(host)
+        return RobotsFilter(self._rules)(batch)
