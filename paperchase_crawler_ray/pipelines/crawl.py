@@ -63,9 +63,10 @@ from ..stages.image import (DecodeImages, canonicalize_image_refs,
 from ..stages.parse import explode_images, explode_links, explode_redirects, parse_pages
 from ..stages.politeness import schedule_block
 from ..stages.robots_gate import RobotsFilter, robots_rules_from_web
-from ..stages.seen import (SeenCheckAndInsert, SeenInsert, SeenLookup,
-                           checkpoint_seen, make_seen_actors, restore_seen,
-                           seen_counts)
+from ..stages.seen import (ImageWinnerFilter, OfferImageWinners,
+                           SeenCheckAndInsert, SeenInsert, SeenLookup,
+                           begin_image_wave, checkpoint_seen,
+                           make_seen_actors, restore_seen, seen_counts)
 
 FRONTIER_FILE_COLS = ["url", "depth", "priority", "parent_hash", "seed_id"]
 
@@ -123,14 +124,15 @@ class CrawlResult:
             return ray.data.from_arrow(
                 pa.table({"image_id": pa.array([], pa.string())}))
         ds = ray.data.read_parquet(files)
-        ts_ref = ray.put(tombstones)
+        # broadcast the drop set ONCE as an Arrow array (ray.put; repeated
+        # ray.get per batch is a zero-copy plasma cache hit)
+        ts_ref = ray.put(pa.array(sorted(tombstones), pa.string()))
 
         def apply_tombstones(t: pa.Table) -> pa.Table:
             dead = ray.get(ts_ref)
-            if dead:
-                keep = pa.array([i not in dead
-                                 for i in t.column("image_id").to_pylist()])
-                t = t.filter(keep)
+            if len(dead):
+                t = t.filter(pc.invert(
+                    pc.is_in(t.column("image_id"), value_set=dead)))
             return t.drop_columns(["bucket"]) if "bucket" in t.column_names else t
 
         return ds.map_batches(apply_tombstones, batch_format="pyarrow")
@@ -434,16 +436,44 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                               "caption": pa.array([], pa.string()),
                               "url_hash": pa.array([], pa.int64())}))
         else:
-            img_refs = (parsed
-                        .map_batches(explode_images, batch_format="pyarrow")
-                        .map_batches(canonicalize_image_refs,
-                                     batch_format="pyarrow")
-                        .repartition(num_blocks=run.image_parallelism,
-                                     keys=["url_hash"])
-                        .map_batches(dedup_image_refs_block,
-                                     batch_format="pyarrow", batch_size=None)
-                        .map_batches(SeenCheckAndInsert(handles),
-                                     batch_format="pyarrow"))
+            # Distributed plane: NO keyed shuffle (round 1's
+            # repartition(keys=["url_hash"]) deadlocked/serialized the
+            # branch — VERDICT.md). Instead the shard actors that already
+            # own each url_hash resolve the winner in two cheap streaming
+            # passes over the NARROW ref stream:
+            #   pass 1: explode+canonicalize once, block-local combiner
+            #     dedup, offer each ref's admission-order key to its
+            #     shard actor, stage the narrow refs to parquet (the
+            #     write is the barrier that completes all offers);
+            #   pass 2: re-read the staged refs (no re-canonicalize),
+            #     keep only recorded winners that are also novel across
+            #     waves, then an unkeyed rebalance fans the wide
+            #     fetch/decode chain out to image_parallelism tasks.
+            begin_image_wave(handles)
+            refs_dir = os.path.join(wd, "img_refs")
+            if os.path.isdir(refs_dir):
+                shutil.rmtree(refs_dir, ignore_errors=True)
+            (parsed
+             .map_batches(explode_images, batch_format="pyarrow")
+             .map_batches(canonicalize_image_refs, batch_format="pyarrow")
+             .map_batches(dedup_image_refs_block,
+                          batch_format="pyarrow", batch_size=None)
+             .map_batches(OfferImageWinners(handles), batch_format="pyarrow")
+             .select_columns(["url_canon", "caption", "url_hash",
+                              "page_priority", "page_depth", "page_hash",
+                              "img_pos"])
+             ).write_parquet(refs_dir)
+            if os.path.isdir(refs_dir) and any(
+                    f.endswith(".parquet") for f in os.listdir(refs_dir)):
+                img_refs = (ray.data.read_parquet(refs_dir)
+                            .map_batches(ImageWinnerFilter(handles),
+                                         batch_format="pyarrow")
+                            .repartition(num_blocks=run.image_parallelism))
+            else:
+                img_refs = ray.data.from_arrow(
+                    pa.table({"url_canon": pa.array([], pa.string()),
+                              "caption": pa.array([], pa.string()),
+                              "url_hash": pa.array([], pa.int64())}))
         if run.lazy_images:
             fetched_imgs = img_refs.map_batches(
                 SyntheticImageFetch(run.img_scale), batch_format="pyarrow",

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -103,16 +104,15 @@ def compact_images(out_dir: str) -> int:
         img_dir = os.path.join(out_dir, d, "images")
         if not os.path.exists(ts_path):
             continue
-        dead = set(pq.read_table(ts_path).column("image_id").to_pylist())
-        if dead and os.path.isdir(img_dir):
+        dead = pq.read_table(ts_path).column("image_id").combine_chunks()
+        if len(dead) and os.path.isdir(img_dir):
             for f in sorted(os.listdir(img_dir)):
                 if not f.endswith(".parquet"):
                     continue
                 fp = os.path.join(img_dir, f)
                 t = pq.read_table(fp)
-                keep = pa.array([i not in dead
-                                 for i in t.column("image_id").to_pylist()])
-                kept = t.filter(keep)
+                kept = t.filter(pc.invert(
+                    pc.is_in(t.column("image_id"), value_set=dead)))
                 if kept.num_rows != t.num_rows:
                     dropped += t.num_rows - kept.num_rows
                     tmp = fp + ".compact"

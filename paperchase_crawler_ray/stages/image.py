@@ -106,13 +106,10 @@ def dedup_image_refs_block(batch: pa.Table) -> pa.Table:
     return batch.take(pa.array(order[first]))
 
 
-def neardup_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:
-    """U3 over a WHOLE block holding complete phash-prefix buckets
-    (correct only after ``repartition(keys=["bucket"])``): greedy
-    keep-first by image_id within each bucket, matching the oracle's
-    sequential pass. Vectorized hamming per bucket."""
-    if batch.num_rows == 0:
-        return batch.drop_columns(["bucket"]) if "bucket" in batch.column_names else batch
+def _neardup_keep_indices(batch: pa.Table, hamming_max: int) -> np.ndarray:
+    """Greedy keep-first by image_id within each phash-prefix bucket
+    (the oracle's sequential pass), vectorized hamming per bucket.
+    Returns the KEPT row indices into ``batch`` (unsorted)."""
     order = np.lexsort((np.asarray(batch.column("image_id").to_pylist()),
                         batch.column("bucket").to_numpy(zero_copy_only=False)))
     bucket = batch.column("bucket").to_numpy(zero_copy_only=False)[order]
@@ -127,16 +124,29 @@ def neardup_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:
                     kept.append(j)
             keep_idx.extend(order[k] for k in kept)
             start = i
-    return batch.take(pa.array(sorted(keep_idx))).drop_columns(["bucket"])
+    return np.asarray(keep_idx, np.int64)
+
+
+def neardup_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:
+    """U3 over a WHOLE block holding complete phash-prefix buckets
+    (correct only after ``repartition(keys=["bucket"])``)."""
+    if batch.num_rows == 0:
+        return batch.drop_columns(["bucket"]) if "bucket" in batch.column_names else batch
+    keep = np.sort(_neardup_keep_indices(batch, hamming_max))
+    return batch.take(pa.array(keep)).drop_columns(["bucket"])
 
 
 def neardup_drops_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:
     """U3 narrow path: same per-bucket greedy keep-first as
     ``neardup_block`` but over (image_id, phash, bucket) ONLY, returning
-    the DROPPED image_ids. The wide image rows never shuffle — the crawl
-    broadcasts this (small) drop set and filters the decoded stream."""
-    kept_t = neardup_block(batch, hamming_max)
-    kept_ids = set(kept_t.column("image_id").to_pylist())
-    all_ids = batch.column("image_id").to_pylist()
-    dropped = [i for i in all_ids if i not in kept_ids]
-    return pa.table({"drop_id": pa.array(dropped, pa.string())})
+    the DROPPED image_ids (the index complement of the kept rows — no
+    per-row set membership). The wide image rows never shuffle — the
+    crawl broadcasts this (small) drop set and filters the decoded
+    stream."""
+    if batch.num_rows == 0:
+        return pa.table({"drop_id": pa.array([], pa.string())})
+    keep = _neardup_keep_indices(batch, hamming_max)
+    mask = np.ones(batch.num_rows, bool)
+    mask[keep] = False
+    dropped = batch.column("image_id").filter(pa.array(mask))
+    return pa.table({"drop_id": dropped})

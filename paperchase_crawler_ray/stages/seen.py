@@ -28,10 +28,58 @@ from ..state.cuckoo import ShardFilter
 @ray.remote(num_cpus=0)
 class SeenShardActor:
     """Owns one shard of the seen set. num_cpus=0: RPC work is tiny and
-    must not steal CPU slots from the fetch/parse/decode pools."""
+    must not steal CPU slots from the fetch/parse/decode pools.
+
+    Besides the cross-wave cuckoo/bloom filter, each shard holds a
+    PER-WAVE image-winner map (url_hash -> min admission-order key) used
+    by the image branch to resolve duplicate srcs deterministically
+    WITHOUT an all-to-all shuffle: refs are already routed here by
+    ``hash % nshards``, so a two-pass offer/filter protocol over the
+    narrow ref stream replaces a keyed repartition of the whole branch
+    (the round-1 keyed shuffle deadlocked the bench — VERDICT.md §wrong 1).
+    """
 
     def __init__(self, capacity: int = 1 << 20, promote_at: int = 4096, seed: int = 42):
         self._filter = ShardFilter(capacity=capacity, promote_at=promote_at, seed=seed)
+        self._winners: dict = {}
+
+    def begin_wave(self) -> None:
+        """Reset per-wave state (the winner map). Idempotent; called at
+        the start of each wave's image pass so a partial-wave rerun
+        re-offers from scratch."""
+        self._winners = {}
+
+    def offer_winners(self, h: np.ndarray, prio: np.ndarray,
+                      depth: np.ndarray, page_hash: np.ndarray,
+                      pos: np.ndarray) -> None:
+        """Pass 1: record the min admission-order key per url_hash.
+        Key order matches stages.image.dedup_image_refs_block:
+        (-page_priority, page_depth, page_hash, img_pos). Idempotent
+        (min of a re-offered key is unchanged), so task retries are safe."""
+        d = self._winners
+        for hh, k in zip(h.tolist(),
+                         zip((-prio).tolist(), depth.tolist(),
+                             page_hash.tolist(), pos.tolist())):
+            cur = d.get(hh)
+            if cur is None or k < cur:
+                d[hh] = k
+
+    def winner_check_insert(self, h: np.ndarray, prio: np.ndarray,
+                            depth: np.ndarray, page_hash: np.ndarray,
+                            pos: np.ndarray) -> np.ndarray:
+        """Pass 2: keep a row iff it IS the recorded per-wave winner for
+        its url_hash AND the hash is novel across waves (cuckoo
+        check-and-insert). The key is unique per ref (page_hash+img_pos
+        identify it), so at most one row per url_hash survives."""
+        d = self._winners
+        keys = zip((-prio).tolist(), depth.tolist(),
+                   page_hash.tolist(), pos.tolist())
+        is_winner = np.fromiter((d.get(hh) == k for hh, k in
+                                 zip(h.tolist(), keys)), bool, count=len(h))
+        out = np.zeros(len(h), bool)
+        if is_winner.any():
+            out[is_winner] = self._filter.check_and_insert(h[is_winner])
+        return out
 
     def contains_many(self, h: np.ndarray) -> np.ndarray:
         return self._filter.contains_many(h)
@@ -78,6 +126,67 @@ def _route(handles: list, h: np.ndarray, method: str) -> np.ndarray:
     for idx, res in zip(idxs, ray.get(futures)):
         out[idx] = res
     return out
+
+
+_WINNER_KEY_COLS = ("page_priority", "page_depth", "page_hash", "img_pos")
+
+
+def _route_cols(handles: list, h: np.ndarray, cols: list[np.ndarray],
+                method: str) -> np.ndarray:
+    """Like ``_route`` but ships the winner-key columns alongside the
+    hashes. Returns a bool mask (all-False for void methods)."""
+    n = len(h)
+    out = np.zeros(n, bool)
+    if n == 0:
+        return out
+    shard = _shards_of(h, len(handles))
+    futures, idxs = [], []
+    for s in np.unique(shard):
+        idx = np.nonzero(shard == s)[0]
+        futures.append(getattr(handles[int(s)], method).remote(
+            h[idx], *[c[idx] for c in cols]))
+        idxs.append(idx)
+    for idx, res in zip(idxs, ray.get(futures)):
+        if res is not None:
+            out[idx] = res
+    return out
+
+
+def _winner_cols(batch: pa.Table) -> tuple[np.ndarray, list[np.ndarray]]:
+    h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+    cols = [batch.column(c).to_numpy(zero_copy_only=False)
+            for c in _WINNER_KEY_COLS]
+    return h, cols
+
+
+def begin_image_wave(handles: list) -> None:
+    ray.get([a.begin_wave.remote() for a in handles])
+
+
+class OfferImageWinners:
+    """map_batches fn (pass 1): register each ref's admission-order key
+    with its owning shard actor; pass the batch through unchanged."""
+
+    def __init__(self, handles: list):
+        self.handles = handles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, cols = _winner_cols(batch)
+        _route_cols(self.handles, h, cols, "offer_winners")
+        return batch
+
+
+class ImageWinnerFilter:
+    """map_batches fn (pass 2): keep only the deterministic per-wave
+    winner per image url_hash that is also novel across waves."""
+
+    def __init__(self, handles: list):
+        self.handles = handles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, cols = _winner_cols(batch)
+        keep = _route_cols(self.handles, h, cols, "winner_check_insert")
+        return batch.filter(pa.array(keep))
 
 
 class SeenLookup:
