@@ -79,11 +79,11 @@ def _q_exact_dedup(sf: str):
 
 
 def _q_seen_anti_join(sf: str):
-    from paperchase_crawler_ray.ops.relational import broadcast_anti_join
+    from paperchase_crawler_ray.ops.relational import anti_join
     ev = _rp(sf, "events", columns=["event_id", "user_id"])
     cust = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
         .filter(expr="c_mktsegment == 'BUILDING'")
-    return broadcast_anti_join(ev, "user_id", cust, "c_custkey")
+    return anti_join(ev, "user_id", cust, "c_custkey")
 
 
 def _q_priority_rebalance(sf: str):
@@ -101,11 +101,11 @@ def _q_topk(sf: str):
 
 
 def _q_scope_semi(sf: str):
-    from paperchase_crawler_ray.ops.relational import broadcast_semi_join
+    from paperchase_crawler_ray.ops.relational import semi_join
     o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     c = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
         .filter(expr="c_mktsegment == 'BUILDING'")
-    return broadcast_semi_join(o, "o_custkey", c, "c_custkey")
+    return semi_join(o, "o_custkey", c, "c_custkey")
 
 
 def _q_equi_join(sf: str):
@@ -472,7 +472,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, regexp_replace(text, '\\d', '#', 'g') "
             "AS redacted FROM documents",
         "q_sessionize":
-            "SELECT user_id, SUM(new_s) AS n_sessions FROM ("
+            "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM ("
             "SELECT user_id, CASE WHEN LAG(ts) OVER w IS NULL OR "
             "ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
             "AS new_s FROM events WINDOW w AS "

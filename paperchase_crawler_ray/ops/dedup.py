@@ -188,10 +188,19 @@ def lsh_candidate_pairs(ds_bands: ray.data.Dataset, id_col: str,
                      "id_b": pa.array(m[:, 1], pa.int64())})
 
 
+def _shingle_set(text: str, k: int, char_ngram: int | None) -> set:
+    if char_ngram:
+        return ngram_set(text, char_ngram)
+    toks = tokens(text)
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
 class VerifyJaccard:
     """map_batches actor over candidate pairs: exact n-gram/word-shingle
-    jaccard against a broadcast id->text lookup (sandbox scale; at 100 TB
-    replace the broadcast with two Dataset.join's on id)."""
+    jaccard against a broadcast id->text lookup (small-corpus path; the
+    scale path is ``_verify_pairs_join`` — two keyed Dataset.joins)."""
 
     def __init__(self, texts_ref, shingle_k: int = 3, char_ngram: int | None = None):
         lookup: dict = ray.get(texts_ref)
@@ -206,16 +215,7 @@ class VerifyJaccard:
         s = self._sets.get(doc_id)
         if s is not None:
             return s
-        text = self._texts[doc_id]
-        if self.char_ngram:
-            s = ngram_set(text, self.char_ngram)
-        else:
-            toks = tokens(text)
-            if len(toks) < self.k:
-                s = {" ".join(toks)} if toks else set()
-            else:
-                s = {" ".join(toks[i:i + self.k])
-                     for i in range(len(toks) - self.k + 1)}
+        s = _shingle_set(self._texts[doc_id], self.k, self.char_ngram)
         if len(self._sets) < 1_000_000:
             self._sets[doc_id] = s
         return s
@@ -261,27 +261,75 @@ def _broadcast_texts(ds: ray.data.Dataset, id_col: str, text_col: str):
     return ray.put(lookup)
 
 
+def _verify_pairs_join(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
+                       text_col: str, shingle_k: int,
+                       char_ngram: int | None = None,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """Scale path for pair verification: attach both texts to each
+    candidate pair via TWO keyed hash joins on doc id — no corpus
+    materialization on the driver, no broadcast of all texts. Pairs are
+    small by LSH construction, texts shuffle only for ids that actually
+    appear in a pair (the pair side is the left/probe side)."""
+    from .relational import cap_join_partitions
+    num_partitions = cap_join_partitions(num_partitions)
+    texts = ds.select_columns([id_col, text_col])
+    pairs_ds = ray.data.from_arrow(pairs)
+    j1 = pairs_ds.join(texts, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("id_a",), right_on=(id_col,), right_suffix="_ta")
+    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
+                 on=("id_b",), right_on=(id_col,), right_suffix="_tb")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        ta_col = text_col if text_col in names else text_col + "_ta"
+        tb_col = text_col + "_tb"
+        ta = batch.column(ta_col).to_pylist()
+        tb = batch.column(tb_col).to_pylist()
+        sims = np.array(
+            [jaccard(_shingle_set(a, shingle_k, char_ngram),
+                     _shingle_set(b, shingle_k, char_ngram))
+             for a, b in zip(ta, tb)], np.float64)
+        return pa.table({"id_b": batch.column("id_b"),
+                         "sim": pa.array(sims, pa.float64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                       threshold: float = 0.6, num_perm: int = 128,
-                      bands: int = 16, shingle_k: int = 3) -> ray.data.Dataset:
+                      bands: int = 16, shingle_k: int = 3,
+                      broadcast_max_docs: int = 2_000_000) -> ray.data.Dataset:
     """MinHash+LSH near-dup dedup: shingle -> minhash -> band buckets ->
-    candidate pairs -> exact-jaccard verify -> drop larger ids."""
+    candidate pairs -> exact-jaccard verify -> drop larger ids.
+
+    Verification switches on corpus size: below ``broadcast_max_docs``
+    the id->text lookup is broadcast once (cheap, per-actor shingle
+    cache); above it the texts are joined onto the pairs with two keyed
+    ``Dataset.join``s (the 100 TB path — nothing corpus-sized touches
+    the driver)."""
+    n_docs = ds.count()
     bands_ds = ds.map_batches(
         MinHashSignatures, fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
         batch_format="pyarrow", concurrency=(1, 4))
-    pairs = ray.data.from_arrow(lsh_candidate_pairs(
-        bands_ds, id_col, est_rows=ds.count() * bands))
-    texts_ref = _broadcast_texts(ds, id_col, text_col)
-    verified = pairs.map_batches(VerifyJaccard, fn_constructor_args=(texts_ref, shingle_k),
-                                 batch_format="pyarrow", concurrency=(1, 4))
+    pairs_t = lsh_candidate_pairs(bands_ds, id_col, est_rows=n_docs * bands)
+    if n_docs <= broadcast_max_docs:
+        texts_ref = _broadcast_texts(ds, id_col, text_col)
+        verified = ray.data.from_arrow(pairs_t).map_batches(
+            VerifyJaccard, fn_constructor_args=(texts_ref, shingle_k),
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        verified = _verify_pairs_join(pairs_t, ds, id_col, text_col, shingle_k)
     return _filter_dropped(ds, id_col, _drop_set(verified, threshold))
 
 
 def ngram_jaccard_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                         threshold: float = 0.8, char_ngram: int = 5,
-                        num_perm: int = 128, bands: int = 32) -> ray.data.Dataset:
+                        num_perm: int = 128, bands: int = 32,
+                        broadcast_max_docs: int = 2_000_000) -> ray.data.Dataset:
     """Character-n-gram Jaccard dedup: LSH candidates over char-shingle
-    minhash, exact char-n-gram jaccard verify."""
+    minhash, exact char-n-gram jaccard verify (same size-based verify
+    switch as ``minhash_lsh_dedup``)."""
 
     class CharSignatures(MinHashSignatures):
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -298,15 +346,19 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                 "band_key": pa.array(out_band, pa.int64()),
             })
 
+    n_docs = ds.count()
     bands_ds = ds.map_batches(
         CharSignatures, fn_constructor_args=(id_col, text_col, num_perm, bands),
         batch_format="pyarrow", concurrency=(1, 4))
-    pairs = ray.data.from_arrow(lsh_candidate_pairs(
-        bands_ds, id_col, est_rows=ds.count() * bands))
-    texts_ref = _broadcast_texts(ds, id_col, text_col)
-    verified = pairs.map_batches(
-        VerifyJaccard, fn_constructor_args=(texts_ref, 3, char_ngram),
-        batch_format="pyarrow", concurrency=(1, 4))
+    pairs_t = lsh_candidate_pairs(bands_ds, id_col, est_rows=n_docs * bands)
+    if n_docs <= broadcast_max_docs:
+        texts_ref = _broadcast_texts(ds, id_col, text_col)
+        verified = ray.data.from_arrow(pairs_t).map_batches(
+            VerifyJaccard, fn_constructor_args=(texts_ref, 3, char_ngram),
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        verified = _verify_pairs_join(pairs_t, ds, id_col, text_col, 3,
+                                      char_ngram)
     return _filter_dropped(ds, id_col, _drop_set(verified, threshold))
 
 
@@ -423,13 +475,21 @@ class EmbeddingNearDupExact:
         return batch.filter(pa.array(~dominated))
 
 
-def embedding_neardup_dedup(ds: ray.data.Dataset, threshold: float = 0.35
-                            ) -> ray.data.Dataset:
-    """Embedding-cosine near-dup dedup, exact dominated-by-smaller-id.
+def embedding_neardup_dedup(ds: ray.data.Dataset, threshold: float = 0.35,
+                            exact_max_rows: int = 100_000,
+                            nbits: int = 8) -> ray.data.Dataset:
+    """Embedding-cosine near-dup dedup, dominated-by-smaller-id.
 
-    Broadcasts the normalized matrix once (``ray.put``); every batch does
-    one float64 matmul against it — vectorized, zero-copy in.
-    """
+    Size-based switch: up to ``exact_max_rows`` vectors the EXACT path
+    broadcasts the normalized matrix once (``ray.put``) and every batch
+    does one float64 matmul against it — O(n²) work that is fine for a
+    shard-sized corpus but a scale-killer beyond it. Above the threshold
+    it routes to ``embedding_lsh_dedup`` (hyperplane buckets, exact
+    cosine within bucket — approximate recall, measured in tests)."""
+    if ds.count() > exact_max_rows:
+        dim = len(ds.take(1)[0]["embedding"])
+        return embedding_lsh_dedup(ds, dim=dim, threshold=threshold,
+                                   nbits=nbits)
     ids, vecs = [], []
     for b in ds.select_columns(["vec_id", "embedding"]).iter_batches(
             batch_format="pyarrow", batch_size=65536):

@@ -397,3 +397,84 @@ def test_kmeans_distributed_deterministic_and_usable(emb_table):
         a = set(approx[approx["query_id"] == q]["vec_id"])
         hits += len(e & a); tot += len(e)
     assert hits / tot >= 0.4
+
+
+# -- round-2 scale paths (VERDICT.md next-round items 5-7, ADVICE fixes) -----
+
+def test_minhash_join_verify_path_matches_broadcast(docs_table):
+    """Forcing the Dataset.join verification path (broadcast_max_docs=0)
+    must keep exactly the same documents as the broadcast path."""
+    ds = _docs_ds(docs_table)
+    want = sorted(minhash_lsh_dedup(ds, "doc_id", "text",
+                                    threshold=0.6).to_pandas()["doc_id"])
+    got = sorted(minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.6,
+                                   broadcast_max_docs=0).to_pandas()["doc_id"])
+    assert got == want
+
+
+def test_ngram_join_verify_path_matches_broadcast(docs_table):
+    ds = _docs_ds(docs_table)
+    want = sorted(ngram_jaccard_dedup(ds, "doc_id", "text",
+                                      threshold=0.8).to_pandas()["doc_id"])
+    got = sorted(ngram_jaccard_dedup(ds, "doc_id", "text", threshold=0.8,
+                                     broadcast_max_docs=0).to_pandas()["doc_id"])
+    assert got == want
+
+
+def test_keyed_joins_match_broadcast():
+    """anti_join/semi_join with broadcast_max=0 exercise Ray's native
+    left_anti/left_semi hash join (the large-right-side path)."""
+    from paperchase_crawler_ray.ops.relational import anti_join, semi_join
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4, 2], "x": list("abcde")}))
+    right = ray.data.from_pandas(pd.DataFrame({"j": [2, 4, 9, 2]}))
+    anti = anti_join(left, "k", right, "j", broadcast_max=0,
+                     num_partitions=4).to_pandas()
+    semi = semi_join(left, "k", right, "j", broadcast_max=0,
+                     num_partitions=4).to_pandas()
+    assert sorted(anti["k"]) == [1, 3]
+    assert sorted(semi["k"]) == [2, 2, 4]  # left multiplicity preserved
+    # duplicate right keys must not duplicate left rows in the semi join
+    assert len(semi) == 3
+
+
+def test_embed_neardup_size_switch_routes_to_lsh(emb_table):
+    """Above exact_max_rows the op must route to the LSH scale path and
+    return the same survivors as calling embedding_lsh_dedup directly."""
+    ds = ray.data.from_arrow(emb_table)
+    direct = sorted(embedding_lsh_dedup(ds, dim=64, threshold=0.32,
+                                        nbits=8).to_pandas()["vec_id"])
+    routed = sorted(embedding_neardup_dedup(ds, threshold=0.32,
+                                            exact_max_rows=0,
+                                            nbits=8).to_pandas()["vec_id"])
+    assert routed == direct
+    exact = set(embedding_neardup_dedup(ds, threshold=0.32).to_pandas()["vec_id"])
+    assert exact <= set(routed)  # LSH only misses pairs, never invents
+
+
+def test_exact_dedup_descending_string_key():
+    """ADVICE round 1: descending NON-NUMERIC order keys must pick the
+    lexicographically-largest winner in BOTH phases."""
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "s": ["apple", "zebra", "mango", "beta", "alpha"],
+        "id": [10, 11, 12, 13, 14],
+    })
+    # one row per block forces the cross-block final phase to do the work
+    ds = ray.data.from_pandas([df.iloc[[i]] for i in range(len(df))])
+    got = exact_dedup(ds, ["k"], [("s", True), ("id", False)]).to_pandas()
+    got = got.sort_values("k")
+    assert got["id"].tolist() == [11, 13]
+
+
+def test_global_topk_descending_string():
+    """ADVICE round 1: the per-block prune must not discard true top-k
+    rows under a descending non-numeric order column (dense-rank
+    inversion, ties falling through to the tie-break key)."""
+    df = pd.DataFrame({
+        "s": ["kiwi", "zeta", "zeta", "apple", "mango", "zeta"],
+        "id": [1, 5, 2, 3, 4, 0],
+    })
+    ds = ray.data.from_pandas([df.iloc[[i, i + 1]] for i in (0, 2, 4)])
+    got = global_topk(ds, [("s", True), ("id", False)], 3).to_pandas()
+    assert got["id"].tolist() == [0, 2, 5]
