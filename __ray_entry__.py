@@ -199,19 +199,19 @@ def _q_grouped_median(sf: str):
 
 
 def _q_word_count(sf: str):
-    """Corpus word count: per-batch token explode (vectorized flat-map)
-    -> wide groupby-count -> top 50 by (count desc, word). The classic
-    vocabulary-statistics pipeline over the documents table."""
-    import re as _re
+    """Corpus word count: per-batch token explode (Arrow-native regex
+    split + flatten, no per-row Python) -> wide groupby-count -> top 50
+    by (count desc, word). The classic vocabulary-statistics pipeline
+    over the documents table."""
     from paperchase_crawler_ray.ops.relational import global_topk
     docs = _rp(sf, "documents", columns=["text"])
-    wre = _re.compile(r"\w+")
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        words = []
-        for t in batch.column("text").to_pylist():
-            words.extend(wre.findall(t.lower()))
-        return pa.table({"word": pa.array(words, pa.string())})
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\W+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"word": flat})
 
     counts = _rename(docs.map_batches(explode_tokens, batch_format="pyarrow")
                      .groupby("word").count(), {"count()": "c"})
@@ -219,16 +219,15 @@ def _q_word_count(sf: str):
 
 
 def _q_redact(sf: str):
-    """PII-style scrub: digits -> '#' (vectorized regex via re.sub;
-    byte-identical to DuckDB regexp_replace global)."""
-    import re as _re
+    """PII-style scrub: digits -> '#' (Arrow-native RE2 kernel —
+    the same regex engine DuckDB's regexp_replace uses)."""
     docs = _rp(sf, "documents", columns=["doc_id", "text"])
-    digit = _re.compile(r"\d")
 
     def scrub(batch: pa.Table) -> pa.Table:
-        red = [digit.sub("#", t) for t in batch.column("text").to_pylist()]
+        red = pc.replace_substring_regex(batch.column("text"),
+                                         pattern=r"\d", replacement="#")
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "redacted": pa.array(red, pa.string())})
+                         "redacted": red})
 
     return docs.map_batches(scrub, batch_format="pyarrow")
 
@@ -369,6 +368,62 @@ def _q_image_features(sf: str):
         ["image_id", "w", "h", "fmt", "phash"])
 
 
+def _q_anti_join_keyed(sf: str):
+    """J1 large-side path: Ray native hash left_anti join (broadcast_max=0
+    forces the keyed path so the driver oracle checks it, not just the
+    broadcast filter)."""
+    from paperchase_crawler_ray.ops.relational import anti_join
+    ev = _rp(sf, "events", columns=["event_id", "user_id"])
+    cust = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'")
+    return anti_join(ev, "user_id", cust, "c_custkey",
+                     broadcast_max=0).select_columns(["event_id", "user_id"])
+
+
+def _q_semi_join_keyed(sf: str):
+    """J3 large-side path: Ray native hash left_semi join."""
+    from paperchase_crawler_ray.ops.relational import semi_join
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'")
+    return semi_join(o, "o_custkey", c, "c_custkey", broadcast_max=0) \
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+def _q_grouped_topk(sf: str):
+    """Per-group top-k (O2 generalized): top 3 events by value per
+    event_type, deterministic event_id tie-break."""
+    from paperchase_crawler_ray.ops.relational import grouped_topk
+    ev = _rp(sf, "events", columns=["event_id", "event_type", "value"])
+    return grouped_topk(ev, "event_type", "value", 3, descending=True,
+                        tie_col="event_id") \
+        .select_columns(["event_id", "event_type", "value"])
+
+
+def _q_lookup_join(sf: str):
+    """J2 generalized: map-side broadcast dimension lookup (no shuffle of
+    the big side) — attach the customer segment to orders, count per
+    segment."""
+    from paperchase_crawler_ray.ops.relational import broadcast_lookup_join
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    c = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_lookup_join(o, "o_custkey", c, "c_custkey",
+                                   ["c_mktsegment"])
+    return _rename(joined.groupby("c_mktsegment").count(),
+                   {"count()": "n_orders"})
+
+
+def _q_rolling_max(sf: str):
+    """Windowed aggregate: per-user rolling MAX of value over the last 3
+    events ordered by (ts, event_id). MAX is order-insensitive, so the
+    float column is safe under the driver's hash compare."""
+    from paperchase_crawler_ray.ops.relational import grouped_rolling_max
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_rolling_max(ev, "user_id", "ts", "value", window=3,
+                              tie_col="event_id")
+    return out.select_columns(["event_id", "user_id", "rolling_max"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -378,6 +433,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk": _q_topk,
         "q_scope_semi": _q_scope_semi,
         "q_equi_join": _q_equi_join,
+        "q_anti_join_keyed": _q_anti_join_keyed,
+        "q_semi_join_keyed": _q_semi_join_keyed,
+        "q_grouped_topk": _q_grouped_topk,
+        "q_lookup_join": _q_lookup_join,
+        "q_rolling_max": _q_rolling_max,
         "q_union_budget": _q_union_budget,
         "q_window_wave": _q_window_wave,
         "q_props_json": _q_props_json,
@@ -438,6 +498,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, COUNT(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+        "q_anti_join_keyed":
+            "SELECT event_id, user_id FROM events e WHERE NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id "
+            "AND c.c_mktsegment = 'BUILDING')",
+        "q_semi_join_keyed":
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')",
+        "q_grouped_topk":
+            "SELECT event_id, event_type, value FROM events "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY value DESC, event_id) <= 3",
+        "q_lookup_join":
+            "SELECT c_mktsegment, COUNT(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "q_rolling_max":
+            "SELECT event_id, user_id, MAX(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max "
+            "FROM events",
         "q_union_budget":
             "SELECT event_id, event_type, value FROM ("
             "SELECT event_id, event_type, value FROM events "

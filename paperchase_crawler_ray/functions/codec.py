@@ -137,21 +137,29 @@ def png_decode(data: bytes) -> np.ndarray:
         prev = out[y - 1] if y > 0 else np.zeros(stride, np.uint8)
         if ft == 0:
             out[y] = cur
-        elif ft == 1:  # Sub
+        elif ft == 1:  # Sub: channel-wise prefix sum mod 256 — vectorized
+            out[y] = (np.cumsum(cur.reshape(-1, bpp), axis=0,
+                                dtype=np.uint64) & 0xFF).astype(np.uint8) \
+                .reshape(stride)
+        elif ft == 2:  # Up — vectorized
+            out[y] = cur + prev  # uint8 wraps mod 256, which is the spec
+        elif ft == 3:  # Average: sequential in x; list-int loop (no
+            # per-element numpy indexing — ~10x over scalar array ops)
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            o = [0] * stride
             for x in range(stride):
-                left = out[y, x - bpp] if x >= bpp else 0
-                out[y, x] = (int(cur[x]) + int(left)) & 0xFF
-        elif ft == 2:  # Up
-            out[y] = (cur.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
-        elif ft == 3:  # Average
+                left = o[x - bpp] if x >= bpp else 0
+                o[x] = (cur_l[x] + ((left + prev_l[x]) >> 1)) & 0xFF
+            out[y] = o
+        elif ft == 4:  # Paeth: sequential in x; list-int loop
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            o = [0] * stride
             for x in range(stride):
-                left = int(out[y, x - bpp]) if x >= bpp else 0
-                out[y, x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                left = int(out[y, x - bpp]) if x >= bpp else 0
-                up = int(prev[x])
-                ul = int(prev[x - bpp]) if x >= bpp else 0
+                left = o[x - bpp] if x >= bpp else 0
+                up = prev_l[x]
+                ul = prev_l[x - bpp] if x >= bpp else 0
                 p = left + up - ul
                 pa, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
                 if pa <= pb_ and pa <= pc_:
@@ -160,7 +168,8 @@ def png_decode(data: bytes) -> np.ndarray:
                     pred = up
                 else:
                     pred = ul
-                out[y, x] = (int(cur[x]) + pred) & 0xFF
+                o[x] = (cur_l[x] + pred) & 0xFF
+            out[y] = o
         else:
             raise UnsupportedFormatError(f"bad PNG filter {ft}")
     img = out.reshape(h, w, nch)

@@ -155,6 +155,71 @@ def grouped_topk(ds: ray.data.Dataset, group_key: str, order_col: str,
     return ds.groupby(group_key).map_groups(topk, batch_format="pandas")
 
 
+def broadcast_lookup_join(ds: ray.data.Dataset, key: str,
+                          small: ray.data.Dataset, small_key: str,
+                          value_cols: list[str]) -> ray.data.Dataset:
+    """Map-side equi join against a SMALL dimension table: the right side
+    is distilled to per-column arrays on the driver, broadcast once via
+    ``ray.put``, and attached per batch with a vectorized searchsorted
+    lookup — no shuffle of the (big) left side at all. Inner-join
+    semantics on a UNIQUE right key (dimension-table contract)."""
+    parts = [pa.table(b) if not isinstance(b, pa.Table) else b
+             for b in small.select_columns([small_key] + value_cols)
+             .iter_batches(batch_format="pyarrow", batch_size=65536)]
+    t = pa.concat_tables(parts)
+    keys_np = t.column(small_key).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys_np)
+    if len(keys_np) and (keys_np[order][1:] == keys_np[order][:-1]).any():
+        raise ValueError(f"broadcast_lookup_join: right key {small_key!r} "
+                         "is not unique")
+    ref = ray.put((keys_np[order],
+                   {c: t.column(c).take(pa.array(order)).combine_chunks()
+                    for c in value_cols}))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        rkeys, vals = ray.get(ref)
+        h = batch.column(key).to_numpy(zero_copy_only=False)
+        if len(rkeys) == 0:
+            hit = np.zeros(len(h), bool)
+            pos_c = np.zeros(len(h), np.int64)
+        else:
+            pos_c = np.minimum(np.searchsorted(rkeys, h), len(rkeys) - 1)
+            hit = rkeys[pos_c] == h
+        out = batch.filter(pa.array(hit))
+        take = pa.array(pos_c[hit], pa.int64())
+        for c in value_cols:
+            out = out.append_column(c, vals[c].take(take))
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def grouped_rolling_max(ds: ray.data.Dataset, key: str, ts_col: str,
+                        value_col: str, window: int,
+                        tie_col: str | None = None,
+                        out_col: str = "rolling_max") -> ray.data.Dataset:
+    """Windowed aggregate: per-key rolling MAX over the last ``window``
+    rows ordered by (ts, tie) — ``MAX(v) OVER (PARTITION BY key ORDER BY
+    ts, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``. One hash
+    shuffle (groupby), vectorized shifted-array max inside each group.
+    MAX (unlike SUM/AVG of floats) is order-insensitive, so the result is
+    bit-exact vs any SQL engine."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(((g[tie_col].to_numpy() if tie_col is not None
+                             else np.arange(len(g))),
+                            g[ts_col].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        v = g[value_col].to_numpy()
+        acc = v.copy()
+        for s in range(1, min(window, len(v))):
+            acc[s:] = np.maximum(acc[s:], v[:-s] if s else v)
+        g[out_col] = acc
+        return g
+
+    return ds.groupby(key).map_groups(roll, batch_format="pandas")
+
+
 def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
                gap_minutes: float = 30.0, tie_col: str | None = None
                ) -> ray.data.Dataset:

@@ -13,7 +13,11 @@ Per wave (as built — see SURVEY.md §2.9b for the operator map):
     -> materialize (compact rows) -> [admitted log | deferred]
   admitted -> seen-insert -> fetch -> parse -> parsed.parquet
   parsed -> links + redirects -> (∪ deferred) -> next frontier.parquet
-  parsed -> images -> img-seen -> fetch -> decode+phash
+  parsed -> images pass 1: explode -> canonicalize -> block-dedup
+         -> offer winner keys to seen-shard actors -> img_refs/ parquet
+            (NARROW; the write is the offer barrier — no keyed shuffle)
+  img_refs -> pass 2: winner-filter+seen-insert [actor RPC] -> unkeyed
+         rebalance -> fetch -> decode+phash
          -> images/ parquet (written ONCE, uncompressed)
          -> near-dup drop set from a column-pruned narrow read
          -> images_tombstones.parquet sidecar (delete-vector pattern;
@@ -85,6 +89,9 @@ class RunConfig:
     host_partitions: int = 8
     neardup_partitions: int = 4
     neardup_driver_max: int = 2_000_000
+    admitted_driver_max: int = 2_000_000  # narrow-log rows above which the
+                                          # fetch_seq rank uses the
+                                          # distributed sort path
     driver_wave_max: int = 20000   # frontier rows below which the narrow
                                    # wave plane runs driver-local (above
                                    # this, driver-serial canonicalize
@@ -138,18 +145,33 @@ class CrawlResult:
         return ds.map_batches(apply_tombstones, batch_format="pyarrow")
 
     def admitted_per_wave(self) -> list[list[str]]:
+        """Per-wave admitted URLs in fetch order, read from the IN-BAND
+        ``fetch_seq`` column (cumulative across waves, assigned at
+        admission under the deterministic total order)."""
         out = []
         for k in range(self.waves_run):
             path = os.path.join(self.out_dir, f"wave={k}", "admitted")
             if not os.path.isdir(path) or not os.listdir(path):
                 out.append([])
                 continue
-            t = pq.read_table(path)
-            idx = np.lexsort((t.column("url_hash").to_numpy(),
-                              t.column("depth").to_numpy(zero_copy_only=False),
-                              -t.column("priority").to_numpy()))
+            t = pq.read_table(path, columns=["url_canon", "fetch_seq"])
+            idx = np.argsort(t.column("fetch_seq").to_numpy())
             vals = t.column("url_canon").to_pylist()
             out.append([vals[i] for i in idx])
+        return out
+
+    def fetch_seq_bounds(self) -> list[tuple[int, int, int]]:
+        """(min, max, count) of fetch_seq per wave — the lineage
+        reconciliation hook: the global sequence must be contiguous."""
+        out = []
+        for k in range(self.waves_run):
+            path = os.path.join(self.out_dir, f"wave={k}", "admitted")
+            if not os.path.isdir(path) or not os.listdir(path):
+                out.append((0, -1, 0))
+                continue
+            s = pq.read_table(path, columns=["fetch_seq"]).column("fetch_seq")
+            a = s.to_numpy()
+            out.append((int(a.min()), int(a.max()), len(a)))
         return out
 
     def seen_hashes(self) -> set[int]:
@@ -211,6 +233,62 @@ def _load_seen(handles: list, out_dir: str, wave: int, nshards: int) -> None:
             st["size"] = int(st["size"])
         states.append(st)
     restore_seen(handles, states)
+
+
+@ray.remote(num_cpus=0)
+def _block_nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _write_seq_block(t: pa.Table, offset: int, path: str) -> int:
+    seq = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64),
+                   pa.int64())
+    pq.write_table(t.append_column("fetch_seq", seq), path,
+                   row_group_size=4096)
+    return t.num_rows
+
+
+def _write_admitted_log(adm: "ray.data.Dataset", out_dir: str,
+                        seq_base: int, n_hint: int = 0,
+                        driver_max: int = 2_000_000) -> int:
+    """Sort the admitted rows into the wave's deterministic fetch order
+    and write them with a contiguous cumulative ``fetch_seq`` column.
+
+    Small waves (narrow log ≤ ``driver_max`` rows, a few MB) rank on the
+    driver with one lexsort — a distributed sort of a small table costs
+    more in shuffle spinup than it parallelizes. Larger waves use the
+    distributed path: range-partitioned sort, then each block gets its
+    offset from the ordered block sizes (one tiny RPC each) and writes
+    its own file."""
+    os.makedirs(out_dir, exist_ok=True)
+    if n_hint <= driver_max:
+        parts = [b if isinstance(b, pa.Table) else pa.table(b)
+                 for b in adm.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)]
+        t = (pa.concat_tables(parts) if parts else None)
+        if t is None or t.num_rows == 0:
+            return 0
+        order = np.lexsort((t.column("url_hash").to_numpy(),
+                            t.column("depth").to_numpy(zero_copy_only=False),
+                            -t.column("priority").to_numpy()))
+        t = t.take(pa.array(order))
+        seq = pa.array(np.arange(seq_base, seq_base + t.num_rows,
+                                 dtype=np.int64), pa.int64())
+        pq.write_table(t.append_column("fetch_seq", seq),
+                       os.path.join(out_dir, "part-00000.parquet"),
+                       row_group_size=4096)
+        return t.num_rows
+    sorted_adm = adm.sort(["priority", "depth", "url_hash"],
+                          descending=[True, False, False])
+    refs = sorted_adm.to_arrow_refs()
+    sizes = ray.get([_block_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) + seq_base
+    writes = [_write_seq_block.remote(
+        r, int(off), os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        for i, (r, off, n) in enumerate(zip(refs, offsets, sizes)) if n]
+    ray.get(writes)
+    return int(sum(sizes))
 
 
 def seeds_to_frontier(seeds: pa.Table) -> pa.Table:
@@ -284,6 +362,17 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     if start_wave == 0:
         _write_frontier(seeds_to_frontier(seeds), out_dir, 0)
+
+    # fetch_seq is cumulative over the WHOLE crawl: a resumed run
+    # continues the sequence from the committed waves' admitted logs
+    # (parquet metadata row counts — no data read)
+    fetch_seq_base = 0
+    for k in range(start_wave):
+        d = os.path.join(_wave_dir(out_dir, k), "admitted")
+        if os.path.isdir(d):
+            fetch_seq_base += sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows
+                for f in os.listdir(d) if f.endswith(".parquet"))
 
     _mark("setup_resume")
     counters = {"admitted": 0, "deferred": 0, "fetched_pages": 0,
@@ -367,11 +456,19 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         admitted_dir = os.path.join(wd, "admitted")
         if os.path.isdir(admitted_dir):
             shutil.rmtree(admitted_dir, ignore_errors=True)
-        admitted.select_columns(
-            ["url_canon", "url_hash", "host", "depth", "priority", "seed_id"]
-        ).write_parquet(admitted_dir)
+        # Admitted log with an IN-BAND cumulative fetch_seq (SURVEY §2.10:
+        # the wave fetch order is the deterministic total order the oracle
+        # iterates — priority desc, depth asc, url_hash asc). One
+        # range-partitioned sort of the NARROW log columns, then
+        # contiguous ranks assigned per block from the ordered block
+        # sizes — distributed, the driver holds only block refs + counts.
+        n_admitted = _write_admitted_log(
+            admitted.select_columns(["url_canon", "url_hash", "host",
+                                     "depth", "priority", "seed_id"]),
+            admitted_dir, seq_base=fetch_seq_base, n_hint=n_sched,
+            driver_max=run.admitted_driver_max)
+        fetch_seq_base += n_admitted
         _mark("admitted_write")
-        n_admitted = admitted.count()  # sched is materialized: cheap
         counters["admitted"] += n_admitted
         counters["deferred"] += n_sched - n_admitted
 

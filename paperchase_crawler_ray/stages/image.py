@@ -109,22 +109,29 @@ def dedup_image_refs_block(batch: pa.Table) -> pa.Table:
 def _neardup_keep_indices(batch: pa.Table, hamming_max: int) -> np.ndarray:
     """Greedy keep-first by image_id within each phash-prefix bucket
     (the oracle's sequential pass), vectorized hamming per bucket.
-    Returns the KEPT row indices into ``batch`` (unsorted)."""
+    Returns the KEPT row indices into ``batch`` (unsorted).
+
+    Bucket boundaries are found vectorized and singleton buckets (the
+    vast majority — the bucket key is a 16-bit phash prefix) are kept
+    wholesale; the sequential greedy runs only inside multi-member
+    buckets, so the Python loop is O(collisions), not O(rows)."""
     order = np.lexsort((np.asarray(batch.column("image_id").to_pylist()),
                         batch.column("bucket").to_numpy(zero_copy_only=False)))
     bucket = batch.column("bucket").to_numpy(zero_copy_only=False)[order]
     ph = batch.column("phash").to_numpy(zero_copy_only=False)[order]
-    keep_idx: list[int] = []
-    start = 0
-    for i in range(1, len(order) + 1):
-        if i == len(order) or bucket[i] != bucket[start]:
-            kept: list[int] = []
-            for j in range(start, i):
-                if not kept or hamming64(ph[np.array(kept)], ph[j]).min() > hamming_max:
-                    kept.append(j)
-            keep_idx.extend(order[k] for k in kept)
-            start = i
-    return np.asarray(keep_idx, np.int64)
+    n = len(order)
+    starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+    ends = np.r_[starts[1:], n]
+    sizes = ends - starts
+    single = sizes == 1
+    keep_parts = [order[starts[single]]]
+    for s, e in zip(starts[~single], ends[~single]):
+        kept: list[int] = []
+        for j in range(s, e):
+            if not kept or hamming64(ph[np.array(kept)], ph[j]).min() > hamming_max:
+                kept.append(j)
+        keep_parts.append(order[np.asarray(kept, np.int64)])
+    return np.concatenate(keep_parts) if keep_parts else np.empty(0, np.int64)
 
 
 def neardup_block(batch: pa.Table, hamming_max: int = 2) -> pa.Table:

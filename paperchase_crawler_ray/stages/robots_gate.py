@@ -63,7 +63,10 @@ class RobotsGate:
     actor lazily parses rules per host from a broadcast robots table,
     with a bounded cache, then delegates filtering to RobotsFilter."""
 
-    def __init__(self, web_ref, max_cached_hosts: int = 100_000):
+    def __init__(self, web_ref, max_cached_hosts: int = 100_000,
+                 ttl_seconds: float = float("inf"), clock=None):
+        import time
+
         web = ray.get(web_ref) if not isinstance(web_ref, pa.Table) else web_ref
         # robots rows only — small even for a big fixture web
         mask = [u.endswith("/robots.txt") for u in web.column("url_canon").to_pylist()]
@@ -75,15 +78,25 @@ class RobotsGate:
         }
         self._rules: dict[str, RobotsRules] = {}
         self._max_cached = max_cached_hosts
+        # TTL: cached rules expire and re-resolve from the source — a
+        # no-op against a static fixture web, but the production contract
+        # (robots change under a live crawl). ``clock`` is injectable so
+        # tests can drive expiry deterministically.
+        self._ttl = ttl_seconds
+        self._clock = clock or time.monotonic
+        self._expiry: dict[str, float] = {}
 
     def _rules_for(self, host: str) -> RobotsRules:
+        now = self._clock()
         r = self._rules.get(host)
-        if r is None:
+        if r is None or self._expiry.get(host, float("inf")) <= now:
             body = self._robots_bodies.get(host)
             r = parse_robots(body) if body is not None else RobotsRules()
             if len(self._rules) >= self._max_cached:
                 self._rules.clear()
+                self._expiry.clear()
             self._rules[host] = r
+            self._expiry[host] = now + self._ttl
         return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:

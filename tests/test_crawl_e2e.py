@@ -130,3 +130,14 @@ def test_lineage_reconciles(ray_result):
     assert set(stages) == set(range(ray_result.waves_run))
     for w in stages:
         assert {"frontier", "schedule", "fetch_parse", "images"} <= stages[w]
+    # in-band fetch_seq (SURVEY §2.10) reconciles: one contiguous global
+    # sequence across waves, each wave's span matching its admitted count
+    base = 0
+    for lo, hi, n in ray_result.fetch_seq_bounds():
+        if n == 0:
+            continue
+        assert (lo, hi) == (base, base + n - 1)
+        base += n
+    schedule_out = sum(r["rows_out"] for r in ray_result.lineage
+                       if r["stage"] == "schedule")
+    assert base == schedule_out

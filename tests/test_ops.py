@@ -478,3 +478,42 @@ def test_global_topk_descending_string():
     ds = ray.data.from_pandas([df.iloc[[i, i + 1]] for i in (0, 2, 4)])
     got = global_topk(ds, [("s", True), ("id", False)], 3).to_pandas()
     assert got["id"].tolist() == [0, 2, 5]
+
+
+def test_broadcast_lookup_join_matches_pandas():
+    from paperchase_crawler_ray.ops.relational import broadcast_lookup_join
+    left = pd.DataFrame({"k": [3, 1, 9, 1, 5], "x": list("abcde")})
+    dim = pd.DataFrame({"j": [1, 3, 5], "name": ["one", "three", "five"]})
+    got = broadcast_lookup_join(
+        ray.data.from_pandas(left), "k",
+        ray.data.from_pandas(dim), "j", ["name"]).to_pandas()
+    want = left.merge(dim, left_on="k", right_on="j")[["k", "x", "name"]]
+    got = got.sort_values(["k", "x"]).reset_index(drop=True)
+    want = want.sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "x", "name"]], want)
+    with pytest.raises(Exception):
+        # non-unique right key must be rejected, not silently mis-joined
+        broadcast_lookup_join(
+            ray.data.from_pandas(left), "k",
+            ray.data.from_pandas(pd.DataFrame({"j": [1, 1], "name": ["a", "b"]})),
+            "j", ["name"])
+
+
+def test_grouped_rolling_max_matches_pandas():
+    from paperchase_crawler_ray.ops.relational import grouped_rolling_max
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": rng.permutation(200),
+        "id": np.arange(200),
+        "v": rng.random(200),
+    })
+    got = grouped_rolling_max(ray.data.from_pandas(df), "k", "ts", "v",
+                              window=3, tie_col="id").to_pandas()
+    want = df.sort_values(["k", "ts", "id"]).copy()
+    want["rolling_max"] = want.groupby("k")["v"].transform(
+        lambda s: s.rolling(3, min_periods=1).max())
+    got = got.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    assert np.array_equal(got["rolling_max"].to_numpy(),
+                          want["rolling_max"].to_numpy())

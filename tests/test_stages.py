@@ -129,3 +129,32 @@ def test_generative_fetcher_matches_eager_web():
     for u, b in imgs[:20]:
         data, fmt = gen_image_bytes(u, 1)
         assert data == b, u
+
+
+def test_robots_gate_ttl_refetches():
+    """Cached robots rules expire after ttl_seconds and re-resolve from
+    the source (the production live-crawl contract; injectable clock)."""
+    import pyarrow as pa
+    from paperchase_crawler_ray.stages.robots_gate import RobotsGate
+
+    web = pa.table({
+        "url_canon": ["http://h.example/robots.txt"],
+        "body": [b"User-agent: *\nDisallow: /private\n"],
+        "status": pa.array([200], pa.int32()),
+        "content_type": ["text/plain"],
+        "location": [""],
+    })
+    t = {"now": 0.0}
+    gate = RobotsGate(web, ttl_seconds=10.0, clock=lambda: t["now"])
+    batch = pa.table({"host": ["h.example"] * 2,
+                      "url_canon": ["http://h.example/ok",
+                                    "http://h.example/private/x"]})
+    out = gate(batch)
+    assert out.column("url_canon").to_pylist() == ["http://h.example/ok"]
+    # origin's robots changes; cache still fresh -> old rules apply
+    gate._robots_bodies["h.example"] = b"User-agent: *\nDisallow: /ok\n"
+    assert gate(batch).column("url_canon").to_pylist() == ["http://h.example/ok"]
+    # past TTL -> re-parse picks up the new rules
+    t["now"] = 11.0
+    assert gate(batch).column("url_canon").to_pylist() == \
+        ["http://h.example/private/x"]
