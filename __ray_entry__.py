@@ -424,6 +424,24 @@ def _q_rolling_max(sf: str):
     return out.select_columns(["event_id", "user_id", "rolling_max"])
 
 
+def _q_dup_clusters(sf: str):
+    """Near-dup cluster assignment (rows-only: LSH banding is not
+    SQL-expressible; the pytest naive twin checks the semantics)."""
+    from paperchase_crawler_ray.ops.dedup import duplicate_clusters
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return duplicate_clusters(docs, "doc_id", "text", threshold=0.6) \
+        .select_columns(["doc_id", "cluster_id"])
+
+
+def _q_tfidf(sf: str):
+    """TF-IDF over the documents corpus: explode -> tf -> ONE term
+    groupby for df -> broadcast df lookup -> per-row score (rounded so
+    the float hash compares exactly)."""
+    from paperchase_crawler_ray.ops.textstats import tfidf
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return tfidf(docs).select_columns(["doc_id", "term", "tfidf"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -438,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_topk": _q_grouped_topk,
         "q_lookup_join": _q_lookup_join,
         "q_rolling_max": _q_rolling_max,
+        "q_tfidf": _q_tfidf,
+        "q_dup_clusters": _q_dup_clusters,
         "q_union_budget": _q_union_budget,
         "q_window_wave": _q_window_wave,
         "q_props_json": _q_props_json,
@@ -518,6 +538,16 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max "
             "FROM events",
+        "q_tfidf":
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(text), '\\w+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n FROM documents) "
+            "SELECT t.doc_id, t.term, "
+            "ROUND(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf "
+            "FROM tf t JOIN df d USING (term) CROSS JOIN n",
         "q_union_budget":
             "SELECT event_id, event_type, value FROM ("
             "SELECT event_id, event_type, value FROM events "

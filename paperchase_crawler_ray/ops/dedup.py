@@ -290,7 +290,8 @@ def _verify_pairs_join(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
             [jaccard(_shingle_set(a, shingle_k, char_ngram),
                      _shingle_set(b, shingle_k, char_ngram))
              for a, b in zip(ta, tb)], np.float64)
-        return pa.table({"id_b": batch.column("id_b"),
+        return pa.table({"id_a": batch.column("id_a"),
+                         "id_b": batch.column("id_b"),
                          "sim": pa.array(sims, pa.float64())})
 
     return j2.map_batches(verify, batch_format="pyarrow")
@@ -377,6 +378,78 @@ def _ngram_hashes(text: str, n: int) -> np.ndarray:
     for j in range(n):
         acc = acc * B + c[j:j + n_out]
     return np.unique(acc & np.uint64((1 << 61) - 1))
+
+
+def duplicate_clusters(ds: ray.data.Dataset, id_col: str, text_col: str,
+                       threshold: float = 0.6, num_perm: int = 128,
+                       bands: int = 16, shingle_k: int = 3,
+                       broadcast_max_docs: int = 2_000_000
+                       ) -> ray.data.Dataset:
+    """Near-duplicate CLUSTER assignment: every row gets a ``cluster_id``
+    = the smallest doc id in its duplicate component (connected
+    components over the verified MinHash-LSH pair graph; singletons get
+    their own id).
+
+    Scale shape: identical candidate/verify pipeline to
+    ``minhash_lsh_dedup``; the passing pair list is small by LSH
+    construction, so the union-find runs on the driver and the resulting
+    (id -> root) map — only ids that belong to a non-trivial component —
+    broadcasts via ``ray.put``. This is how training pipelines keep ONE
+    canonical doc per cluster while retaining cluster lineage."""
+    n_docs = ds.count()
+    bands_ds = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
+        batch_format="pyarrow", concurrency=(1, 4))
+    pairs_t = lsh_candidate_pairs(bands_ds, id_col, est_rows=n_docs * bands)
+    if n_docs <= broadcast_max_docs:
+        texts_ref = _broadcast_texts(ds, id_col, text_col)
+        verified = ray.data.from_arrow(pairs_t).map_batches(
+            VerifyJaccard, fn_constructor_args=(texts_ref, shingle_k),
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        verified = _verify_pairs_join(pairs_t, ds, id_col, text_col,
+                                      shingle_k)
+    # union-find over passing pairs (needs id_a too, so not _drop_set)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in verified.iter_batches(batch_format="pyarrow", batch_size=65536):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        sims = t.column("sim").to_numpy(zero_copy_only=False)
+        # _verify_pairs_join emits only (id_b, sim); recover id_a from the
+        # pairs table by joining on position is fragile — so re-derive the
+        # passing mask against pairs_t when id_a is absent.
+        if "id_a" in t.column_names:
+            ia = t.column("id_a").to_pylist()
+            ib = t.column("id_b").to_pylist()
+            for a_, b_, s in zip(ia, ib, sims):
+                if s >= threshold:
+                    ra, rb = find(a_), find(b_)
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+        else:
+            raise ValueError("duplicate_clusters requires id_a in the "
+                             "verified pair stream")
+    roots = {x: find(x) for x in list(parent)}
+    ref = ray.put(roots)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch.column(id_col).to_pylist()
+        cl = [m.get(i, i) for i in ids]
+        return batch.append_column(
+            "cluster_id", pa.array(cl, batch.schema.field(id_col).type))
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
 
 
 class SimHashBuckets:

@@ -116,6 +116,60 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("text_hash", pa.array(xh, pa.int64()))
 
 
+def tfidf(ds: ray.data.Dataset, id_col: str = "doc_id",
+          text_col: str = "text", round_digits: int = 6,
+          n_docs: int | None = None) -> ray.data.Dataset:
+    """TF-IDF scoring: one row per distinct (doc, term) with
+    ``tfidf = tf * ln(N / df)``, rounded per row so the SQL oracle's
+    value-hash compares exactly.
+
+    Scale shape: per-batch tokenize+count emits (doc, term, tf) rows
+    (the explode), ONE groupby(term) computes document frequencies, and
+    the df table — vocabulary-sized, orders of magnitude smaller than
+    the corpus — broadcasts back onto the tf rows via the map-side
+    lookup join (no second shuffle). Above a driver-memory-sized
+    vocabulary, swap the lookup for ``Dataset.join`` on term."""
+    from collections import Counter
+
+    from .relational import broadcast_lookup_join
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def doc_term_tf(batch: pa.Table) -> pa.Table:
+        ids_out, terms_out, tf_out = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for term, k in Counter(
+                    w.lower() for w in _WORD_RE.findall(t)).items():
+                ids_out.append(i)
+                terms_out.append(term)
+                tf_out.append(k)
+        return pa.table({
+            id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+            "term": pa.array(terms_out, pa.string()),
+            "tf": pa.array(np.asarray(tf_out, np.int64), pa.int64()),
+        })
+
+    dt = ds.map_batches(doc_term_tf, batch_format="pyarrow")
+    df_ds = dt.groupby("term").count()
+
+    def rename_df(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["df" if c == "count()" else c
+                                 for c in b.column_names])
+
+    df_small = df_ds.map_batches(rename_df, batch_format="pyarrow")
+    joined = broadcast_lookup_join(dt, "term", df_small, "term", ["df"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        val = np.round(tf * np.log(float(n_docs) / df), round_digits)
+        return batch.append_column("tfidf", pa.array(val, pa.float64()))
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
 def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(lambda b: token_count_batch(b, text_col),
                           batch_format="pyarrow")

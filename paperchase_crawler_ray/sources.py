@@ -86,14 +86,32 @@ def write_image_table(ds: ray.data.Dataset, path: str,
     ds.write_parquet(path, compression="none")
 
 
+@ray.remote
+def _compact_file(fp: str, dead) -> int:
+    """Rewrite one image file without tombstoned rows (atomic replace).
+    Returns rows dropped. A task per file: files are block-sized, so the
+    compaction parallelizes across the cluster like any map stage (the
+    drop set is passed as an ObjectRef — ray.put once, auto-dereferenced
+    here, never re-serialized per task)."""
+    t = pq.read_table(fp)
+    kept = t.filter(pc.invert(pc.is_in(t.column("image_id"),
+                                       value_set=dead)))
+    if kept.num_rows == t.num_rows:
+        return 0
+    tmp = fp + ".compact"
+    pq.write_table(kept, tmp, compression="none")
+    os.replace(tmp, fp)
+    return t.num_rows - kept.num_rows
+
+
 def compact_images(out_dir: str) -> int:
     """Fold the per-wave near-dup TOMBSTONE sidecars into the data files
     (the background-compaction half of the delete-vector design): each
-    wave's image files are rewritten without dead rows, file-by-file on
-    the driver (files are block-sized), then the sidecar is removed.
-    Returns the number of rows dropped. Idempotent and crash-safe: a
-    sidecar is deleted only after every file of its wave is rewritten.
-    """
+    wave's image files are rewritten without dead rows — ONE RAY TASK
+    PER FILE (the drop set broadcasts via ``ray.put``) — then the
+    sidecar is removed. Returns the number of rows dropped. Idempotent
+    and crash-safe: files are replaced atomically and a sidecar is
+    deleted only after every file of its wave is rewritten."""
     dropped = 0
     if not os.path.isdir(out_dir):
         return 0
@@ -106,18 +124,12 @@ def compact_images(out_dir: str) -> int:
             continue
         dead = pq.read_table(ts_path).column("image_id").combine_chunks()
         if len(dead) and os.path.isdir(img_dir):
-            for f in sorted(os.listdir(img_dir)):
-                if not f.endswith(".parquet"):
-                    continue
-                fp = os.path.join(img_dir, f)
-                t = pq.read_table(fp)
-                kept = t.filter(pc.invert(
-                    pc.is_in(t.column("image_id"), value_set=dead)))
-                if kept.num_rows != t.num_rows:
-                    dropped += t.num_rows - kept.num_rows
-                    tmp = fp + ".compact"
-                    pq.write_table(kept, tmp, compression="none")
-                    os.replace(tmp, fp)
+            dead_ref = ray.put(dead)
+            futures = [_compact_file.remote(os.path.join(img_dir, f),
+                                            dead_ref)
+                       for f in sorted(os.listdir(img_dir))
+                       if f.endswith(".parquet")]
+            dropped += sum(ray.get(futures))
         os.remove(ts_path)
     return dropped
 

@@ -517,3 +517,65 @@ def test_grouped_rolling_max_matches_pandas():
     want = want.reset_index(drop=True)
     assert np.array_equal(got["rolling_max"].to_numpy(),
                           want["rolling_max"].to_numpy())
+
+
+def test_duplicate_clusters_matches_naive(docs_table):
+    """cluster_id = min doc id of the connected component over verified
+    LSH duplicate pairs (same pair semantics as minhash_lsh_dedup)."""
+    from paperchase_crawler_ray.ops.dedup import duplicate_clusters
+    ids = docs_table.column("doc_id").to_pylist()
+    texts = docs_table.column("text").to_pylist()
+    a, b = minhash_params32(128)
+
+    def sig(t):
+        return minhash_sig32(word_shingles(t, 3), a, b)
+
+    def verify(t1, t2):
+        def s(t):
+            tk = tokens(t)
+            return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)} \
+                if len(tk) >= 3 else ({" ".join(tk)} if tk else set())
+        return jaccard(s(t1), s(t2))
+
+    # naive: same buckets/pairs, then BFS components
+    buckets: dict = {}
+    for i, t in zip(ids, texts):
+        for bk in band_keys(sig(t), 16):
+            buckets.setdefault(bk, []).append(i)
+    lookup = dict(zip(ids, texts))
+    adj: dict = {i: set() for i in ids}
+    for members in buckets.values():
+        ms = sorted(set(members))[:64]
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                if verify(lookup[ms[x]], lookup[ms[y]]) >= 0.6:
+                    adj[ms[x]].add(ms[y]); adj[ms[y]].add(ms[x])
+    want = {}
+    seen: set = set()
+    for i in sorted(ids):
+        if i in seen:
+            continue
+        comp, stack = [], [i]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v); comp.append(v)
+            stack.extend(adj[v] - seen)
+        root = min(comp)
+        for v in comp:
+            want[v] = root
+    got = duplicate_clusters(_docs_ds(docs_table), "doc_id", "text",
+                             threshold=0.6).to_pandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    assert any(v != k for k, v in want.items())  # non-trivial clusters exist
+
+
+def test_duplicate_clusters_join_path(docs_table):
+    from paperchase_crawler_ray.ops.dedup import duplicate_clusters
+    ds = _docs_ds(docs_table)
+    base = duplicate_clusters(ds, "doc_id", "text", threshold=0.6).to_pandas()
+    joined = duplicate_clusters(ds, "doc_id", "text", threshold=0.6,
+                                broadcast_max_docs=0).to_pandas()
+    assert dict(zip(base["doc_id"], base["cluster_id"])) == \
+        dict(zip(joined["doc_id"], joined["cluster_id"]))
