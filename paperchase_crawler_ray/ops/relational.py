@@ -27,7 +27,8 @@ import ray.data
 
 
 def exact_dedup(ds: ray.data.Dataset, keys: list[str],
-                order_by: list[tuple[str, bool]]) -> ray.data.Dataset:
+                order_by: list[tuple[str, bool]],
+                salt_partitions: int | None = None) -> ray.data.Dataset:
     """U2 generalized: keep one row per `keys` group — the first under
     `order_by` ([(col, descending)]; ties MUST be broken by a unique
     column for determinism).
@@ -38,7 +39,14 @@ def exact_dedup(ds: ray.data.Dataset, keys: list[str],
     equals global — shrinks the shuffle by each block's duplicate factor
     and caps what any hot key contributes per block to ONE row; then the
     hash-partitioned per-group final winner.
-    """
+
+    ``salt_partitions=k`` additionally inserts an EXPLICIT salt stage for
+    pathologically hot keys (BASELINE.json "hot-host salting"): rows
+    first group by (keys..., salt) so a hot key's survivors spread over k
+    reducers, then the k per-salt winners meet in the final keyed group.
+    Winner selection is associative, so the salted plan returns exactly
+    the unsalted result; the salt assignment needs no determinism at all
+    (round-robin within each block) because stage 2 re-reduces."""
     by = [c for c, _ in order_by]
     asc = [not d for _, d in order_by]
 
@@ -53,6 +61,23 @@ def exact_dedup(ds: ray.data.Dataset, keys: list[str],
 
     combined = ds.map_batches(block_winners, batch_format="pandas",
                               batch_size=None)
+    if salt_partitions and salt_partitions > 1:
+        k = int(salt_partitions)
+
+        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_salt"] = np.arange(len(df), dtype=np.int64) % k
+            return df
+
+        def drop_salt(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop(columns=["_salt"])
+
+        salted = (combined.map_batches(add_salt, batch_format="pandas")
+                  .groupby(keys + ["_salt"])
+                  .map_groups(first_row, batch_format="pandas")
+                  .map_batches(drop_salt, batch_format="pandas"))
+        return salted.groupby(keys).map_groups(first_row,
+                                               batch_format="pandas")
     return combined.groupby(keys).map_groups(first_row, batch_format="pandas")
 
 

@@ -12,16 +12,39 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.urlnorm import canonicalize, extract_host, url_hash64
 from ..oracle import CrawlConfig, score_priority
+
+# Conservative ALREADY-CANONICAL predicate (RE2, evaluated vectorized over
+# the whole batch): lowercase http(s) scheme, lowercase dot/hyphen host
+# with no port and no trailing dot, a mandatory absolute path drawn from
+# pchar-minus-'%' (so no escapes), no query, no fragment. Combined with a
+# "/."-free check (no dot segments, conservatively also sending hidden
+# paths to the slow lane), any match is a FIXPOINT of canonicalize() —
+# property-tested in tests/test_urlnorm.py.
+_FAST_URL_RE = (r"^https?://(?P<host>[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?)"
+                r"(?P<path>/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)$")
+
+
+def fast_canonical_mask(urls: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, list]:
+    """Vectorized mask of rows that are provably already canonical, plus
+    the extracted host per row (None where the mask is False)."""
+    ext = pc.extract_regex(urls, pattern=_FAST_URL_RE)
+    ok = pc.and_(pc.is_valid(ext),
+                 pc.invert(pc.match_substring(urls, pattern="/.")))
+    hosts = pc.if_else(ok, pc.struct_field(ext, "host"), None).to_pylist()
+    return ok.to_numpy(zero_copy_only=False), hosts
 
 
 class CanonicalizeBatch:
     """M1+M2+M3+M7: canonicalize, hash, host, scope-filter a frontier batch.
 
-    Used as an actor-pool stage so per-actor caches (repeat URLs across
-    batches are common in a crawl) amortize; safe as a plain task fn too.
+    Most crawl-discovered URLs are already canonical (they come out of our
+    own parser resolving against canonical bases), so a vectorized RE2
+    fixpoint test routes them around the per-row urllib normalization; the
+    slow lane keeps a per-instance cache for repeat offenders.
     """
 
     def __init__(self, cfg: CrawlConfig):
@@ -29,7 +52,9 @@ class CanonicalizeBatch:
         self._cache: dict[str, tuple[str, int, str]] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
+        urls_col = batch.column("url")
+        urls = urls_col.to_pylist()
+        fast, fast_hosts = fast_canonical_mask(urls_col)
         depths = batch.column("depth").to_numpy(zero_copy_only=False)
         canon_l: list[str] = []
         hash_l: list[int] = []
@@ -38,16 +63,20 @@ class CanonicalizeBatch:
         cache = self._cache
         suffix = self.cfg.host_suffix
         for i, u in enumerate(urls):
-            hit = cache.get(u)
-            if hit is None:
-                c = canonicalize(u)
-                if not c.startswith(("http://", "https://")):
-                    hit = ("", 0, "")
-                else:
-                    hit = (c, url_hash64(c), extract_host(c))
-                if len(cache) < 200_000:
-                    cache[u] = hit
-            c, h, host = hit
+            if fast[i]:
+                c, host = u, fast_hosts[i]
+                h = url_hash64(c)
+            else:
+                hit = cache.get(u)
+                if hit is None:
+                    c = canonicalize(u)
+                    if not c.startswith(("http://", "https://")):
+                        hit = ("", 0, "")
+                    else:
+                        hit = (c, url_hash64(c), extract_host(c))
+                    if len(cache) < 200_000:
+                        cache[u] = hit
+                c, h, host = hit
             if c and host.endswith(suffix) and depths[i] <= self.cfg.max_depth:
                 keep[i] = True
             canon_l.append(c)

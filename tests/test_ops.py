@@ -579,3 +579,24 @@ def test_duplicate_clusters_join_path(docs_table):
                                 broadcast_max_docs=0).to_pandas()
     assert dict(zip(base["doc_id"], base["cluster_id"])) == \
         dict(zip(joined["doc_id"], joined["cluster_id"]))
+
+
+def test_exact_dedup_salted_equals_unsalted():
+    """Explicit hot-key salting (BASELINE 'hot-host salting'): the salted
+    two-stage plan must return exactly the unsalted winners on skewed
+    data (one key holds 90% of rows)."""
+    rng = np.random.default_rng(3)
+    n = 5000
+    hot = rng.random(n) < 0.9
+    df = pd.DataFrame({
+        "k": np.where(hot, 7, rng.integers(0, 50, n)),
+        "v": rng.integers(0, 1 << 30, n),
+        "id": np.arange(n),
+    })
+    ds = ray.data.from_pandas([df.iloc[i::8].copy() for i in range(8)])
+    base = exact_dedup(ds, ["k"], [("v", False), ("id", False)]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    salted = exact_dedup(ds, ["k"], [("v", False), ("id", False)],
+                         salt_partitions=4) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, salted)

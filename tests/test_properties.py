@@ -91,3 +91,22 @@ def test_dedup_combiner_property(rows, split):
     direct = dedup_block(t)
     key = lambda tab: sorted(map(tuple, tab.to_pandas().values.tolist()))
     assert key(combined) == key(direct)
+
+
+@settings(max_examples=400, deadline=None)
+@given(s=st.text(alphabet="abzAZ09:/?#%.~-_@&=+!$'()*,;", min_size=1,
+                 max_size=48),
+       prefix=st.sampled_from(["", "http://", "https://", "HTTP://"]))
+def test_fast_canonical_mask_is_fixpoint(s, prefix):
+    """Any URL the vectorized already-canonical predicate accepts must be
+    a FIXPOINT of canonicalize() with a matching extracted host — the
+    fast path may only ever skip work, never change identity."""
+    import pyarrow as pa
+    from paperchase_crawler_ray.functions.urlnorm import (canonicalize,
+                                                          extract_host)
+    from paperchase_crawler_ray.stages.frontier import fast_canonical_mask
+    u = prefix + s
+    mask, hosts = fast_canonical_mask(pa.array([u]))
+    if mask[0]:
+        assert canonicalize(u) == u
+        assert extract_host(u) == hosts[0]
