@@ -609,6 +609,23 @@ def oracle_sql() -> dict[str, str]:
             f"x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stop, "
             "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) "
             "AS n_punct FROM documents",
+        "q_quality_score":
+            # same expression tree as ops/textstats.quality_score_batch —
+            # IEEE double arithmetic is bit-identical between numpy and
+            # DuckDB when the operation order matches (verified exact)
+            "WITH s AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tok, "
+            "CAST(len(list_distinct(regexp_extract_all(lower(text), "
+            "'\\w+'))) AS BIGINT) AS n_uniq, "
+            "CAST(len(list_filter(regexp_extract_all(lower(text), '\\w+'), "
+            f"x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stop FROM documents) "
+            "SELECT doc_id, LEAST(GREATEST("
+            "(CASE WHEN n_tok > 0 THEN CAST(n_uniq AS DOUBLE)/n_tok "
+            "ELSE 0.0 END) * 0.5 "
+            "+ (1.0 - abs((CASE WHEN n_tok > 0 THEN "
+            "CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END) - 0.08) / 0.92) "
+            "* 0.25 + LEAST(GREATEST(n_tok / 64.0, 0.0), 1.0) * 0.25, "
+            "0.0), 1.0) AS quality FROM s",
         "q_embed_neardup":
             "SELECT vec_id, label FROM embeddings a WHERE NOT EXISTS ("
             "SELECT 1 FROM embeddings b WHERE b.vec_id < a.vec_id AND "
@@ -622,8 +639,10 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY q.query_id ORDER BY list_cosine_similarity("
             "e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC, e.vec_id) AS BIGINT)"
             " AS rank FROM embeddings e CROSS JOIN q) WHERE rank <= 5",
-        # q_minhash_dedup / q_simhash_dedup / q_ngram_dedup / q_ivf_ann /
-        # q_langid / q_fingerprint / q_quality_score / q_image_features:
-        # SQL-inexpressible (LSH banding, heuristic langid, approximate ANN,
-        # binary decode) -> rows-only driver check + pytest oracles.
+        # q_minhash_dedup / q_simhash_dedup / q_ngram_dedup /
+        # q_dup_clusters / q_ivf_ann / q_langid / q_fingerprint /
+        # q_image_features / q_image_augment / q_sample / q_value_stats:
+        # SQL-inexpressible (LSH banding, heuristic langid, approximate
+        # ANN, binary decode, seeded sampling, float-sum order) ->
+        # rows-only driver check + pytest oracles.
     }

@@ -66,7 +66,8 @@ from ..stages.image import (DecodeImages, canonicalize_image_refs,
                             neardup_drops_block)
 from ..stages.parse import explode_images, explode_links, explode_redirects, parse_pages
 from ..stages.politeness import schedule_block
-from ..stages.robots_gate import RobotsFilter, robots_rules_from_web
+from ..stages.robots_gate import (RobotsFilter, RobotsGate,
+                                  robots_rules_from_web)
 from ..stages.seen import (ImageWinnerFilter, OfferImageWinners,
                            SeenCheckAndInsert, SeenInsert, SeenLookup,
                            begin_image_wave, checkpoint_seen,
@@ -87,6 +88,8 @@ class RunConfig:
     lazy_images: bool = False   # synthesize image bytes in the fetcher
     img_scale: int = 1
     host_partitions: int = 8
+    robots_mode: str = "driver"  # "driver" (pre-parsed dict in tasks) |
+                                 # "actor" (lazy TTL'd actor-pool cache)
     neardup_partitions: int = 4
     neardup_driver_max: int = 2_000_000
     admitted_driver_max: int = 2_000_000  # narrow-log rows above which the
@@ -426,8 +429,18 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                                     batch_size=None)
             unseen = prep.map_batches(SeenLookup(handles),
                                       batch_format="pyarrow")
-            gated = unseen.map_batches(RobotsFilter(robots_rules),
-                                       batch_format="pyarrow")
+            if run.robots_mode == "actor":
+                # scale path (SCALE.md §1): rules parsed lazily per host
+                # inside a TTL'd actor-pool cache instead of one
+                # driver-parsed dict riding every task closure — for
+                # deployments where the robots corpus outgrows the driver
+                gated = unseen.map_batches(
+                    RobotsGate, fn_constructor_args=(web_ref,),
+                    batch_format="pyarrow", concurrency=(1, 4),
+                    num_cpus=0.5)
+            else:
+                gated = unseen.map_batches(RobotsFilter(robots_rules),
+                                           batch_format="pyarrow")
             # ONE hash-partition by host co-locates equal url_hashes too
             # (a URL's host is a function of the URL), so the U2 dedup
             # and the A3 politeness schedule run back-to-back on the same

@@ -67,6 +67,19 @@ def test_parallelism_invariance(fixture_web, fixture_seeds, crawl_cfg,
     assert res.seen_hashes() == oracle_result.seen_hashes
 
 
+def test_robots_actor_mode_matches_oracle(fixture_web, fixture_seeds,
+                                          crawl_cfg, oracle_result, tmp_path):
+    """robots_mode='actor' (lazy TTL'd actor-pool rules cache — the
+    SCALE.md path for robots corpora beyond driver memory) must be
+    semantically identical to the driver-parsed dict."""
+    out = str(tmp_path / "ract")
+    res = crawl(fixture_web, fixture_seeds, out, crawl_cfg,
+                RunConfig(nshards=4, driver_wave_max=0, host_partitions=4,
+                          robots_mode="actor"))
+    assert res.admitted_per_wave() == oracle_result.admitted_per_wave[: res.waves_run]
+    assert res.seen_hashes() == oracle_result.seen_hashes
+
+
 def test_distributed_frontier_plane_matches_oracle(fixture_web, fixture_seeds,
                                                    crawl_cfg, oracle_result,
                                                    tmp_path):
