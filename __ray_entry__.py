@@ -442,6 +442,98 @@ def _q_tfidf(sf: str):
     return tfidf(docs).select_columns(["doc_id", "term", "tfidf"])
 
 
+def _q_range_join(sf: str):
+    """Inequality (interval) self-join: every click within 2 days BEFORE
+    a purchase by the same user — the windowed attribution shape
+    (events and orders live in disjoint calendars in the test data, so
+    the attribution pair is events-vs-events)."""
+    from paperchase_crawler_ray.ops.relational import range_join_time
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def side(etype: str, idname: str):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b.column("event_type"), etype))
+            return pa.table({"user_id": b.column("user_id"),
+                             "ts": b.column("ts"),
+                             idname: b.column("event_id")})
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    return range_join_time(side("purchase", "purchase_id"),
+                           side("click", "click_id"),
+                           "user_id", "user_id", "ts", "ts",
+                           "purchase_id", "click_id", window_days=2.0)
+
+
+def _q_nation_qty(sf: str):
+    """Multi-way join chain (TPC-H Q5 shape, integer-valued measure):
+    lineitem |><| orders via the keyed hash join (both sides large), then
+    customer/nation attached via the map-side broadcast lookup (dimension
+    tables) — no shuffle of the fact rows after the first join."""
+    from ray.data.aggregate import Count, Sum
+    from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
+                                                       cap_join_partitions)
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    j = li.join(o, join_type="inner",
+                num_partitions=cap_join_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    c = _rp(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    n = _rp(sf, "nation", columns=["n_nationkey", "n_name"])
+    j = broadcast_lookup_join(j, "o_custkey", c, "c_custkey", ["c_nationkey"])
+    j = broadcast_lookup_join(j, "c_nationkey", n, "n_nationkey", ["n_name"])
+    return j.groupby("n_name").aggregate(
+        Sum("l_quantity", alias_name="total_qty"),
+        Count(alias_name="n_items"))
+
+
+_STRATA_RATES = {"click": 20, "view": 10, "error": 2, "purchase": 1,
+                 "signup": 1}
+
+
+def _q_stratified_sample(sf: str):
+    """Deterministic stratified downsampling: per-class keep rates
+    applied via id-modulo (class-balancing pass for training data;
+    reproducible, so SQL-oracle-able unlike seeded random sampling)."""
+    ev = _rp(sf, "events", columns=["event_id", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        rates = np.ones(len(et), np.int64)
+        for t, r in _STRATA_RATES.items():  # loop over classes, not rows
+            rates[et == t] = r
+        return batch.filter(pa.array(ids % rates == 0))
+
+    return ev.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_histogram(sf: str):
+    """Value-distribution histogram per event type (bin width 10)."""
+    from paperchase_crawler_ray.ops.relational import grouped_histogram
+    ev = _rp(sf, "events", columns=["event_type", "value"])
+    return _rename(grouped_histogram(ev, "event_type", "value", 10.0),
+                   {"count()": "c"})
+
+
+def _q_rollup(sf: str):
+    """Multi-level aggregate (GROUP BY ROLLUP): per (returnflag,
+    linestatus), per returnflag subtotals, and a grand total."""
+    from paperchase_crawler_ray.ops.relational import rollup_agg
+    li = _rp(sf, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_agg(li, ["l_returnflag", "l_linestatus"], "l_quantity",
+                      sum_name="sum_qty", count_name="n_rows")
+
+
+def _q_bigram(sf: str):
+    """Language-model n-gram statistics: top-40 corpus bigrams."""
+    from paperchase_crawler_ray.ops.relational import global_topk
+    from paperchase_crawler_ray.ops.textstats import bigram_counts
+    docs = _rp(sf, "documents", columns=["text"])
+    return global_topk(bigram_counts(docs), [("c", True), ("bigram", False)],
+                       40)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -456,6 +548,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_topk": _q_grouped_topk,
         "q_lookup_join": _q_lookup_join,
         "q_rolling_max": _q_rolling_max,
+        "q_range_join": _q_range_join,
+        "q_nation_qty": _q_nation_qty,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_histogram": _q_histogram,
+        "q_rollup": _q_rollup,
+        "q_bigram": _q_bigram,
         "q_tfidf": _q_tfidf,
         "q_dup_clusters": _q_dup_clusters,
         "q_union_budget": _q_union_budget,
@@ -538,6 +636,37 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max "
             "FROM events",
+        "q_range_join":
+            "SELECT p.event_id AS purchase_id, c.event_id AS click_id "
+            "FROM events p JOIN events c ON p.user_id = c.user_id "
+            "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+            "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 DAY",
+        "q_nation_qty":
+            "SELECT n_name, SUM(l_quantity) AS total_qty, "
+            "COUNT(*) AS n_items FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+        "q_stratified_sample":
+            "SELECT event_id, event_type FROM events WHERE event_id % "
+            "(CASE event_type WHEN 'click' THEN 20 WHEN 'view' THEN 10 "
+            "WHEN 'error' THEN 2 ELSE 1 END) = 0",
+        "q_histogram":
+            "SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin, "
+            "COUNT(*) AS c FROM events GROUP BY event_type, bin",
+        "q_rollup":
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "SUM(l_quantity) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+        "q_bigram":
+            "SELECT bigram, c FROM (SELECT bigram, COUNT(*) AS c FROM ("
+            "SELECT unnest(list_transform(generate_series(1, len(toks)-1), "
+            "i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM ("
+            "SELECT regexp_extract_all(lower(text), '\\w+') AS toks "
+            "FROM documents)) GROUP BY bigram) "
+            "ORDER BY c DESC, bigram LIMIT 40",
         "q_tfidf":
             "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '\\w+')) AS term FROM documents), "

@@ -328,6 +328,125 @@ def asof_join_with_id(left, right, key, right_key, left_ts, right_ts,
     return _asof_impl(left, right, key, right_key, left_ts, right_ts, left_id)
 
 
+def range_join_time(left: ray.data.Dataset, right: ray.data.Dataset,
+                    key: str, right_key: str, left_ts: str, right_ts: str,
+                    left_id: str, right_id: str,
+                    window_days: float = 7.0) -> ray.data.Dataset:
+    """Range (interval) join: emit every pair ``(left_id, right_id)``
+    with matching key where ``right_ts <= left_ts <= right_ts + window``
+    — the "events within N days after an order" shape (SQL
+    ``JOIN ... ON key AND l.ts BETWEEN r.ts AND r.ts + INTERVAL``).
+
+    Ray Data has no native inequality join, so it composes as: tag +
+    union both sides -> ONE hash shuffle on the key -> per-group
+    vectorized interval probe (sort the right timestamps once, then two
+    ``searchsorted`` calls per group give each left row its [lo, hi)
+    match range; pairs materialize with a repeat/gather, no Python
+    loop). Scales with per-key match cardinality, not |L|x|R|.
+    """
+    window = np.timedelta64(int(window_days * 86_400_000_000), "us")
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return pa.table({key: b.column(key), "_ts": b.column(left_ts),
+                         "_id": b.column(left_id),
+                         "_side": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        return pa.table({key: b.column(right_key), "_ts": b.column(right_ts),
+                         "_id": b.column(right_id),
+                         "_side": pa.array(np.ones(b.num_rows, np.int8))})
+
+    l = left.select_columns([key, left_ts, left_id]) \
+        .map_batches(tag_left, batch_format="pyarrow")
+    r = right.select_columns([right_key, right_ts, right_id]) \
+        .map_batches(tag_right, batch_format="pyarrow")
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["_side"] == 0]
+        od = g[g["_side"] == 1]
+        rts = od["_ts"].to_numpy()
+        order = np.argsort(rts, kind="mergesort")
+        rts = rts[order]
+        rids = od["_id"].to_numpy()[order]
+        ts = ev["_ts"].to_numpy()
+        lids = ev["_id"].to_numpy()
+        lo = np.searchsorted(rts, ts - window, side="left")
+        hi = np.searchsorted(rts, ts, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({left_id: np.empty(0, lids.dtype),
+                                 right_id: np.empty(0, rids.dtype)})
+        cum = np.cumsum(counts)
+        idx = (np.arange(total) - np.repeat(cum - counts, counts)
+               + np.repeat(lo, counts))
+        return pd.DataFrame({left_id: np.repeat(lids, counts),
+                             right_id: rids[idx]})
+
+    return l.union(r).groupby(key).map_groups(probe, batch_format="pandas")
+
+
+def rollup_agg(ds: ray.data.Dataset, keys: list[str], value_col: str,
+               fill: str = "ALL", sum_name: str = "sum_val",
+               count_name: str = "n_rows") -> ray.data.Dataset:
+    """Multi-level aggregate — SQL ``GROUP BY ROLLUP(keys...)`` with the
+    grouping-set NULLs coalesced to ``fill``: one row per finest group,
+    plus subtotal rows per key prefix, plus a grand total.
+
+    Scale shape: the ONE pass over the big input is the finest-level
+    hash aggregate; every coarser level re-aggregates the finest RESULT
+    (cardinality = #groups, not #rows) with further distributed
+    groupbys, so nothing wider than the group count is ever shuffled and
+    the driver never materializes row data (the grand total is a scalar
+    ``Dataset.aggregate`` collect)."""
+    from ray.data.aggregate import Count, Sum
+    finest = ds.groupby(keys).aggregate(
+        Sum(value_col, alias_name=sum_name), Count(alias_name=count_name))
+
+    def fill_cols(missing: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            for c in missing:
+                b = b.append_column(
+                    c, pa.array([fill] * b.num_rows, pa.string()))
+            return b.select(keys + [sum_name, count_name])
+        return f
+
+    levels = [finest.map_batches(fill_cols([]), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = finest.groupby(keys[:i]).aggregate(
+            Sum(sum_name, alias_name=sum_name),
+            Sum(count_name, alias_name=count_name))
+        levels.append(lvl.map_batches(fill_cols(keys[i:]),
+                                      batch_format="pyarrow"))
+    total = finest.aggregate(Sum(sum_name, alias_name=sum_name),
+                             Sum(count_name, alias_name=count_name))
+    grand = pa.table({**{c: pa.array([fill], pa.string()) for c in keys},
+                      sum_name: pa.array([total[sum_name]], pa.float64()),
+                      count_name: pa.array([total[count_name]], pa.int64())})
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.union(ray.data.from_arrow(grand))
+
+
+def grouped_histogram(ds: ray.data.Dataset, group_col: str, value_col: str,
+                      bin_width: float) -> ray.data.Dataset:
+    """Histogram binning per group: ``bin = floor(value / width)`` (a
+    vectorized Arrow kernel), then ONE hash aggregate on (group, bin) —
+    the distribution-profiling pass a quality-score pipeline runs before
+    choosing filter thresholds."""
+
+    def binit(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        return pa.table({group_col: b.column(group_col),
+                         "bin": pa.array(bins, pa.int64())})
+
+    counts = ds.map_batches(binit, batch_format="pyarrow") \
+        .groupby([group_col, "bin"]).count()
+    return counts
+
+
 def global_topk(ds: ray.data.Dataset, order_cols: list[tuple[str, bool]],
                 k: int) -> ray.data.Dataset:
     """O1+O3: global sort (range-partitioned shuffle) + limit.

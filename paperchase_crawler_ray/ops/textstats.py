@@ -12,6 +12,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.texthash import rolling_fingerprint, simhash64, stable_hash64
@@ -168,6 +169,50 @@ def tfidf(ds: ray.data.Dataset, id_col: str = "doc_id",
         return batch.append_column("tfidf", pa.array(val, pa.float64()))
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_counts(ds: ray.data.Dataset, text_col: str = "text"
+                  ) -> ray.data.Dataset:
+    """N-gram (bigram) frequency table over the corpus: one row per
+    distinct adjacent lowercase word pair with its corpus count — the
+    language-model statistics pass (and the shingle generator the n-gram
+    dedup family builds on).
+
+    Per batch everything is array-at-once: the Arrow regex split gives a
+    ListArray whose offsets delimit documents; empty tokens are dropped
+    by re-deriving offsets with a cumulative-sum gather, and adjacent
+    pairs join with one vectorized elementwise concat — a bigram never
+    crosses a document boundary and no Python loop touches a row. The
+    wide step is ONE hash aggregate on the bigram string."""
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), pattern=r"\W+")
+        la = pa.concat_arrays([c for c in lists.chunks]) \
+            if isinstance(lists, pa.ChunkedArray) else lists
+        offs = np.asarray(la.offsets)
+        vals = np.asarray(la.values.to_pandas(), dtype=object)
+        nonempty = vals != ""
+        keep = vals[nonempty]
+        ne_cum = np.concatenate([[0], np.cumsum(nonempty)])
+        new_offs = ne_cum[offs]
+        if len(keep) < 2:
+            return pa.table({"bigram": pa.array([], pa.string())})
+        # valid[i] <=> token i is not the last token of its document
+        valid = np.ones(len(keep), bool)
+        valid[new_offs[1:] - 1] = False
+        pair_mask = valid[:-1]
+        bg = keep[:-1][pair_mask] + " " + keep[1:][pair_mask]
+        return pa.table({"bigram": pa.array(bg, pa.string())})
+
+    counts = ds.map_batches(explode_bigrams, batch_format="pyarrow") \
+        .groupby("bigram").count()
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["c" if c == "count()" else c
+                                 for c in b.column_names])
+
+    return counts.map_batches(rn, batch_format="pyarrow")
 
 
 def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
