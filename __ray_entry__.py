@@ -127,14 +127,25 @@ def _q_union_budget(sf: str):
     return global_topk(a.union(b), [("value", True), ("event_id", False)], 100)
 
 
+def _ts_us(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Pin a timestamp column to microseconds: Ray 2.49's hash aggregate
+    nondeterministically round-trips timestamp keys through second
+    precision, and the driver's value-hash is unit-sensitive."""
+    def fix(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(col)
+        return b.set_column(i, col, pc.cast(b.column(col),
+                                            pa.timestamp("us")))
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def _q_window_wave(sf: str):
     ev = _rp(sf, "events", columns=["ts"])
 
     def floor_hour(batch: pa.Table) -> pa.Table:
         return pa.table({"h": pc.floor_temporal(batch.column("ts"), unit="hour")})
 
-    return _rename(ev.map_batches(floor_hour, batch_format="pyarrow")
-                   .groupby("h").count(), {"count()": "c"})
+    return _ts_us(_rename(ev.map_batches(floor_hour, batch_format="pyarrow")
+                          .groupby("h").count(), {"count()": "c"}), "h")
 
 
 def _q_props_json(sf: str):
@@ -246,7 +257,8 @@ def _q_asof_join(sf: str):
     orders = _rp(sf, "orders", columns=["o_custkey", "o_orderdate"])
     out = asof_join_with_id(ev, orders, "user_id", "o_custkey",
                             "ts", "o_orderdate", "event_id")
-    return out.select_columns(["event_id", "matched_ts"])
+    return _ts_us(out.select_columns(["event_id", "matched_ts"]),
+                  "matched_ts")
 
 
 def _q_sample(sf: str):
@@ -534,6 +546,71 @@ def _q_bigram(sf: str):
                        40)
 
 
+_PACK_CAP = 2048  # tokens per packed training sequence
+
+
+def _q_doc_pack(sf: str):
+    """Sequence packing: assign each document to a fixed-token-budget
+    training bin by a distributed prefix sum over token counts in
+    doc_id order (bin = exclusive-cumsum // cap) — the deterministic
+    contiguous-packing pass an LLM pretraining pipeline runs to build
+    context windows. Exercises the generic scan primitive."""
+    from paperchase_crawler_ray.ops.relational import prefix_sum
+    from paperchase_crawler_ray.ops.textstats import token_count
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    tc = token_count(docs).select_columns(["doc_id", "n_tokens"])
+    cs = prefix_sum(tc, [("doc_id", False)], "n_tokens",
+                    out_col="cum_tokens")
+
+    def binit(b: pa.Table) -> pa.Table:
+        cum = b.column("cum_tokens").to_numpy()
+        tok = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bin", pa.array((cum - tok) // _PACK_CAP, pa.int64()))
+
+    return cs.map_batches(binit, batch_format="pyarrow")
+
+
+def _q_group_rank(sf: str):
+    """Per-customer ROW_NUMBER over orders by price (desc, orderkey
+    tiebreak) — the windowed rank shape, stitched across sorted blocks
+    without per-group pandas."""
+    from paperchase_crawler_ray.ops.relational import grouped_rank
+    o = _rp(sf, "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_rank(o, "o_custkey",
+                        [("o_totalprice", True), ("o_orderkey", False)],
+                        out_col="rnk")
+
+
+def _q_pivot(sf: str):
+    """Categorical pivot: per-user event-type count columns."""
+    from paperchase_crawler_ray.ops.relational import pivot_counts
+    ev = _rp(sf, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type",
+                        ["click", "view", "error", "purchase", "signup"])
+
+
+def _q_tumbling(sf: str):
+    """Tumbling time-window aggregate: per (user, day) event count and
+    integer-valued floor(value) sum (kept integral per the float-SUM
+    oracle policy)."""
+    from ray.data.aggregate import Count, Sum
+    ev = _rp(sf, "events", columns=["user_id", "ts", "value"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                      pa.timestamp("us"))
+        fv = pc.cast(pc.floor(b.column("value")), pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "day": day,
+                         "fval": fv})
+
+    agg = ev.map_batches(trunc, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(
+            Count(alias_name="c"), Sum("fval", alias_name="sum_floor"))
+    return _ts_us(agg, "day")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -554,6 +631,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_histogram": _q_histogram,
         "q_rollup": _q_rollup,
         "q_bigram": _q_bigram,
+        "q_doc_pack": _q_doc_pack,
+        "q_group_rank": _q_group_rank,
+        "q_pivot": _q_pivot,
+        "q_tumbling": _q_tumbling,
         "q_tfidf": _q_tfidf,
         "q_dup_clusters": _q_dup_clusters,
         "q_union_budget": _q_union_budget,
@@ -660,6 +741,34 @@ def oracle_sql() -> dict[str, str]:
             "SUM(l_quantity) AS sum_qty, "
             "CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+        "q_doc_pack":
+            "SELECT doc_id, n_tokens, "
+            "CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens, "
+            "COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)"
+            f", 0) // {_PACK_CAP} AS bin "
+            "FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'\\w+')) AS BIGINT) AS n_tokens FROM documents) "
+            "WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)",
+        "q_group_rank":
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk "
+            "FROM orders",
+        "q_pivot":
+            "SELECT user_id, "
+            "CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view, "
+            "CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup "
+            "FROM events GROUP BY user_id",
+        "q_tumbling":
+            "SELECT user_id, date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c, "
+            "CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_floor "
+            "FROM events GROUP BY user_id, day",
         "q_bigram":
             "SELECT bigram, c FROM (SELECT bigram, COUNT(*) AS c FROM ("
             "SELECT unnest(list_transform(generate_series(1, len(toks)-1), "

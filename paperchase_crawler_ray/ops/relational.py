@@ -447,6 +447,136 @@ def grouped_histogram(ds: ray.data.Dataset, group_col: str, value_col: str,
     return counts
 
 
+@ray.remote
+def _block_col_total(tbl: pa.Table, col: str) -> int:
+    if tbl.num_rows == 0:
+        return 0
+    return int(pc.sum(tbl.column(col)).as_py() or 0)
+
+
+@ray.remote
+def _block_cumsum(tbl: pa.Table, col: str, offset: int,
+                  out_col: str) -> pa.Table:
+    v = tbl.column(col).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(v, dtype=np.int64) + offset
+    return tbl.append_column(out_col, pa.array(cum, pa.int64()))
+
+
+def prefix_sum(ds: ray.data.Dataset, sort_cols: list[tuple[str, bool]],
+               value_col: str, out_col: str = "cum_sum") -> ray.data.Dataset:
+    """Distributed INCLUSIVE prefix sum (scan) of an integer column in
+    the global order given by ``sort_cols`` ([(col, descending)]).
+
+    Shape: ONE range-partitioned sort shuffle, then each sorted block
+    computes its local cumsum and adds the exclusive sum of the earlier
+    blocks' totals — the only driver traffic is `num_blocks` int totals
+    (one tiny RPC per block, same stitch `pipelines/crawl.py` uses for
+    the fetch_seq rank). Row data never touches the driver. This is the
+    scan primitive under sequence packing, cumulative quota ledgers and
+    rank assignment."""
+    sorted_ds = ds.sort([c for c, _ in sort_cols],
+                        descending=[d for _, d in sort_cols])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    totals = np.asarray(ray.get(
+        [_block_col_total.remote(r, value_col) for r in refs]), np.int64)
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    out = [_block_cumsum.remote(r, value_col, int(off), out_col)
+           for r, off in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _block_group_meta(tbl: pa.Table, key: str):
+    """(first_key, last_key, rows_in_last_group, nrows) of a block that
+    is globally sorted by key."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, 0, 0)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    last_start = int(np.searchsorted(k, k[-1], side="left")) \
+        if np.issubdtype(k.dtype, np.number) else \
+        n - int(np.argmax((k[::-1] != k[-1])) or n)
+    return (k[0].item() if hasattr(k[0], "item") else k[0],
+            k[-1].item() if hasattr(k[-1], "item") else k[-1],
+            n - last_start, n)
+
+
+@ray.remote
+def _block_rank(tbl: pa.Table, key: str, carry: int,
+                out_col: str) -> pa.Table:
+    """Per-group 1-based row numbers within a block sorted by (key,
+    order); rows of the block's FIRST group start at ``carry + 1``
+    (rows of that group living in earlier blocks)."""
+    n = tbl.num_rows
+    if n == 0:
+        return tbl.append_column(out_col, pa.array([], pa.int64()))
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    change = np.empty(n, bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    group_start = starts[np.cumsum(change) - 1]
+    rnk = np.arange(n, dtype=np.int64) - group_start + 1
+    first_len = int(starts[1]) if len(starts) > 1 else n
+    rnk[:first_len] += carry
+    return tbl.append_column(out_col, pa.array(rnk, pa.int64()))
+
+
+def grouped_rank(ds: ray.data.Dataset, group_key: str,
+                 order_cols: list[tuple[str, bool]],
+                 out_col: str = "rnk") -> ray.data.Dataset:
+    """Per-group ROW_NUMBER (1-based) in the order of ``order_cols``
+    ([(col, descending)]); ties MUST be broken by a trailing unique
+    column for determinism.
+
+    Shape: ONE global sort by (group_key, *order_cols) co-locates and
+    orders every group; each block then ranks itself vectorized, and
+    groups that SPAN block boundaries are stitched with a driver pass
+    over per-block boundary metadata (first/last key + tail length —
+    `num_blocks` tuples, never rows). No per-group pandas, no second
+    shuffle: the all-to-all cost is exactly one sort regardless of
+    group-count skew."""
+    cols = [group_key] + [c for c, _ in order_cols]
+    desc = [False] + [d for _, d in order_cols]
+    sorted_ds = ds.sort(cols, descending=desc)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    metas = ray.get([_block_group_meta.remote(r, group_key) for r in refs])
+    out, carry, prev_last = [], 0, object()
+    for r, (first, last, tail, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        this_carry = carry if first == prev_last else 0
+        out.append(_block_rank.remote(r, group_key, this_carry, out_col))
+        carry = (this_carry + n) if first == last else tail
+        prev_last = last
+    return ray.data.from_arrow_refs(out)
+
+
+def pivot_counts(ds: ray.data.Dataset, group_col: str, cat_col: str,
+                 categories: list[str]) -> ray.data.Dataset:
+    """Pivot a categorical column into per-category count columns
+    (``SUM(CASE WHEN cat = c THEN 1 END)``): one vectorized indicator
+    map (pc.equal per category — loop over categories, never rows),
+    then ONE hash aggregate on the group key. The wide table never
+    exists; only `len(categories)` int64 columns ride the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def indicators(b: pa.Table) -> pa.Table:
+        cat = b.column(cat_col)
+        cols = {group_col: b.column(group_col)}
+        for c in categories:
+            cols[f"n_{c}"] = pc.cast(pc.equal(cat, c), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(indicators, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            *[Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories])
+
+
 def global_topk(ds: ray.data.Dataset, order_cols: list[tuple[str, bool]],
                 k: int) -> ray.data.Dataset:
     """O1+O3: global sort (range-partitioned shuffle) + limit.

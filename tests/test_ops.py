@@ -600,3 +600,69 @@ def test_exact_dedup_salted_equals_unsalted():
                          salt_partitions=4) \
         .to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, salted)
+
+
+def test_prefix_sum_matches_numpy():
+    """Distributed scan over MANY small blocks must equal the global
+    numpy cumsum in sort order (block totals stitched exclusively)."""
+    from paperchase_crawler_ray.ops.relational import prefix_sum
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({"id": rng.permutation(n),
+                       "v": rng.integers(0, 100, n)})
+    ds = ray.data.from_pandas([df.iloc[i::16].copy() for i in range(16)])
+    got = prefix_sum(ds, [("id", False)], "v", out_col="cum") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    want = df.sort_values("id").reset_index(drop=True)
+    assert np.array_equal(got["cum"].to_numpy(),
+                          np.cumsum(want["v"].to_numpy()))
+
+
+def test_grouped_rank_spanning_blocks():
+    """ROW_NUMBER stitch: FEW huge groups over MANY blocks forces every
+    group to span several sorted blocks, so the carry chain (not the
+    block-local rank) determines correctness."""
+    from paperchase_crawler_ray.ops.relational import grouped_rank
+    rng = np.random.default_rng(12)
+    n = 6000
+    df = pd.DataFrame({"g": rng.integers(0, 3, n),
+                       "score": rng.integers(0, 50, n),
+                       "uid": rng.permutation(n)})
+    ds = ray.data.from_pandas([df.iloc[i::24].copy() for i in range(24)])
+    got = grouped_rank(ds, "g", [("score", True), ("uid", False)],
+                       out_col="rnk").to_pandas()
+    want = df.copy()
+    want["rnk"] = want.sort_values(["score", "uid"],
+                                   ascending=[False, True]) \
+        .groupby("g").cumcount() + 1
+    merged = got.merge(want, on=["g", "score", "uid"], suffixes=("", "_w"))
+    assert len(merged) == n
+    assert (merged["rnk"] == merged["rnk_w"]).all()
+
+
+def test_grouped_rank_string_keys():
+    from paperchase_crawler_ray.ops.relational import grouped_rank
+    df = pd.DataFrame({"g": list("aabbbc") * 50,
+                       "v": np.arange(300) % 7,
+                       "uid": np.arange(300)})
+    ds = ray.data.from_pandas([df.iloc[i::10].copy() for i in range(10)])
+    got = grouped_rank(ds, "g", [("v", False), ("uid", False)]).to_pandas()
+    want = df.sort_values(["v", "uid"]).groupby("g").cumcount() + 1
+    w = df.copy(); w["rnk"] = want
+    merged = got.merge(w, on=["g", "v", "uid"], suffixes=("", "_w"))
+    assert len(merged) == 300 and (merged["rnk"] == merged["rnk_w"]).all()
+
+
+def test_pivot_counts_matches_crosstab():
+    from paperchase_crawler_ray.ops.relational import pivot_counts
+    rng = np.random.default_rng(13)
+    cats = ["a", "b", "c"]
+    df = pd.DataFrame({"u": rng.integers(0, 20, 1000),
+                       "t": rng.choice(cats, 1000)})
+    ds = ray.data.from_pandas([df.iloc[i::6].copy() for i in range(6)])
+    got = pivot_counts(ds, "u", "t", cats).to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    ct = pd.crosstab(df["u"], df["t"]).reindex(columns=cats, fill_value=0)
+    for c in cats:
+        assert np.array_equal(got[f"n_{c}"].to_numpy(),
+                              ct[c].to_numpy()), c
