@@ -380,6 +380,54 @@ def _q_image_features(sf: str):
         ["image_id", "w", "h", "fmt", "phash"])
 
 
+def _q_chunk(sf: str):
+    """LLM context-window chunking: sliding 64-token windows, stride 48
+    (chunk text = space-joined lowercase tokens, SQL list-slice twin)."""
+    from paperchase_crawler_ray.ops.textstats import chunk_documents
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, window=64, stride=48)
+
+
+def _q_decontaminate(sf: str):
+    """Benchmark decontamination: corpus docs sharing an 8-token shingle
+    with the deterministic 'benchmark' slice (doc_id % 50 == 0); n=4
+    here so the random test corpus yields a non-trivial match set (19
+    docs at sf0.01) — production default is n=8."""
+    from paperchase_crawler_ray.ops.textstats import ngram_contamination
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+
+    def pick(bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 50) == 0
+            return b.filter(pa.array(m if bench else ~m))
+        return f
+
+    corpus = docs.map_batches(pick(False), batch_format="pyarrow")
+    bench = docs.map_batches(pick(True), batch_format="pyarrow")
+    return ngram_contamination(corpus, bench, n=4)
+
+
+def _q_approx_distinct(sf: str):
+    """HLL approximate distinct orders per clerk-free global count
+    (rows-only: the estimate is deterministic but not SQL-reproducible;
+    pytest pins it within 2% of exact)."""
+    from paperchase_crawler_ray.ops.sketch import approx_distinct
+    li = _rp(sf, "lineitem", columns=["l_orderkey"])
+    return approx_distinct(li, "l_orderkey", p=14)
+
+
+def _q_image_quality(sf: str):
+    """Multimodal curation signals: sharpness/brightness/contrast/entropy
+    from real decoded pixels (rows-only + pytest golden)."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import image_quality
+    rows = make_image_rows(64)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    return image_quality(ds, batch_size=16).select_columns(
+        ["image_id", "sharpness", "brightness", "contrast", "entropy"])
+
+
 def _q_anti_join_keyed(sf: str):
     """J1 large-side path: Ray native hash left_anti join (broadcast_max=0
     forces the keyed path so the driver oracle checks it, not just the
@@ -635,6 +683,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_rank": _q_group_rank,
         "q_pivot": _q_pivot,
         "q_tumbling": _q_tumbling,
+        "q_chunk": _q_chunk,
+        "q_decontaminate": _q_decontaminate,
+        "q_approx_distinct": _q_approx_distinct,
+        "q_image_quality": _q_image_quality,
         "q_tfidf": _q_tfidf,
         "q_dup_clusters": _q_dup_clusters,
         "q_union_budget": _q_union_budget,
@@ -751,6 +803,25 @@ def oracle_sql() -> dict[str, str]:
             "'\\w+')) AS BIGINT) AS n_tokens FROM documents) "
             "WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
             "PRECEDING AND CURRENT ROW)",
+        "q_chunk":
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'\\w+') AS t FROM documents), "
+            "c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0) "
+            "SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id, "
+            "CAST(len(t[(i-1)*48 + 1 : (i-1)*48 + 64]) AS BIGINT) "
+            "AS n_chunk_tokens, "
+            "array_to_string(t[(i-1)*48 + 1 : (i-1)*48 + 64], ' ') "
+            "AS chunk_text "
+            "FROM c, UNNEST(generate_series(1, 1 + CAST(CEIL(GREATEST("
+            "n - 64, 0) / 48.0) AS BIGINT))) AS u(i)",
+        "q_decontaminate":
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'\\w+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_transform(generate_series("
+            "1, len(t) - 3), i -> array_to_string(t[i : i + 3], ' '))) AS s "
+            "FROM toks WHERE len(t) >= 4) "
+            "SELECT DISTINCT doc_id FROM sh WHERE doc_id % 50 <> 0 AND "
+            "s IN (SELECT s FROM sh WHERE doc_id % 50 = 0)",
         "q_group_rank":
             "SELECT o_orderkey, o_custkey, o_totalprice, "
             "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "

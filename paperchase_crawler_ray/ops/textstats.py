@@ -238,3 +238,96 @@ def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(lambda b: fingerprint_batch(b, text_col),
                           batch_format="pyarrow")
+
+
+def chunk_documents(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 64,
+                    stride: int = 48) -> ray.data.Dataset:
+    """Sliding-window token chunking — the context-window builder of an
+    LLM pretraining pipeline: each document becomes
+    ``1 + ceil(max(n_tokens - window, 0) / stride)`` chunks of up to
+    ``window`` lowercase tokens starting every ``stride`` tokens
+    (overlap = window - stride); empty documents emit no chunks.
+
+    Stateless ``flat``-style map_batches explode (chunk count scales
+    with corpus token count, never buffered beyond one input batch);
+    the chunk text is the space-join of its tokens, which is what the
+    DuckDB list-slice oracle reproduces exactly."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, cid_out, text_out, ntok_out = [], [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for did, text in zip(ids, batch.column(text_col).to_pylist()):
+            toks = _WORD_RE.findall((text or "").lower())
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 + max(0, -(-(n - window) // stride))
+            for i in range(n_chunks):
+                piece = toks[i * stride: i * stride + window]
+                ids_out.append(did)
+                cid_out.append(i)
+                ntok_out.append(len(piece))
+                text_out.append(" ".join(piece))
+        return pa.table({id_col: pa.array(ids_out),
+                         "chunk_id": pa.array(cid_out, pa.int64()),
+                         "n_chunk_tokens": pa.array(ntok_out, pa.int64()),
+                         "chunk_text": pa.array(text_out, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+class _ContaminationFlag:
+    """Actor-pool stage: holds the broadcast benchmark shingle-hash
+    array (sorted, deduped) once per worker; per batch each corpus doc's
+    shingle hashes are membership-checked with ONE np.isin."""
+
+    def __init__(self, bench_ref, id_col: str, text_col: str, n: int):
+        self.bench = np.asarray(ray.get(bench_ref))
+        self.id_col, self.text_col, self.n = id_col, text_col, n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.texthash import word_shingles, tokens
+        ids = batch.column(self.id_col).to_pylist()
+        hit_ids = []
+        for did, text in zip(ids, batch.column(self.text_col).to_pylist()):
+            toks = tokens(text or "")
+            if len(toks) < self.n:
+                continue
+            sh = word_shingles(text, self.n)
+            if np.isin(sh, self.bench, assume_unique=False).any():
+                hit_ids.append(did)
+        return pa.table({self.id_col: pa.array(hit_ids)})
+
+
+def ngram_contamination(corpus: ray.data.Dataset, bench: ray.data.Dataset,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 8) -> ray.data.Dataset:
+    """Benchmark decontamination: ids of corpus documents that share at
+    least one ``n``-token shingle with any benchmark document (the
+    eval-leak filter every LLM training corpus runs).
+
+    Scale shape: the SMALL side (benchmark shingle hashes — eval sets
+    are MBs, not TBs) is collected once, uniq'd and broadcast via
+    ``ray.put``; the corpus streams through a stateless membership
+    check — no shuffle, no pairwise comparison. Docs shorter than ``n``
+    tokens can never match (mirrors the SQL shingle generator)."""
+    from ..functions.texthash import word_shingles, tokens
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        hs = [word_shingles(t, n)
+              for t in batch.column(text_col).to_pylist()
+              if t and len(tokens(t)) >= n]
+        out = (np.unique(np.concatenate(hs)) if hs
+               else np.empty(0, np.uint64))
+        return pa.table({"h": pa.array(out, pa.uint64())})
+
+    parts = [b.column("h").to_numpy()
+             for b in bench.map_batches(bench_hashes, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)]
+    bench_arr = np.unique(np.concatenate(parts)) if parts else \
+        np.empty(0, np.uint64)
+    ref = ray.put(bench_arr)
+    return corpus.map_batches(
+        _ContaminationFlag, fn_constructor_args=(ref, id_col, text_col, n),
+        batch_format="pyarrow", concurrency=(1, 4))

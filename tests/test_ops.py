@@ -666,3 +666,109 @@ def test_pivot_counts_matches_crosstab():
     for c in cats:
         assert np.array_equal(got[f"n_{c}"].to_numpy(),
                               ct[c].to_numpy()), c
+
+
+def test_chunk_documents_matches_naive(docs_table):
+    from paperchase_crawler_ray.ops.textstats import chunk_documents, _WORD_RE
+    ds = _docs_ds(docs_table)
+    got = chunk_documents(ds, window=10, stride=7).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    want = []
+    for did, text in zip(docs_table["doc_id"].to_pylist(),
+                         docs_table["text"].to_pylist()):
+        toks = _WORD_RE.findall(text.lower())
+        if not toks:
+            continue
+        n_chunks = 1 + max(0, -(-(len(toks) - 10) // 7))
+        for i in range(n_chunks):
+            piece = toks[i * 7: i * 7 + 10]
+            want.append((did, i, len(piece), " ".join(piece)))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    # reconstruction: stride-prefixes of all but the last chunk + the
+    # last chunk = the full token stream (no token lost or duplicated)
+    for did, grp in got.groupby("doc_id"):
+        toks = []
+        rows = grp.sort_values("chunk_id")
+        for _, r in rows.iloc[:-1].iterrows():
+            toks += r["chunk_text"].split(" ")[:7]
+        toks += rows.iloc[-1]["chunk_text"].split(" ")
+        full = _WORD_RE.findall(
+            docs_table["text"].to_pylist()[
+                docs_table["doc_id"].to_pylist().index(did)].lower())
+        assert toks == full
+
+
+def test_ngram_contamination_matches_naive():
+    from paperchase_crawler_ray.ops.textstats import ngram_contamination
+    bench_texts = ["alpha beta gamma delta epsilon zeta", "one two three four"]
+    corpus = [
+        (0, "prefix words then alpha beta gamma delta and more"),   # hit (4-gram)
+        (1, "alpha beta delta gamma epsilon"),                      # no 4-gram overlap
+        (2, "x one two three four y"),                              # hit
+        (3, "completely unrelated text with nothing shared here"),  # miss
+        (4, "one two"),                                             # too short
+    ]
+    c_ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([c[0] for c in corpus], pa.int64()),
+         "text": pa.array([c[1] for c in corpus], pa.string())}))
+    b_ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([100, 101], pa.int64()),
+         "text": pa.array(bench_texts, pa.string())}))
+    got = sorted(ngram_contamination(c_ds, b_ds, n=4).to_pandas()["doc_id"])
+    assert got == [0, 2]
+
+
+def test_hll_accuracy_and_merge_invariance():
+    from paperchase_crawler_ray.ops.sketch import (_hash_column,
+                                                   hll_estimate,
+                                                   hll_registers)
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 1 << 60, 20000, dtype=np.int64)
+    exact = len(np.unique(vals))
+    hashes = _hash_column(pa.array(vals))
+    regs = hll_registers(hashes, 14)
+    est = hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.02
+    # register merge == single-pass registers (the distributed partials
+    # reduce to exactly the one-machine sketch)
+    merged = np.zeros(1 << 14, np.uint8)
+    for part in np.array_split(hashes, 13):
+        np.maximum(merged, hll_registers(part, 14), out=merged)
+    assert np.array_equal(merged, regs)
+
+
+def test_approx_distinct_dataset_and_strings():
+    from paperchase_crawler_ray.ops.sketch import approx_distinct
+    n = 5000
+    ds = ray.data.from_arrow(pa.table(
+        {"s": pa.array([f"key-{i % 1200}" for i in range(n)], pa.string())}
+    )).repartition(num_blocks=9)
+    out = approx_distinct(ds, "s", p=14).to_pandas()
+    assert out["column"][0] == "s"
+    assert abs(int(out["approx_distinct"][0]) - 1200) / 1200 < 0.03
+    # determinism across runs
+    out2 = approx_distinct(ds, "s", p=14).to_pandas()
+    assert int(out["approx_distinct"][0]) == int(out2["approx_distinct"][0])
+
+
+def test_image_quality_golden():
+    from paperchase_crawler_ray.functions.codec import png_encode
+    from paperchase_crawler_ray.ops.multimodal import image_quality
+    flat = np.full((32, 32, 3), 100, np.uint8)
+    grad = np.zeros((32, 32, 3), np.uint8)
+    grad[:, :, :] = (np.arange(32, dtype=np.uint8) * 8)[None, :, None]
+    noise = np.random.default_rng(5).integers(0, 256, (32, 32, 3)) \
+        .astype(np.uint8)
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(["flat", "grad", "noise"], pa.string()),
+        "bytes": pa.array([png_encode(flat), png_encode(grad),
+                           png_encode(noise)], pa.binary())}))
+    got = image_quality(ds, batch_size=2).to_pandas() \
+        .set_index("image_id")
+    assert got.loc["flat", "sharpness"] == 0.0
+    assert got.loc["flat", "contrast"] == 0.0
+    assert got.loc["flat", "entropy"] == 0.0
+    assert abs(got.loc["flat", "brightness"] - 100.0) < 1e-9
+    # a noise image is sharper and higher-entropy than a smooth gradient
+    assert got.loc["noise", "sharpness"] > got.loc["grad", "sharpness"]
+    assert got.loc["noise", "entropy"] > got.loc["grad", "entropy"]
