@@ -380,6 +380,76 @@ def _q_image_features(sf: str):
         ["image_id", "w", "h", "fmt", "phash"])
 
 
+def _q_running_sum(sf: str):
+    """Per-user running total (SUM OVER PARTITION BY ... ORDER BY) of
+    floor(value) — the grouped distributed scan with sum carries."""
+    from paperchase_crawler_ray.ops.relational import grouped_prefix_sum
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def fl(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "ts": b.column("ts"),
+                         "fval": pc.cast(pc.floor(b.column("value")),
+                                         pa.int64())})
+
+    prepped = ev.map_batches(fl, batch_format="pyarrow")
+    out = grouped_prefix_sum(prepped, "user_id",
+                             [("ts", False), ("event_id", False)], "fval",
+                             out_col="running")
+    return out.select_columns(["event_id", "user_id", "running"])
+
+
+def _q_event_gap(sf: str):
+    """LAG window: microseconds since the user's previous event (first
+    event per user omitted — SQL NULL rows filtered on both sides)."""
+    from paperchase_crawler_ray.ops.relational import grouped_lag
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts"])
+    lag = grouped_lag(ev, "user_id", [("ts", False), ("event_id", False)],
+                      "ts", out_col="prev_ts")
+
+    def gap(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b.column("prev_ts"))
+        b = b.filter(mask)
+        d = pc.cast(pc.subtract(b.column("ts"), b.column("prev_ts")),
+                    pa.duration("us")).cast(pa.int64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "gap_us": d})
+
+    return lag.map_batches(gap, batch_format="pyarrow")
+
+
+def _q_distinct_per_group(sf: str):
+    """COUNT(DISTINCT supplier) per returnflag: dedup-pairs hash
+    aggregate, then a count over the (tiny) distinct-pair result —
+    two shuffles but the second moves only #distinct-pairs rows."""
+    li = _rp(sf, "lineitem", columns=["l_returnflag", "l_suppkey"])
+    pairs = li.groupby(["l_returnflag", "l_suppkey"]).count()
+    return _rename(pairs.groupby("l_returnflag").count(),
+                   {"count()": "n_suppliers"})
+
+
+def _q_left_join(sf: str):
+    """Left OUTER join: per-customer order count INCLUDING the
+    zero-order customers (null-preserving keyed hash join)."""
+    from ray.data.aggregate import Sum
+    from paperchase_crawler_ray.ops.relational import cap_join_partitions
+    c = _rp(sf, "customer", columns=["c_custkey"])
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    j = c.join(o, join_type="left_outer",
+               num_partitions=cap_join_partitions(8),
+               on=("c_custkey",), right_on=("o_custkey",))
+
+    def ind(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "has": pc.cast(pc.is_valid(b.column("o_orderkey")),
+                                        pa.int64())})
+
+    return j.map_batches(ind, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("has", alias_name="n_orders"))
+
+
 def _q_chunk(sf: str):
     """LLM context-window chunking: sliding 64-token windows, stride 48
     (chunk text = space-joined lowercase tokens, SQL list-slice twin)."""
@@ -683,6 +753,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_rank": _q_group_rank,
         "q_pivot": _q_pivot,
         "q_tumbling": _q_tumbling,
+        "q_running_sum": _q_running_sum,
+        "q_event_gap": _q_event_gap,
+        "q_distinct_per_group": _q_distinct_per_group,
+        "q_left_join": _q_left_join,
         "q_chunk": _q_chunk,
         "q_decontaminate": _q_decontaminate,
         "q_approx_distinct": _q_approx_distinct,
@@ -803,6 +877,23 @@ def oracle_sql() -> dict[str, str]:
             "'\\w+')) AS BIGINT) AS n_tokens FROM documents) "
             "WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
             "PRECEDING AND CURRENT ROW)",
+        "q_running_sum":
+            "SELECT event_id, user_id, CAST(SUM(CAST(FLOOR(value) AS "
+            "BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " AS running FROM events",
+        "q_event_gap":
+            "SELECT event_id, user_id, CAST(epoch_us(ts) - epoch_us(prev)"
+            " AS BIGINT) AS gap_us FROM (SELECT event_id, user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev FROM events) WHERE prev IS NOT NULL",
+        "q_distinct_per_group":
+            "SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS "
+            "BIGINT) AS n_suppliers FROM lineitem GROUP BY l_returnflag",
+        "q_left_join":
+            "SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS "
+            "n_orders FROM customer LEFT JOIN orders "
+            "ON c_custkey = o_custkey GROUP BY c_custkey",
         "q_chunk":
             "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
             "'\\w+') AS t FROM documents), "

@@ -556,6 +556,133 @@ def grouped_rank(ds: ray.data.Dataset, group_key: str,
     return ray.data.from_arrow_refs(out)
 
 
+@ray.remote
+def _block_group_sum_meta(tbl: pa.Table, key: str, val: str):
+    """(first_key, last_key, sum_over_last_group, block_total, nrows)
+    of a block globally sorted by key — the sum analog of
+    `_block_group_meta` for the grouped-scan carry chain."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, 0, 0, 0)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    last_start = int(np.searchsorted(k, k[-1], side="left")) \
+        if np.issubdtype(k.dtype, np.number) else \
+        n - int(np.argmax((k[::-1] != k[-1])) or n)
+    return (k[0].item() if hasattr(k[0], "item") else k[0],
+            k[-1].item() if hasattr(k[-1], "item") else k[-1],
+            int(v[last_start:].sum()), int(v.sum()), n)
+
+
+@ray.remote
+def _block_group_cumsum(tbl: pa.Table, key: str, val: str, carry: int,
+                        out_col: str) -> pa.Table:
+    n = tbl.num_rows
+    if n == 0:
+        return tbl.append_column(out_col, pa.array([], pa.int64()))
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    change = np.empty(n, bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    c = np.cumsum(v)
+    # exclusive cumsum at each row's group start
+    base = (c[starts] - v[starts])[np.cumsum(change) - 1]
+    cum = c - base
+    first_len = int(starts[1]) if len(starts) > 1 else n
+    cum[:first_len] += carry
+    return tbl.append_column(out_col, pa.array(cum, pa.int64()))
+
+
+def grouped_prefix_sum(ds: ray.data.Dataset, group_key: str,
+                       order_cols: list[tuple[str, bool]], value_col: str,
+                       out_col: str = "cum_sum") -> ray.data.Dataset:
+    """Per-group INCLUSIVE running sum of an integer column
+    (``SUM(v) OVER (PARTITION BY key ORDER BY ...)``) — the grouped
+    scan: same one-sort / block-local-vectorized / boundary-carry
+    stitch as `grouped_rank`, with the carry being the spanning
+    group's value SUM instead of its row count."""
+    cols = [group_key] + [c for c, _ in order_cols]
+    desc = [False] + [d for _, d in order_cols]
+    sorted_ds = ds.sort(cols, descending=desc)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    metas = ray.get([_block_group_sum_meta.remote(r, group_key, value_col)
+                     for r in refs])
+    out, carry, prev_last = [], 0, object()
+    for r, (first, last, tail_sum, total, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        this_carry = carry if first == prev_last else 0
+        out.append(_block_group_cumsum.remote(r, group_key, value_col,
+                                              this_carry, out_col))
+        carry = (this_carry + total) if first == last else tail_sum
+        prev_last = last
+    return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _block_tail_row(tbl: pa.Table, key: str, val: str):
+    """(first_key, last_key, last_value, nrows) — lag carry metadata."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, None, 0)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+
+    def scalar(x):
+        return x.item() if hasattr(x, "item") else x
+
+    return (scalar(k[0]), scalar(k[-1]),
+            tbl.column(val)[n - 1].as_py(), n)
+
+
+@ray.remote
+def _block_lag(tbl: pa.Table, key: str, val: str, carry_key, carry_val,
+               out_col: str) -> pa.Table:
+    n = tbl.num_rows
+    typ = tbl.schema.field(val).type
+    if n == 0:
+        return tbl.append_column(out_col, pa.array([], typ))
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    same = np.empty(n, bool)
+    same[0] = (carry_key is not None and k[0] == carry_key)
+    same[1:] = k[1:] == k[:-1]
+    head = pa.array([carry_val if same[0] else None], typ)
+    arr = tbl.column(val)
+    flat = pa.concat_arrays(list(arr.chunks)) \
+        if isinstance(arr, pa.ChunkedArray) else arr
+    shifted = pa.concat_arrays([head, flat.slice(0, n - 1)])
+    lagged = pc.if_else(pa.array(same), shifted, pa.scalar(None, typ))
+    return tbl.append_column(out_col, lagged)
+
+
+def grouped_lag(ds: ray.data.Dataset, group_key: str,
+                order_cols: list[tuple[str, bool]], value_col: str,
+                out_col: str = "lag") -> ray.data.Dataset:
+    """``LAG(value) OVER (PARTITION BY key ORDER BY ...)`` — NULL on
+    each group's first row. One global sort; the only cross-block
+    traffic is each block's last (key, value) pair, chained on the
+    driver like the rank/scan stitches."""
+    cols = [group_key] + [c for c, _ in order_cols]
+    desc = [False] + [d for _, d in order_cols]
+    sorted_ds = ds.sort(cols, descending=desc)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    metas = ray.get([_block_tail_row.remote(r, group_key, value_col)
+                     for r in refs])
+    out, ck, cv = [], None, None
+    for r, (first, last, last_val, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        out.append(_block_lag.remote(r, group_key, value_col, ck, cv,
+                                     out_col))
+        ck, cv = last, last_val
+    return ray.data.from_arrow_refs(out)
+
+
 def pivot_counts(ds: ray.data.Dataset, group_col: str, cat_col: str,
                  categories: list[str]) -> ray.data.Dataset:
     """Pivot a categorical column into per-category count columns

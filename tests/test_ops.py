@@ -772,3 +772,39 @@ def test_image_quality_golden():
     # a noise image is sharper and higher-entropy than a smooth gradient
     assert got.loc["noise", "sharpness"] > got.loc["grad", "sharpness"]
     assert got.loc["noise", "entropy"] > got.loc["grad", "entropy"]
+
+
+def test_grouped_prefix_sum_spanning_blocks():
+    from paperchase_crawler_ray.ops.relational import grouped_prefix_sum
+    rng = np.random.default_rng(31)
+    n = 5000
+    df = pd.DataFrame({"g": rng.integers(0, 3, n),
+                       "o": rng.permutation(n),
+                       "v": rng.integers(0, 100, n)})
+    ds = ray.data.from_pandas([df.iloc[i::20].copy() for i in range(20)])
+    got = grouped_prefix_sum(ds, "g", [("o", False)], "v", out_col="cum") \
+        .to_pandas()
+    want = df.sort_values("o")
+    want["cum"] = want.groupby("g")["v"].cumsum()
+    merged = got.merge(want, on=["g", "o", "v"], suffixes=("", "_w"))
+    assert len(merged) == n and (merged["cum"] == merged["cum_w"]).all()
+
+
+def test_grouped_lag_spanning_blocks():
+    from paperchase_crawler_ray.ops.relational import grouped_lag
+    rng = np.random.default_rng(32)
+    n = 3000
+    df = pd.DataFrame({"g": rng.integers(0, 4, n),
+                       "o": rng.permutation(n),
+                       "v": rng.integers(0, 10**6, n)})
+    ds = ray.data.from_pandas([df.iloc[i::15].copy() for i in range(15)])
+    got = grouped_lag(ds, "g", [("o", False)], "v", out_col="prev") \
+        .to_pandas()
+    want = df.sort_values("o")
+    want["prev"] = want.groupby("g")["v"].shift(1)
+    merged = got.merge(want, on=["g", "o", "v"], suffixes=("", "_w"))
+    assert len(merged) == n
+    both_null = merged["prev"].isna() & merged["prev_w"].isna()
+    assert (both_null | (merged["prev"] == merged["prev_w"])).all()
+    # each group has exactly one NULL (its first row)
+    assert got["prev"].isna().sum() == df["g"].nunique()
