@@ -498,6 +498,54 @@ def _q_image_quality(sf: str):
         ["image_id", "sharpness", "brightness", "contrast", "entropy"])
 
 
+def _q_image_ann(sf: str):
+    """Image similarity search (the image-axis ANN): 64-dim 8x8
+    grayscale thumbnail vectors from REAL decoded pixels, brute-force
+    cosine top-5 for three query images (rows-only: float cosine)."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import image_features
+    from paperchase_crawler_ray.ops.similarity import brute_force_topk
+    rows = make_image_rows(128)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    feats = image_features(ds, batch_size=32)
+
+    def vecs(b: pa.Table) -> pa.Table:
+        ids = [int(s.rsplit("-", 1)[-1]) for s in
+               b.column("image_id").to_pylist()]
+        embs = [np.frombuffer(t, np.uint8).astype(np.float64)
+                for t in b.column("thumb").to_pylist()]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": pa.array(embs)})
+
+    return brute_force_topk(feats.map_batches(vecs, batch_format="pyarrow"),
+                            query_ids=[0, 1, 2], k=5)
+
+
+def _q_image_neardup(sf: str):
+    """Image near-dup clustering: originals + their brightness/hflip
+    augmentations, banded-phash candidate buckets, hamming<=6 verify,
+    driver union-find (pairs are near-dup-sized) — cluster_id = min
+    member id."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import (image_augment,
+                                                       image_features,
+                                                       image_neardup_clusters)
+    rows = make_image_rows(48)
+    base = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    feats = image_features(base, batch_size=16) \
+        .select_columns(["image_id", "phash"])
+    aug = image_augment(base, batch_size=16)
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = [f"{i}+{a}" for i, a in zip(b.column("image_id").to_pylist(),
+                                          b.column("aug").to_pylist())]
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "phash": b.column("phash")})
+
+    allimgs = feats.union(aug.map_batches(tag, batch_format="pyarrow"))
+    return image_neardup_clusters(allimgs, hamming_max=6)
+
+
 def _q_anti_join_keyed(sf: str):
     """J1 large-side path: Ray native hash left_anti join (broadcast_max=0
     forces the keyed path so the driver oracle checks it, not just the
@@ -761,6 +809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": _q_decontaminate,
         "q_approx_distinct": _q_approx_distinct,
         "q_image_quality": _q_image_quality,
+        "q_image_ann": _q_image_ann,
+        "q_image_neardup": _q_image_neardup,
         "q_tfidf": _q_tfidf,
         "q_dup_clusters": _q_dup_clusters,
         "q_union_budget": _q_union_budget,

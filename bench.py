@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q_token_count", "q_minhash_dedup", "q_simhash_dedup", "q_embed_neardup",
     "q_ann_topk", "q_quality_stats", "q_sessionize", "q_asof_join",
     "q_word_count", "q_anti_join_keyed", "q_grouped_topk",
+    "q_group_rank", "q_doc_pack", "q_chunk", "q_decontaminate",
+    "q_left_join",
 ]
 
 

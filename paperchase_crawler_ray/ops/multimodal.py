@@ -284,3 +284,105 @@ def image_quality(ds: ray.data.Dataset, bytes_col: str = "bytes",
     return ds.map_batches(ImageQuality, fn_constructor_args=(bytes_col,),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+def _phash_band_explode(phash_col: str, id_col: str, band_bits: int):
+    nbands = 64 // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def f(b: pa.Table) -> pa.Table:
+        ph = b.column(phash_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        n = len(ph)
+        ids_rep, keys, ph_rep = [], [], []
+        for band in range(nbands):
+            byte = (ph >> np.uint64(band * band_bits)) & mask
+            keys.append((np.uint64(band) << np.uint64(band_bits)) | byte)
+        key = np.concatenate(keys).astype(np.int64)
+        idx = np.tile(np.arange(n), nbands)
+        return pa.table({
+            id_col: b.column(id_col).take(pa.array(idx)),
+            phash_col: pa.array(np.tile(ph.view(np.int64), nbands),
+                                pa.int64()),
+            "band_key": pa.array(key, pa.int64())})
+
+    return f
+
+
+def image_neardup_clusters(ds: ray.data.Dataset, id_col: str = "image_id",
+                           phash_col: str = "phash", hamming_max: int = 6,
+                           band_bits: int = 8) -> ray.data.Dataset:
+    """Near-duplicate image CLUSTER assignment over perceptual hashes:
+    every row gets ``cluster_id`` = the smallest image id of its
+    connected near-dup component (singletons keep their own id).
+
+    Scale shape (the image twin of `ops/dedup.duplicate_clusters`):
+    the 64-bit phash is cut into ``64 // band_bits`` bands; by
+    pigeonhole any pair within hamming <= nbands - 1 shares at least
+    one EXACT band, so candidate generation is a (id, phash, band_key)
+    exchange — 24 B rows, never pixels — into per-band-value buckets
+    (``groupby(band_key).map_groups``), where the all-pairs check runs
+    on the bucket's vectorized popcount. Verified pairs are
+    near-dup-sized, so the union-find runs on the driver and the
+    (id -> root) map for non-trivial components broadcasts via
+    ``ray.put``. band_bits=8 guarantees recall at hamming <= 7;
+    use band_bits=16 (4 bands, hamming <= 3) when bucket fan-in at
+    corpus scale matters more than the radius."""
+    import pandas as pd
+    import ray
+
+    from ..functions.phash import hamming64
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        ph = g[phash_col].to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids, ph = ids[order], ph[order]
+        out_a, out_b = [], []
+        for j in range(1, len(ids)):
+            d = hamming64(ph[:j], ph[j])
+            hit = np.flatnonzero(d <= hamming_max)
+            out_a.extend(ids[hit].tolist())
+            out_b.extend([ids[j]] * len(hit))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    exploded = ds.select_columns([id_col, phash_col]).map_batches(
+        _phash_band_explode(phash_col, id_col, band_bits),
+        batch_format="pyarrow")
+    pairs = exploded.groupby("band_key").map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        for a_, b_ in zip(t.column("id_a").to_pylist(),
+                          t.column("id_b").to_pylist()):
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo
+    roots = {x: find(x) for x in list(parent)}
+    ref = ray.put(roots)
+
+    class Attach:
+        def __init__(self, roots_ref):
+            self.roots = ray.get(roots_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            cl = [self.roots.get(i, i) for i in ids]
+            return pa.table({id_col: batch.column(id_col),
+                             "cluster_id": pa.array(cl)})
+
+    return ds.select_columns([id_col]).map_batches(
+        Attach, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 4))

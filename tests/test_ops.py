@@ -808,3 +808,53 @@ def test_grouped_lag_spanning_blocks():
     assert (both_null | (merged["prev"] == merged["prev_w"])).all()
     # each group has exactly one NULL (its first row)
     assert got["prev"].isna().sum() == df["g"].nunique()
+
+
+def test_image_neardup_clusters_matches_naive():
+    """Banded-bucket + union-find clustering == naive O(n^2) connected
+    components of the <=hamming_max graph (min-id labels)."""
+    from paperchase_crawler_ray.functions.phash import hamming64
+    from paperchase_crawler_ray.ops.multimodal import image_neardup_clusters
+    rng = np.random.default_rng(41)
+    base = rng.integers(-(1 << 62), 1 << 62, 40, dtype=np.int64)
+    # plant near-dups: flip 1-3 bits of some hashes
+    ph = list(base)
+    ids = [f"im{i:03d}" for i in range(40)]
+    for i in range(0, 40, 5):
+        mutated = base[i]
+        for b in rng.integers(0, 64, rng.integers(1, 4)):
+            mutated = np.int64(np.uint64(mutated) ^ (np.uint64(1) << np.uint64(int(b))))
+        ph.append(mutated)
+        ids.append(f"im{i:03d}+dup")
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "phash": pa.array(ph, pa.int64())})).repartition(num_blocks=5)
+    got = image_neardup_clusters(ds, hamming_max=6).to_pandas()
+    # naive union-find
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    arr = np.array(ph)
+    for j in range(len(ids)):
+        d = hamming64(arr[:j], arr[j]) if j else np.array([], np.int64)
+        for i in np.flatnonzero(d <= 6):
+            ra, rb = find(ids[int(i)]), find(ids[j])
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+    want = {x: find(x) for x in ids}
+    assert dict(zip(got["image_id"], got["cluster_id"])) == want
+    # the planted dups actually landed in shared clusters
+    assert any(want[f"im{i:03d}+dup"] == want[f"im{i:03d}"]
+               for i in range(0, 40, 5))
+
+
+def test_image_ann_self_match():
+    import __ray_entry__ as E
+    out = E.queries()["q_image_ann"]("/root/testdata/sf0.001").to_pandas()
+    top = out[out["rank"] == 1]
+    assert set(top["query_id"]) == {0, 1, 2}
+    assert (top["query_id"] == top["vec_id"]).all()
