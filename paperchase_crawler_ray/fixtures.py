@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .functions.codec import encode
+from .functions.codec import decode, encode
 from .functions.phash import phash64
 from .functions.texthash import stable_hash64
 from .schemas import WEB_FIXTURE
@@ -30,7 +30,10 @@ assert len(_WORDS) == 64
 
 _W_CYCLE = (16, 32, 64, 128)
 _H_CYCLE = (16, 24, 64, 96)
-_FMT_CYCLE = ("png", "bmp", "raw")
+# fmt aligned with the size class: the lossy jpeg path rides the small
+# class so the e2e/bench corpus exercises encode->decode->PSNR on every
+# wave without letting entropy-coding CPU dominate the image branch.
+_FMT_CYCLE = ("jpeg", "png", "bmp", "raw")
 
 
 def _rng_for(seed: int, identity: str) -> np.random.Generator:
@@ -58,11 +61,16 @@ def make_image_rows(n: int, seed: int = 42, seed_id: int = 0) -> pa.Table:
     for k in range(n):
         image_id = f"img-{seed_id:04d}-{k:06d}"
         w, h = _W_CYCLE[k % 4], _H_CYCLE[k % 4]
-        fmt = _FMT_CYCLE[k % 3]
+        fmt = _FMT_CYCLE[k % 4]
         px = make_pixels(image_id, w, h, seed)
         rng = _rng_for(seed, "cap:" + image_id)
         ids.append(image_id)
-        blobs.append(encode(px, fmt))
+        blob = encode(px, fmt)
+        blobs.append(blob)
+        if fmt == "jpeg":
+            # metadata must describe the payload: phash of what the lossy
+            # bytes decode to, not of the pre-encode pixels
+            px = decode(blob, fmt)
         ws.append(w)
         hs.append(h)
         fmts.append(fmt)
@@ -142,7 +150,7 @@ def _page_html(host_i: int, page_j: int, pages: list[int], seed: int) -> tuple[s
     figures = []
     n_figs = int(rng.integers(0, 3))
     for k in range(n_figs):
-        fmt = _FMT_CYCLE[int(rng.integers(0, 3))]
+        fmt = _FMT_CYCLE[(page_j + k) % 4]  # matches image_spec size class
         src = _image_url(host_i, page_j, k, fmt)
         imgs.append(src)
         cap = make_caption(page_j * 4 + k, _rng_for(seed, "cap:" + src))

@@ -1,9 +1,12 @@
-"""Image codecs (SURVEY.md M8/M9) — stdlib-only PNG / BMP / RAW, plus PSNR.
+"""Image codecs (SURVEY.md M8/M9) — stdlib/numpy-only PNG / BMP / RAW /
+baseline JPEG, plus PSNR.
 
 The sandbox has no Pillow and no network, so the engine carries its own
-lossless codecs: PNG (zlib + filter reconstruction), 24-bit BMP, and a
-trivial RAW container. JPEG is gated behind an optional-Pillow import; in
-this environment ``decode("jpeg")`` raises ``UnsupportedFormatError``.
+codecs: PNG (zlib + filter reconstruction), 24-bit BMP, a trivial RAW
+container, and a pure-numpy baseline JPEG (``functions/jpeg.py``) — the
+lossy path behind the BASELINE PSNR>=40dB per-row invariant. Using our
+own JPEG on both encode and decode keeps goldens deterministic across
+environments (no libjpeg version drift).
 
 All images are RGB uint8 arrays of shape (h, w, 3). These functions are
 pure (no Ray) and shared by the distributed stages, the fixture generator
@@ -220,6 +223,13 @@ def bmp_decode(data: bytes) -> np.ndarray:
 # dispatch + PSNR
 # --------------------------------------------------------------------------
 
+# JPEG default quality: 98 keeps the encode->decode roundtrip above the
+# BASELINE 40 dB PSNR bound even on the noisiest fixture pixels (noise is
+# JPEG's worst case; smooth content sits at ~50 dB) — see
+# tests/test_codec_phash.py::test_jpeg_roundtrip_psnr.
+JPEG_QUALITY = 98
+
+
 def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(img)
@@ -227,12 +237,13 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return bmp_encode(img)
     if fmt == "raw":
         return raw_encode(img)
-    if fmt == "jpeg" and _HAVE_PIL:  # pragma: no cover
-        import io
+    if fmt == "jpeg":
+        from .jpeg import JpegFormatError, jpeg_encode
 
-        buf = io.BytesIO()
-        _PILImage.fromarray(img).save(buf, "JPEG", quality=95)
-        return buf.getvalue()
+        try:
+            return jpeg_encode(img, JPEG_QUALITY)
+        except JpegFormatError as e:
+            raise UnsupportedFormatError(str(e)) from e
     raise UnsupportedFormatError(f"cannot encode fmt={fmt!r}")
 
 
@@ -244,10 +255,13 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         return bmp_decode(data)
     if fmt == "raw":
         return raw_decode(data)
-    if fmt == "jpeg" and _HAVE_PIL:  # pragma: no cover
-        import io
+    if fmt == "jpeg":
+        from .jpeg import JpegFormatError, jpeg_decode
 
-        return np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"))
+        try:
+            return jpeg_decode(data)
+        except JpegFormatError as e:
+            raise UnsupportedFormatError(str(e)) from e
     raise UnsupportedFormatError(f"cannot decode fmt={fmt!r}")
 
 

@@ -5,8 +5,9 @@ alongside. The Ray-side plumbing — schemas, small batch sizes, actor
 pools with per-actor setup, output layout — is real and tested; the
 actual media decode is pluggable:
 
-  * images: REAL decode for png/bmp/raw via ``functions.codec`` (no
-    Pillow in this sandbox; jpeg raises ``UnsupportedFormatError``).
+  * images: REAL decode for png/bmp/raw/jpeg via ``functions.codec``
+    (the engine carries its own stdlib/numpy codecs, including a
+    baseline JPEG — ``functions/jpeg.py``).
   * audio/video: the sandbox has no codec libraries, so ``AudioDecode``
     and ``VideoFrameSample`` run a deterministic fake (seeded from the
     payload hash) unless a real backend is injected; constructing them

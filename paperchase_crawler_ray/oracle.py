@@ -189,8 +189,8 @@ def crawl_oracle(web: dict[str, dict], seeds: list[tuple[str, int, float]],
                     continue
                 data = irow["body"]
                 fmt = sniff_format(data)
-                if not fmt or fmt in ("gif", "jpeg"):
-                    continue  # jpeg gated behind Pillow; gif unsupported
+                if not fmt or fmt == "gif":
+                    continue  # gif unsupported
                 px = decode(data, fmt)
                 wave_images.append({
                     "image_id": src_canon, "bytes": data,

@@ -17,7 +17,7 @@ from ..functions.phash import hamming64, phash64
 from ..functions.urlnorm import canonicalize, url_hash64
 from ..oracle import normalize_caption
 
-_DECODABLE = {"png", "bmp", "raw"}
+_DECODABLE = {"png", "bmp", "raw", "jpeg"}
 
 
 def canonicalize_image_refs(batch: pa.Table) -> pa.Table:
@@ -38,7 +38,7 @@ class DecodeImages:
     """Fetched image rows -> IMAGE_CAPTION rows (+ phash bucket).
 
     Drops rows that are not 200 image/* responses or use formats the
-    sandbox cannot decode (jpeg without Pillow, gif). Per-row decode is
+    engine cannot decode (gif). Per-row decode is
     genuinely per-image work; the numpy kernels inside (unfilter, DCT)
     are vectorized per image.
     """

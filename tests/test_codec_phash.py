@@ -131,3 +131,84 @@ def test_png_filtered_decode_speed():
     dt = time.monotonic() - t0
     assert np.array_equal(got, img)
     assert dt < 1.0, f"filtered PNG decode took {dt:.2f}s"
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG (functions/jpeg.py) — the lossy PSNR>=40dB path
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("wh", [(16, 16), (33, 17), (64, 96), (128, 96)])
+def test_jpeg_roundtrip_psnr(wh):
+    """Encode->decode stays above the BASELINE 40 dB bound even on the
+    noisy fixture pixels (noise is JPEG's worst case)."""
+    w, h = wh
+    px = make_pixels(f"t-jpeg-{w}x{h}", w, h)
+    data = encode(px, "jpeg")
+    assert sniff_format(data) == "jpeg"
+    out = decode(data)
+    assert out.shape == px.shape
+    assert psnr(px, out) >= 40.0
+
+
+def test_jpeg_stream_structure():
+    """Emitted streams are self-describing baseline JFIF: SOI/EOI framing,
+    declared quant + Huffman tables, SOF0, 4:4:4 sampling."""
+    px = make_pixels("t-jpeg-struct", 24, 18)
+    data = encode(px, "jpeg")
+    assert data.startswith(b"\xff\xd8\xff\xe0") and data.endswith(b"\xff\xd9")
+    assert data.count(b"\xff\xdb") >= 2          # two DQT segments
+    assert data.count(b"\xff\xc4") >= 4          # four DHT segments
+    assert b"\xff\xc0" in data                   # SOF0 (baseline)
+    assert b"JFIF\x00" in data
+
+
+def test_jpeg_quality_tradeoff():
+    """Lower quality -> smaller stream and lower (but finite) PSNR."""
+    from paperchase_crawler_ray.functions.jpeg import jpeg_decode, jpeg_encode
+
+    px = make_pixels("t-jpeg-q", 64, 48)
+    hi = jpeg_encode(px, 98)
+    lo = jpeg_encode(px, 50)
+    assert len(lo) < len(hi)
+    assert psnr(px, jpeg_decode(lo)) < psnr(px, jpeg_decode(hi))
+    assert psnr(px, jpeg_decode(lo)) > 20.0
+
+
+def test_jpeg_rejects_unsupported():
+    from paperchase_crawler_ray.functions.codec import UnsupportedFormatError
+    from paperchase_crawler_ray.functions.jpeg import (JpegFormatError,
+                                                       jpeg_decode)
+
+    with pytest.raises(JpegFormatError):
+        jpeg_decode(b"\x89PNG\r\n\x1a\n")        # not a JPEG
+    px = make_pixels("t-jpeg-rej", 16, 16)
+    data = bytearray(encode(px, "jpeg"))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2                         # rebrand SOF0 as progressive
+    with pytest.raises(JpegFormatError):
+        jpeg_decode(bytes(data))
+    with pytest.raises(UnsupportedFormatError):  # dispatch wraps the error
+        decode(bytes(data), "jpeg")
+
+
+def test_jpeg_gray_and_edge_dims():
+    """Non-multiple-of-8 dims pad with edge replication; flat images
+    survive at very high fidelity."""
+    flat = np.full((19, 21, 3), 200, np.uint8)
+    out = decode(encode(flat, "jpeg"))
+    assert out.shape == flat.shape
+    assert psnr(flat, out) >= 50.0
+
+
+def test_jpeg_decode_speed():
+    """128x96 noisy fixture jpeg decodes in well under a second (the
+    first-draft per-symbol dict walk was superlinear)."""
+    import time
+
+    px = make_pixels("t-jpeg-speed", 128, 96)
+    data = encode(px, "jpeg")
+    decode(data)                                  # warm the LUT cache
+    t0 = time.monotonic()
+    decode(data)
+    dt = time.monotonic() - t0
+    assert dt < 0.5, f"jpeg decode took {dt:.2f}s"

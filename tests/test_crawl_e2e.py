@@ -50,11 +50,13 @@ def test_image_rows_match_oracle(ray_result, oracle_result):
         assert row.caption == o["caption"]          # exact caption equality
         assert row.phash == o["phash"]
         assert row.w == o["w"] and row.h == o["h"] and row.fmt == o["fmt"]
-        # per-row pixel invariant vs ground-truth pixels (lossless: equal)
+        # per-row pixel invariant vs ground-truth pixels: PSNR>=40dB for
+        # the lossy format, exact equality for the lossless ones
         px = decode(bytes(row.bytes))
         truth = make_pixels(row.image_id, row.w, row.h)
         assert psnr(truth, px) >= 40.0
-        assert (px == truth).all()
+        if row.fmt != "jpeg":
+            assert (px == truth).all()
 
 
 def test_parallelism_invariance(fixture_web, fixture_seeds, crawl_cfg,

@@ -368,8 +368,10 @@ def test_image_augment_deterministic_and_real():
     by = {(i, a): b for i, a, b in zip(out1.column("image_id").to_pylist(),
                                        out1.column("aug").to_pylist(),
                                        out1.column("bytes").to_pylist())}
-    iid = rows.column("image_id")[0].as_py()
-    w = rows.column("w")[0].as_py(); h = rows.column("h")[0].as_py()
+    # row 1 is png (lossless), so exact pixel equality is well-defined;
+    # row 0 is the lossy jpeg class
+    iid = rows.column("image_id")[1].as_py()
+    w = rows.column("w")[1].as_py(); h = rows.column("h")[1].as_py()
     orig = make_pixels(iid, w, h)
     assert (decode(by[(iid, "hflip")]) == orig[:, ::-1]).all()
     cropped = decode(by[(iid, "crop")])
