@@ -380,6 +380,18 @@ def _q_image_features(sf: str):
         ["image_id", "w", "h", "fmt", "phash"])
 
 
+def _q_image_transcode(sf: str):
+    """Multimodal: storage-ladder transcode (any fmt -> jpeg at q85/q98)
+    with exact byte/PSNR accounting columns (centi-dB int64)."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import image_transcode
+    rows = make_image_rows(32)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    return image_transcode(ds, batch_size=8).select_columns(
+        ["image_id", "fmt_in", "fmt_out", "quality",
+         "nbytes_in", "nbytes_out", "psnr_cdb", "phash"])
+
+
 def _q_running_sum(sf: str):
     """Per-user running total (SUM OVER PARTITION BY ... ORDER BY) of
     floor(value) — the grouped distributed scan with sum carries."""
@@ -841,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_value_stats": _q_value_stats,
         "q_image_augment": _q_image_augment,
         "q_image_features": _q_image_features,
+        "q_image_transcode": _q_image_transcode,
     }
 
 

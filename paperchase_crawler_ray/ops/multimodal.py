@@ -213,6 +213,79 @@ class ImageAugment:
         })
 
 
+class ImageTranscode:
+    """Actor stage: re-encode image payloads into a target format at a
+    quality ladder — the storage-optimization pass a 100 TB image corpus
+    runs before training (lossless crawl capture -> jpeg at serving
+    quality). One output row per (input, quality); emits before/after
+    byte sizes and the measured PSNR vs the source pixels so a
+    downstream filter can enforce a fidelity floor.
+
+    PSNR is reported as an int64 in centi-dB (4317 == 43.17 dB,
+    int64(10**9) == lossless/infinite) to keep the column exact across
+    engines per the driver float policy.
+    """
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 to_fmt: str = "jpeg", qualities: tuple = (85, 98)):
+        self.col, self.id_col = bytes_col, id_col
+        self.to_fmt = to_fmt
+        self.qualities = qualities
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codec import encode, psnr
+
+        ids = batch.column(self.id_col).to_pylist()
+        blobs = batch.column(self.col).to_pylist()
+        oid, ofin, oq, oby, onin, onout, opsnr, oph = [], [], [], [], [], [], [], []
+        for i, data in enumerate(blobs):
+            fmt = sniff_format(data)
+            if not fmt:
+                continue
+            try:
+                px = decode(data, fmt)
+            except UnsupportedFormatError:
+                continue
+            for q in self.qualities:
+                if self.to_fmt == "jpeg":
+                    from ..functions.jpeg import jpeg_encode
+                    out = jpeg_encode(px, q)
+                else:                       # lossless targets ignore quality
+                    out = encode(px, self.to_fmt)
+                rpx = decode(out, self.to_fmt)
+                p = psnr(px, rpx)
+                oid.append(ids[i])
+                ofin.append(fmt)
+                oq.append(q)
+                oby.append(out)
+                onin.append(len(data))
+                onout.append(len(out))
+                opsnr.append(10**9 if p == float("inf") else int(round(p * 100)))
+                oph.append(phash64(rpx))
+        return pa.table({
+            self.id_col: pa.array(oid, pa.string()),
+            "fmt_in": pa.array(ofin, pa.string()),
+            "fmt_out": pa.array([self.to_fmt] * len(oid), pa.string()),
+            "quality": pa.array(np.array(oq, np.int32), pa.int32()),
+            "bytes": pa.array(oby, pa.binary()),
+            "nbytes_in": pa.array(np.array(onin, np.int64), pa.int64()),
+            "nbytes_out": pa.array(np.array(onout, np.int64), pa.int64()),
+            "psnr_cdb": pa.array(np.array(opsnr, np.int64), pa.int64()),
+            "phash": pa.array(np.array(oph, np.int64), pa.int64()),
+        })
+
+
+def image_transcode(ds: ray.data.Dataset, bytes_col: str = "bytes",
+                    id_col: str = "image_id", to_fmt: str = "jpeg",
+                    qualities: tuple = (85, 98), batch_size: int = 32,
+                    concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageTranscode,
+        fn_constructor_args=(bytes_col, id_col, to_fmt, qualities),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))
+
+
 def image_augment(ds: ray.data.Dataset, bytes_col: str = "bytes",
                   id_col: str = "image_id", batch_size: int = 32,
                   concurrency: int = 4) -> ray.data.Dataset:

@@ -66,7 +66,8 @@ def pc_if_else(cond, a, b):
 
 import re as _re
 
-_IMG_URL_RE = _re.compile(r"^http://h\d{3}\.[^/]+/img/\d+-\d+\.(png|bmp|raw)$")
+_IMG_URL_RE = _re.compile(
+    r"^http://h\d{3}\.[^/]+/img/\d+-\d+\.(png|bmp|raw|jpeg)$")
 
 
 _PROCESS_FETCHERS: dict = {}

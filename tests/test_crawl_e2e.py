@@ -156,3 +156,25 @@ def test_lineage_reconciles(ray_result):
     schedule_out = sum(r["rows_out"] for r in ray_result.lineage
                        if r["stage"] == "schedule")
     assert base == schedule_out
+
+
+def test_lazy_image_mode_matches_eager(fixture_seeds, crawl_cfg,
+                                       tmp_path_factory, ray_result):
+    """lazy_images=True (bench mode: HTML-only web, bytes synthesized in
+    the fetch stage) must land the identical image set, captions, and
+    phashes as the eager materialized-web crawl — every fixture format
+    included. Guards the lazy fetch's URL gate (jpeg once 404'd here)."""
+    from paperchase_crawler_ray.fixtures import make_web
+    lazy_web = make_web(n_hosts=8, total_pages=60, materialize_images=False)
+    out = str(tmp_path_factory.mktemp("lazy_crawl"))
+    res = crawl(lazy_web, fixture_seeds, out, crawl_cfg,
+                RunConfig(nshards=2, lazy_images=True))
+    lazy_imgs = res.images_dataset().to_pandas().set_index("image_id")
+    eager_imgs = ray_result.images_dataset().to_pandas().set_index("image_id")
+    assert sorted(lazy_imgs.index) == sorted(eager_imgs.index)
+    assert set(lazy_imgs["fmt"]) == {"jpeg", "png", "bmp", "raw"}
+    for iid in lazy_imgs.index:
+        assert lazy_imgs.loc[iid, "caption"] == eager_imgs.loc[iid, "caption"]
+        assert lazy_imgs.loc[iid, "phash"] == eager_imgs.loc[iid, "phash"]
+        assert bytes(lazy_imgs.loc[iid, "bytes"]) == \
+            bytes(eager_imgs.loc[iid, "bytes"])

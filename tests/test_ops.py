@@ -860,3 +860,39 @@ def test_image_ann_self_match():
     top = out[out["rank"] == 1]
     assert set(top["query_id"]) == {0, 1, 2}
     assert (top["query_id"] == top["vec_id"]).all()
+
+
+def test_image_transcode_ladder():
+    """Transcode any-fmt -> jpeg at two qualities: per-row PSNR floor,
+    byte accounting, and the lossless-source rows shrink at q85."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.functions.codec import decode, psnr, sniff_format
+    from paperchase_crawler_ray.fixtures import make_pixels
+    from paperchase_crawler_ray.ops.multimodal import image_transcode
+    rows = make_image_rows(8)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    out = image_transcode(ds, qualities=(85, 98), batch_size=4).to_pandas()
+    assert len(out) == 8 * 2
+    assert set(out["quality"]) == {85, 98}
+    assert (out["fmt_out"] == "jpeg").all()
+    w_by_id = dict(zip(rows.column("image_id").to_pylist(),
+                       zip(rows.column("w").to_pylist(),
+                           rows.column("h").to_pylist())))
+    for r in out.itertuples():
+        assert sniff_format(bytes(r.bytes)) == "jpeg"
+        assert r.nbytes_out == len(r.bytes)
+        # reported centi-dB PSNR is truthful vs source pixels
+        w, h = w_by_id[r.image_id]
+        truth_px = decode(bytes(rows.column("bytes")[
+            rows.column("image_id").to_pylist().index(r.image_id)].as_py()))
+        got = psnr(truth_px, decode(bytes(r.bytes)))
+        assert abs(r.psnr_cdb - round(got * 100)) <= 1
+    # q98 is always >= q85 fidelity and >= size, per image
+    by = out.set_index(["image_id", "quality"])
+    for iid in rows.column("image_id").to_pylist():
+        assert by.loc[(iid, 98), "psnr_cdb"] >= by.loc[(iid, 85), "psnr_cdb"]
+        assert by.loc[(iid, 98), "nbytes_out"] >= by.loc[(iid, 85), "nbytes_out"]
+    # raw sources (class 3: 128x96 uncompressed) must shrink at q85 even
+    # on the noisy fixture content (JPEG's worst case)
+    raws = out[(out["fmt_in"] == "raw") & (out["quality"] == 85)]
+    assert len(raws) and (raws["nbytes_out"] < raws["nbytes_in"]).all()

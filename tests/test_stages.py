@@ -158,3 +158,23 @@ def test_robots_gate_ttl_refetches():
     t["now"] = 11.0
     assert gate(batch).column("url_canon").to_pylist() == \
         ["http://h.example/private/x"]
+
+
+def test_synthetic_image_fetch_serves_all_fixture_formats():
+    """The lazy image-fetch URL gate must 200 every fixture format —
+    jpeg was silently 404ing (and thus dropped) in lazy/bench mode."""
+    import pyarrow as pa
+    from paperchase_crawler_ray.fixtures import _FMT_CYCLE
+    from paperchase_crawler_ray.functions.codec import sniff_format
+    from paperchase_crawler_ray.stages.fetch import SyntheticImageFetch
+
+    urls = [f"http://h000.example/img/{c}-0.{fmt}"
+            for c, fmt in enumerate(_FMT_CYCLE)]
+    out = SyntheticImageFetch(img_scale=1)(
+        pa.table({"url_canon": pa.array(urls, pa.string())}))
+    assert out.column("status").to_pylist() == [200] * len(_FMT_CYCLE)
+    for fmt, ct, body in zip(_FMT_CYCLE,
+                             out.column("content_type").to_pylist(),
+                             out.column("body").to_pylist()):
+        assert ct == f"image/{fmt}"
+        assert sniff_format(body) == fmt
