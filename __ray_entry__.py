@@ -412,6 +412,96 @@ def _q_running_sum(sf: str):
     return out.select_columns(["event_id", "user_id", "running"])
 
 
+def _q_moving_sum(sf: str):
+    """Sliding-window SUM (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) of
+    floor(value) per user — cumsum-difference blocks + tail-window
+    carries over one global sort."""
+    from paperchase_crawler_ray.ops.relational import grouped_moving_sum
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def fl(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "ts": b.column("ts"),
+                         "fval": pc.cast(pc.floor(b.column("value")),
+                                         pa.int64())})
+
+    prepped = ev.map_batches(fl, batch_format="pyarrow")
+    out = grouped_moving_sum(prepped, "user_id",
+                             [("ts", False), ("event_id", False)], "fval",
+                             window=4, out_col="win_sum")
+    return out.select_columns(["event_id", "user_id", "win_sum"])
+
+
+def _q_ntile(sf: str):
+    """NTILE(4) quartile bucket per customer's orders by price — the
+    grouped rank stitched sort + a broadcast group-size map."""
+    from paperchase_crawler_ray.ops.relational import grouped_ntile
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = grouped_ntile(o, "o_custkey",
+                        [("o_totalprice", True), ("o_orderkey", False)], 4)
+    return out.select_columns(["o_orderkey", "o_custkey", "tile"])
+
+
+def _q_first_last(sf: str):
+    """FIRST_VALUE / LAST_VALUE per group, as two block-combiner winner
+    reductions (exact_dedup both directions) + one small keyed join."""
+    from paperchase_crawler_ray.ops.relational import (cap_join_partitions,
+                                                       exact_dedup)
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts"])
+    first = exact_dedup(ev, ["user_id"], [("ts", False), ("event_id", False)])
+    last = exact_dedup(ev, ["user_id"], [("ts", True), ("event_id", True)])
+
+    def tag(name):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"user_id": b.column("user_id"),
+                             name: b.column("event_id")})
+        return f
+
+    f = first.map_batches(tag("first_event"), batch_format="pyarrow")
+    l_ = last.map_batches(tag("last_event_r"), batch_format="pyarrow")
+    j = f.join(l_, join_type="inner",
+               num_partitions=cap_join_partitions(4),
+               on=("user_id",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "first_event": b.column("first_event"),
+                         "last_event": b.column("last_event_r")})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def _edge_ds(sf: str):
+    """Bipartite user<->event_type edge list in ONE string node space
+    (graph ops need a single-typed node column)."""
+    ev = _rp(sf, "events", columns=["user_id", "event_type"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        u = pc.binary_join_element_wise(
+            "u", pc.cast(b.column("user_id"), pa.string()), "")
+        t = pc.binary_join_element_wise("t", b.column("event_type"), "")
+        return pa.table({"a": u, "b": t})
+
+    return ev.map_batches(mk, batch_format="pyarrow")
+
+
+def _q_pagerank(sf: str):
+    """Iterative distributed PageRank (BSP supersteps of keyed joins +
+    groupby-sum) in fixed-point integers — deterministic across any
+    parallelism, so rows-only is exact (naive-twin pytest covers the
+    math; non-SQL-expressible iterative op per the driver contract)."""
+    from paperchase_crawler_ray.ops.graph import pagerank
+    return pagerank(_edge_ds(sf), iters=4).sort(["node"])
+
+
+def _q_components(sf: str):
+    """Distributed connected components: min-label propagation with
+    pointer-jumping shortcuts (O(log diameter) rounds)."""
+    from paperchase_crawler_ray.ops.graph import connected_components
+    return connected_components(_edge_ds(sf)).sort(["node"])
+
+
 def _q_event_gap(sf: str):
     """LAG window: microseconds since the user's previous event (first
     event per user omitted — SQL NULL rows filtered on both sides)."""
@@ -814,6 +904,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_tumbling": _q_tumbling,
         "q_running_sum": _q_running_sum,
+        "q_moving_sum": _q_moving_sum,
+        "q_pagerank": _q_pagerank,
+        "q_components": _q_components,
+        "q_ntile": _q_ntile,
+        "q_first_last": _q_first_last,
         "q_event_gap": _q_event_gap,
         "q_distinct_per_group": _q_distinct_per_group,
         "q_left_join": _q_left_join,
@@ -945,6 +1040,21 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
             " AS running FROM events",
+        "q_moving_sum":
+            "SELECT event_id, user_id, CAST(SUM(CAST(FLOOR(value) AS "
+            "BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " AS win_sum FROM events",
+        "q_ntile":
+            "SELECT o_orderkey, o_custkey, CAST(NTILE(4) OVER (PARTITION "
+            "BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS "
+            "BIGINT) AS tile FROM orders",
+        "q_first_last":
+            "SELECT DISTINCT user_id, FIRST_VALUE(event_id) OVER w AS "
+            "first_event, LAST_VALUE(event_id) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "UNBOUNDED FOLLOWING) AS last_event FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)",
         "q_event_gap":
             "SELECT event_id, user_id, CAST(epoch_us(ts) - epoch_us(prev)"
             " AS BIGINT) AS gap_us FROM (SELECT event_id, user_id, ts, "

@@ -115,6 +115,36 @@ def broadcast_semi_join(ds: ray.data.Dataset, key: str,
     return ds.map_batches(keep_in, batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=0)
+def _block_nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+def scrub_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop SCHEMA-LESS empty blocks from a materialized dataset.
+
+    Ray 2.49's hash aggregate emits ``pa.table({})`` (zero columns) for
+    empty hash partitions, and `Dataset.join` resolves the join schema
+    from the FIRST block of each side — a schema-less leading block
+    fails with "No match ... for key field reference" even though the
+    dataset's logical schema is fine. `map_batches` can't normalize
+    them (empty blocks skip the UDF), so this filters the block refs on
+    the driver: O(blocks) tiny num_rows tasks, zero data movement.
+    Call on any aggregate-derived dataset that feeds a join side.
+    """
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, counts) if n]
+    if not keep or len(keep) == len(refs):
+        # return the MATERIALIZED handle, never the lazy input: callers
+        # (the iterative graph supersteps) feed the result back into the
+        # next round's joins, and a lazy return would re-execute the
+        # whole prior lineage every superstep (exponential blowup).
+        return mat
+    return ray.data.from_arrow_refs(keep)
+
+
 def cap_join_partitions(requested: int) -> int:
     """Hash-join/shuffle aggregator actors reserve a CPU each; more
     aggregators than free CPU slots starves the upstream map tasks and
@@ -681,6 +711,133 @@ def grouped_lag(ds: ray.data.Dataset, group_key: str,
                                      out_col))
         ck, cv = last, last_val
     return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _block_tail_window(tbl: pa.Table, key: str, val: str, w: int):
+    """(first_key, last_key, last-group tail values (up to w-1), nrows)
+    — the moving-sum carry: the next block needs the previous block's
+    trailing window of the spanning group, not just one value."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, [], 0)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+
+    def scalar(x):
+        return x.item() if hasattr(x, "item") else x
+
+    tail = v[max(last_start, n - (w - 1)):].tolist() if w > 1 else []
+    return (scalar(k[0]), scalar(k[-1]), tail, n)
+
+
+@ray.remote
+def _block_moving_sum(tbl: pa.Table, key: str, val: str, w: int,
+                      carry_key, carry_vals: list, out_col: str) -> pa.Table:
+    n = tbl.num_rows
+    if n == 0:
+        return tbl.append_column(out_col, pa.array([], pa.int64()))
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    pre = np.array(carry_vals if (carry_key is not None
+                                  and k[0] == carry_key) else [], np.int64)
+    p = len(pre)
+    ext = np.concatenate([pre, v])
+    csum = np.concatenate([[0], np.cumsum(ext)])      # csum[i] = sum ext[:i]
+    change = np.empty(n, bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(change)                   # group starts, v-coords
+    # group start in ext coords: first group reaches back into the carry
+    gstart_ext = starts + p
+    if len(starts):
+        gstart_ext[0] = 0
+    row_gstart = gstart_ext[np.cumsum(change) - 1]
+    i_ext = np.arange(n) + p
+    wstart = np.maximum(row_gstart, i_ext - (w - 1))
+    out = csum[i_ext + 1] - csum[wstart]
+    return tbl.append_column(out_col, pa.array(out, pa.int64()))
+
+
+def grouped_moving_sum(ds: ray.data.Dataset, group_key: str,
+                       order_cols: list[tuple[str, bool]], value_col: str,
+                       window: int, out_col: str = "win_sum"
+                       ) -> ray.data.Dataset:
+    """``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` for an integer column.
+
+    Same one-global-sort / block-local-vectorized / driver-stitched
+    shape as `grouped_rank`: inside a block the sliding sum is a
+    cumsum-difference (no per-row loop), and the only cross-block
+    traffic is each block's trailing <=window-1 values of its spanning
+    group — O(blocks x window) driver bytes, so the op scales with the
+    sort, not the data."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    cols = [group_key] + [c for c, _ in order_cols]
+    desc = [False] + [d for _, d in order_cols]
+    sorted_ds = ds.sort(cols, descending=desc)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    metas = ray.get([_block_tail_window.remote(r, group_key, value_col,
+                                               window) for r in refs])
+    out, ck, cv = [], None, []
+    for r, (first, last, tail, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        out.append(_block_moving_sum.remote(r, group_key, value_col, window,
+                                            ck, cv, out_col))
+        if first == last and ck is not None and first == ck:
+            # block is one spanning group: extend the previous carry
+            cv = (cv + tail)[-(window - 1):] if window > 1 else []
+        else:
+            cv = tail
+        ck = last
+    return ray.data.from_arrow_refs(out)
+
+
+def grouped_ntile(ds: ray.data.Dataset, group_key: str,
+                  order_cols: list[tuple[str, bool]], n: int,
+                  out_col: str = "tile") -> ray.data.Dataset:
+    """``NTILE(n) OVER (PARTITION BY key ORDER BY ...)`` — SQL bucket
+    rule: with size = q*n + r, the first r buckets get q+1 rows.
+
+    Two passes over metadata, one over data: per-group sizes come from
+    a hash-aggregate COUNT (one row per group — small relative to the
+    data by construction), broadcast via ray.put; ranks come from the
+    stitched `grouped_rank` sort. For a group-count table beyond driver
+    memory the size map would ride a keyed join instead — same switch
+    pattern as anti_join/semi_join."""
+    from ray.data.aggregate import Count
+
+    sizes = ds.groupby(group_key).aggregate(Count(alias_name="_gn"))
+    size_map: dict = {}
+    for b in sizes.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        size_map.update(zip(t.column(group_key).to_pylist(),
+                            t.column("_gn").to_pylist()))
+    sizes_ref = ray.put(size_map)
+    ranked = grouped_rank(ds, group_key, order_cols, out_col="_rnk")
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = ray.get(sizes_ref)
+        keys = b.column(group_key).to_pylist()
+        rnk = b.column("_rnk").to_numpy(zero_copy_only=False)
+        size = np.array([m[k] for k in keys], np.int64)
+        q, r = size // n, size % n
+        big_span = r * (q + 1)                     # rows in the q+1 buckets
+        in_big = rnk <= big_span
+        tile = np.where(
+            in_big,
+            (rnk - 1) // np.maximum(q + 1, 1) + 1,
+            np.where(q > 0, r + (rnk - 1 - big_span) // np.maximum(q, 1) + 1,
+                     rnk))
+        out = b.append_column(out_col, pa.array(tile, pa.int64()))
+        return out.drop_columns(["_rnk"])
+
+    return ranked.map_batches(assign, batch_format="pyarrow")
 
 
 def pivot_counts(ds: ray.data.Dataset, group_col: str, cat_col: str,

@@ -896,3 +896,156 @@ def test_image_transcode_ladder():
     # on the noisy fixture content (JPEG's worst case)
     raws = out[(out["fmt_in"] == "raw") & (out["quality"] == 85)]
     assert len(raws) and (raws["nbytes_out"] < raws["nbytes_in"]).all()
+
+
+def test_grouped_moving_sum_matches_pandas():
+    from paperchase_crawler_ray.ops.relational import grouped_moving_sum
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "o": rng.permutation(n),
+        "v": rng.integers(-50, 50, n),
+    })
+    for w in (1, 3, 7):
+        want = df.sort_values(["k", "o"]).copy()
+        want["win_sum"] = (want.groupby("k")["v"]
+                           .rolling(w, min_periods=1).sum()
+                           .reset_index(level=0, drop=True).astype(int))
+        ds = ray.data.from_pandas(df).repartition(8)
+        got = grouped_moving_sum(ds, "k", [("o", False)], "v", w).to_pandas()
+        got = got.sort_values(["k", "o"]).reset_index(drop=True)
+        assert got["win_sum"].tolist() == want["win_sum"].tolist(), f"w={w}"
+
+
+def test_grouped_moving_sum_single_spanning_group():
+    """One giant group across many blocks exercises the carry-extension
+    branch (block fully inside the spanning group)."""
+    from paperchase_crawler_ray.ops.relational import grouped_moving_sum
+    n = 2000
+    df = pd.DataFrame({"k": ["g"] * n, "o": range(n), "v": [1] * n})
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = grouped_moving_sum(ds, "k", [("o", False)], "v", 5).to_pandas()
+    got = got.sort_values("o")
+    want = [min(i + 1, 5) for i in range(n)]
+    assert got["win_sum"].tolist() == want
+
+
+def test_grouped_ntile_matches_duckdb():
+    import duckdb
+    from paperchase_crawler_ray.ops.relational import grouped_ntile
+    rng = np.random.default_rng(12)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n),          # sizes not divisible by n
+        "o": rng.permutation(n),
+    })
+    for buckets in (2, 4, 7):
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = grouped_ntile(ds, "k", [("o", False)], buckets).to_pandas()
+        got = got.sort_values(["k", "o"]).reset_index(drop=True)
+        want = duckdb.sql(
+            f"SELECT k, o, NTILE({buckets}) OVER "
+            "(PARTITION BY k ORDER BY o) AS tile FROM df ORDER BY k, o").df()
+        assert got["tile"].tolist() == want["tile"].tolist(), f"n={buckets}"
+
+
+# -- graph -------------------------------------------------------------------
+
+def _naive_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find():
+    from paperchase_crawler_ray.ops.graph import connected_components
+    rng = np.random.default_rng(5)
+    # several chains + rings + singleton pairs over int ids
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 400, (600, 2))]
+    want = _naive_components(pairs)
+    edges = ray.data.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+    got = connected_components(edges).to_pandas()
+    got_map = dict(zip(got["node"], got["component"]))
+    assert got_map == want
+
+
+def test_connected_components_long_chain():
+    """A 60-node path needs many propagation rounds — exercises the
+    iterate-to-convergence loop, not just one superstep."""
+    from paperchase_crawler_ray.ops.graph import connected_components
+    pairs = [(i, i + 1) for i in range(60)]
+    edges = ray.data.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+    got = connected_components(edges).to_pandas()
+    assert set(got["component"]) == {0}
+    assert len(got) == 61
+
+
+def _naive_pagerank(pairs, iters, damping_ppm=850_000, scale=1_000_000):
+    from collections import defaultdict
+    outdeg = defaultdict(int)
+    nodes = set()
+    for a, b in pairs:
+        outdeg[a] += 1
+        nodes.update((a, b))
+    base = scale - scale * damping_ppm // 1_000_000
+    score = {n: scale for n in nodes}
+    for _ in range(iters):
+        gain = defaultdict(int)
+        for a, b in pairs:
+            gain[b] += (score[a] * damping_ppm // 1_000_000) // outdeg[a]
+        score = {n: gain[n] + base for n in nodes}
+    return score
+
+
+def test_pagerank_matches_naive_and_is_parallelism_invariant():
+    from paperchase_crawler_ray.ops.graph import pagerank
+    rng = np.random.default_rng(6)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 120, (500, 2))
+                  if a != b})
+    want = _naive_pagerank(pairs, iters=6)
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    for nblocks in (2, 11):
+        edges = ray.data.from_pandas(df).repartition(nblocks)
+        got = pagerank(edges, iters=6).to_pandas()
+        assert dict(zip(got["node"], got["score"])) == want, nblocks
+
+
+def test_graph_join_scale_path_matches_broadcast():
+    """mode="join" (node table stays distributed — the V-beyond-driver
+    path) must agree bit-for-bit with the broadcast default; kept tiny
+    because each superstep pays real hash-join actor spin-up."""
+    from paperchase_crawler_ray.ops.graph import (connected_components,
+                                                  pagerank)
+    pairs = [(i, i + 1) for i in range(8)] + [(20, 21)]
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+
+    cj = connected_components(ray.data.from_pandas(df), mode="join").to_pandas()
+    cb = connected_components(ray.data.from_pandas(df)).to_pandas()
+    assert dict(zip(cj["node"], cj["component"])) == \
+        dict(zip(cb["node"], cb["component"]))
+
+    pj = pagerank(ray.data.from_pandas(df), iters=2, mode="join").to_pandas()
+    pb = pagerank(ray.data.from_pandas(df), iters=2).to_pandas()
+    assert dict(zip(pj["node"], pj["score"])) == \
+        dict(zip(pb["node"], pb["score"]))
+
+
+def test_pagerank_authority_ordering():
+    """A hub pointed at by everyone must outscore leaf nodes."""
+    from paperchase_crawler_ray.ops.graph import pagerank
+    pairs = [(i, 99) for i in range(1, 20)] + [(99, 0)]
+    edges = ray.data.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+    got = pagerank(edges, iters=8).to_pandas()
+    s = dict(zip(got["node"], got["score"]))
+    assert s[99] > s[0] > s[1] == s[2]
