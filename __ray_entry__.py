@@ -472,6 +472,96 @@ def _q_first_last(sf: str):
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_string_agg(sf: str):
+    """LISTAGG: per-user comma-joined event types in (ts, event_id)
+    order — one global sort collapses blocks to per-group partials, a
+    keyed repartition stitches them in block order."""
+    from paperchase_crawler_ray.ops.relational import grouped_string_agg
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts",
+                                    "event_type"])
+    return grouped_string_agg(ev, "user_id",
+                              [("ts", False), ("event_id", False)],
+                              "event_type", sep=",", out_col="types")
+
+
+def _q_dense_rank(sf: str):
+    """DENSE_RANK over a low-cardinality order column (ties are the
+    point) — stitched sort with a continued-value boundary carry."""
+    from paperchase_crawler_ray.ops.relational import grouped_dense_rank
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "event_type"])
+    out = grouped_dense_rank(ev, "user_id", "event_type", out_col="drnk")
+    return out.select_columns(["event_id", "user_id", "drnk"])
+
+
+def _q_pct_rank(sf: str):
+    """PERCENT_RANK + CUME_DIST per event within user: stitched
+    row-number + a broadcast group-size lookup; the float divisions are
+    row-local on int64 inputs, so they are bit-identical to the SQL
+    engine's (driver float policy: no cross-row float accumulation)."""
+    from ray.data.aggregate import Count
+
+    from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
+                                                       grouped_rank)
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts"])
+    ranked = grouped_rank(ev, "user_id",
+                          [("ts", False), ("event_id", False)],
+                          out_col="_rnk")
+    sizes = ev.groupby("user_id").aggregate(Count(alias_name="_gn"))
+    withn = broadcast_lookup_join(ranked, "user_id", sizes, "user_id",
+                                  ["_gn"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        r = b.column("_rnk").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.column("_gn").to_numpy(zero_copy_only=False).astype(np.float64)
+        pct = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+        cd = r / n
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "pct": pa.array(pct, pa.float64()),
+                         "cd": pa.array(cd, pa.float64())})
+
+    return withn.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_intersect(sf: str):
+    """INTERSECT: distinct event users that are also customer keys —
+    exact_dedup + the size-switched semi join."""
+    from paperchase_crawler_ray.ops.relational import exact_dedup, semi_join
+    ev = _rp(sf, "events", columns=["user_id"])
+    cust = _rp(sf, "customer", columns=["c_custkey"])
+    users = exact_dedup(ev, ["user_id"], [("user_id", False)])
+    return _rename(semi_join(users, "user_id", cust, "c_custkey"),
+                   {"user_id": "k"})
+
+
+def _q_except(sf: str):
+    """EXCEPT: customer keys with NO event activity — exact_dedup + the
+    size-switched anti join (direction chosen so the result is
+    non-empty: every fixture event user IS a customer key)."""
+    from paperchase_crawler_ray.ops.relational import anti_join, exact_dedup
+    ev = _rp(sf, "events", columns=["user_id"])
+    cust = _rp(sf, "customer", columns=["c_custkey"])
+    keys = exact_dedup(cust, ["c_custkey"], [("c_custkey", False)])
+    return _rename(anti_join(keys, "c_custkey", ev, "user_id"),
+                   {"c_custkey": "k"})
+
+
+def _q_mode(sf: str):
+    """Per-group MODE (most frequent event_type, lexicographic
+    tie-break): hash-aggregate counts, then the dedup winner reduction
+    over the (group, category) result — never over the raw rows."""
+    from ray.data.aggregate import Count
+
+    from paperchase_crawler_ray.ops.relational import exact_dedup
+    ev = _rp(sf, "events", columns=["user_id", "event_type"])
+    counts = ev.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="_n"))
+    win = exact_dedup(counts, ["user_id"],
+                      [("_n", True), ("event_type", False)])
+    return _rename(win.select_columns(["user_id", "event_type"]),
+                   {"event_type": "mode_type"})
+
+
 def _edge_ds(sf: str):
     """Bipartite user<->event_type edge list in ONE string node space
     (graph ops need a single-typed node column)."""
@@ -909,6 +999,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_components": _q_components,
         "q_ntile": _q_ntile,
         "q_first_last": _q_first_last,
+        "q_string_agg": _q_string_agg,
+        "q_dense_rank": _q_dense_rank,
+        "q_pct_rank": _q_pct_rank,
+        "q_intersect": _q_intersect,
+        "q_except": _q_except,
+        "q_mode": _q_mode,
         "q_event_gap": _q_event_gap,
         "q_distinct_per_group": _q_distinct_per_group,
         "q_left_join": _q_left_join,
@@ -1055,6 +1151,28 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
             "UNBOUNDED FOLLOWING) AS last_event FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)",
+        "q_string_agg":
+            "SELECT user_id, STRING_AGG(event_type, ',' ORDER BY ts, "
+            "event_id) AS types FROM events GROUP BY user_id",
+        "q_dense_rank":
+            "SELECT event_id, user_id, CAST(DENSE_RANK() OVER (PARTITION "
+            "BY user_id ORDER BY event_type) AS BIGINT) AS drnk "
+            "FROM events",
+        "q_pct_rank":
+            "SELECT event_id, user_id, PERCENT_RANK() OVER w AS pct, "
+            "CUME_DIST() OVER w AS cd FROM events WINDOW w AS (PARTITION "
+            "BY user_id ORDER BY ts, event_id)",
+        "q_intersect":
+            "SELECT user_id AS k FROM events INTERSECT "
+            "SELECT c_custkey AS k FROM customer",
+        "q_except":
+            "SELECT c_custkey AS k FROM customer EXCEPT "
+            "SELECT user_id AS k FROM events",
+        "q_mode":
+            "SELECT user_id, mode_type FROM (SELECT user_id, event_type "
+            "AS mode_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER "
+            "BY COUNT(*) DESC, event_type) AS rn FROM events GROUP BY "
+            "user_id, event_type) WHERE rn = 1",
         "q_event_gap":
             "SELECT event_id, user_id, CAST(epoch_us(ts) - epoch_us(prev)"
             " AS BIGINT) AS gap_us FROM (SELECT event_id, user_id, ts, "

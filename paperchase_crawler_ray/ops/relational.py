@@ -840,6 +840,150 @@ def grouped_ntile(ds: ray.data.Dataset, group_key: str,
     return ranked.map_batches(assign, batch_format="pyarrow")
 
 
+@ray.remote
+def _block_string_partials(tbl: pa.Table, key: str, val: str, sep: str,
+                           blk: int) -> pa.Table:
+    """Per-(block, group) partial concatenation of a block already
+    globally sorted by (key, order): one output row per group present in
+    the block — the shuffle then moves partials, never value rows."""
+    if tbl.num_rows == 0:
+        return pa.table({"_k": pa.array([], pa.string()),
+                         "_s": pa.array([], pa.string()),
+                         "_blk": pa.array([], pa.int64())})
+    df = pd.DataFrame({"_k": tbl.column(key).to_pandas(),
+                       "_v": tbl.column(val).to_pandas()})
+    part = df.groupby("_k", sort=False)["_v"].agg(sep.join)
+    return pa.table({"_k": pa.array(part.index),
+                     "_s": pa.array(part.values),
+                     "_blk": pa.array(np.full(len(part), blk, np.int64))})
+
+
+def grouped_string_agg(ds: ray.data.Dataset, group_key: str,
+                       order_cols: list[tuple[str, bool]], value_col: str,
+                       sep: str = ",", out_col: str = "agg"
+                       ) -> ray.data.Dataset:
+    """``STRING_AGG(value, sep ORDER BY ...) GROUP BY key`` (LISTAGG).
+
+    ONE global sort by (key, order) co-locates and orders every group;
+    each block then collapses to per-group partial strings (one row per
+    group per block — data volume drops to ~V x blocks rows), and the
+    partials are stitched per key in block order behind a keyed
+    repartition, whole-block vectorized. String growth is bounded by the
+    true per-group output size, which LISTAGG semantics require anyway.
+    """
+    from .dedup import _hash_shuffle
+
+    cols = [group_key] + [c for c, _ in order_cols]
+    desc = [False] + [d for _, d in order_cols]
+    sorted_ds = ds.sort(cols, descending=desc)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    partials = ray.data.from_arrow_refs(
+        [_block_string_partials.remote(r, group_key, value_col, sep, i)
+         for i, r in enumerate(refs)])
+
+    def stitch(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"_k": b.column("_k").to_pandas(),
+                           "_s": b.column("_s").to_pandas(),
+                           "_blk": b.column("_blk").to_pandas()})
+        df = df.sort_values(["_k", "_blk"], kind="mergesort")
+        out = df.groupby("_k", sort=False)["_s"].agg(sep.join)
+        return pa.table({group_key: pa.array(out.index),
+                         out_col: pa.array(out.values)})
+
+    with _hash_shuffle(partials):
+        co = partials.repartition(
+            num_blocks=cap_join_partitions(8), keys=["_k"])
+        result = co.map_batches(stitch, batch_format="pyarrow",
+                                batch_size=None).materialize()
+    return result
+
+
+@ray.remote
+def _block_dense_meta(tbl: pa.Table, key: str, oc: str):
+    """(first_key, first_oval, last_key, last_oval, distinct_in_last,
+    nrows) — the dense-rank carry: how many distinct order values the
+    block's LAST group contributed, plus the boundary values needed to
+    avoid double-counting an order value split across blocks."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, None, None, 0, 0)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(oc).to_numpy(zero_copy_only=False)
+    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+    seg = v[last_start:]
+    distinct = 1 + int(np.count_nonzero(seg[1:] != seg[:-1]))
+
+    def s(x):
+        return x.item() if hasattr(x, "item") else x
+
+    return (s(k[0]), s(v[0]), s(k[-1]), s(v[-1]), distinct, n)
+
+
+@ray.remote
+def _block_dense_rank(tbl: pa.Table, key: str, oc: str, carry: int,
+                      same_val: bool, out_col: str) -> pa.Table:
+    n = tbl.num_rows
+    if n == 0:
+        return tbl.append_column(out_col, pa.array([], pa.int64()))
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(oc).to_numpy(zero_copy_only=False)
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = k[1:] != k[:-1]
+    new_val = np.empty(n, bool)
+    new_val[0] = True
+    new_val[1:] = (v[1:] != v[:-1]) | new_grp[1:]
+    dense = np.cumsum(new_val)
+    # rebase each group to start at 1: subtract dense at group start - 1
+    gidx = np.cumsum(new_grp) - 1
+    start_dense = dense[new_grp]
+    out = dense - start_dense[gidx] + 1
+    if carry:
+        first_grp = gidx == 0
+        # spanning group: continue the previous block's distinct count;
+        # if the boundary order value is the SAME value continuing, it
+        # was already counted there
+        out = np.where(first_grp, out + carry - int(same_val), out)
+    return tbl.append_column(out_col, pa.array(out.astype(np.int64)))
+
+
+def grouped_dense_rank(ds: ray.data.Dataset, group_key: str,
+                       order_col: str, descending: bool = False,
+                       out_col: str = "drnk") -> ray.data.Dataset:
+    """``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_col)`` —
+    ties (equal order values) share a rank and no gaps are left.
+
+    Same one-sort / block-local / driver-stitched shape as
+    `grouped_rank`; the carry additionally tracks whether the order
+    value at a block boundary is the same value continuing (it must not
+    be counted twice)."""
+    sorted_ds = ds.sort([group_key, order_col],
+                        descending=[False, descending])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    metas = ray.get([_block_dense_meta.remote(r, group_key, order_col)
+                     for r in refs])
+    out = []
+    carry, prev_last_k, prev_last_v = 0, object(), object()
+    for r, (fk, fv, lk, lv, distinct, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        spanning = fk == prev_last_k
+        this_carry = carry if spanning else 0
+        same_val = spanning and fv == prev_last_v
+        out.append(_block_dense_rank.remote(r, group_key, order_col,
+                                            this_carry, same_val, out_col))
+        if fk == lk:
+            carry = this_carry + distinct - int(same_val)
+        else:
+            carry = distinct
+        prev_last_k, prev_last_v = lk, lv
+    return ray.data.from_arrow_refs(out)
+
+
 def pivot_counts(ds: ray.data.Dataset, group_col: str, cat_col: str,
                  categories: list[str]) -> ray.data.Dataset:
     """Pivot a categorical column into per-category count columns

@@ -950,6 +950,69 @@ def test_grouped_ntile_matches_duckdb():
         assert got["tile"].tolist() == want["tile"].tolist(), f"n={buckets}"
 
 
+def test_grouped_string_agg_matches_duckdb():
+    import duckdb
+    from paperchase_crawler_ray.ops.relational import grouped_string_agg
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n),
+        "o": rng.permutation(n),
+        "v": [f"w{int(x)}" for x in rng.integers(0, 9, n)],
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = grouped_string_agg(ds, "k", [("o", False)], "v",
+                             sep=",", out_col="agg").to_pandas()
+    want = duckdb.sql("SELECT k, STRING_AGG(v, ',' ORDER BY o) AS agg "
+                      "FROM df GROUP BY k ORDER BY k").df()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["agg"].tolist() == want["agg"].tolist()
+
+
+def test_grouped_string_agg_spanning_group():
+    import duckdb
+    from paperchase_crawler_ray.ops.relational import grouped_string_agg
+    df = pd.DataFrame({"k": ["g"] * 3000, "o": range(3000),
+                       "v": [f"x{i % 4}" for i in range(3000)]})
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = grouped_string_agg(ds, "k", [("o", False)], "v").to_pandas()
+    want = duckdb.sql("SELECT k, STRING_AGG(v, ',' ORDER BY o) AS agg "
+                      "FROM df GROUP BY k").df()
+    assert got["agg"].tolist() == want["agg"].tolist()
+
+
+def test_grouped_dense_rank_matches_duckdb():
+    import duckdb
+    from paperchase_crawler_ray.ops.relational import grouped_dense_rank
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n),
+        "o": rng.permutation(n),
+        "v": [f"w{int(x)}" for x in rng.integers(0, 9, n)],
+    })
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = grouped_dense_rank(ds, "k", "v", out_col="drnk").to_pandas()
+    want = duckdb.sql("SELECT k, o, DENSE_RANK() OVER (PARTITION BY k "
+                      "ORDER BY v) AS drnk FROM df ORDER BY k, o").df()
+    got = got.sort_values(["k", "o"]).reset_index(drop=True)
+    assert got["drnk"].tolist() == want["drnk"].tolist()
+
+
+def test_grouped_dense_rank_value_split_across_blocks():
+    """A single group whose repeated order values straddle block
+    boundaries must not double-count the boundary value."""
+    import duckdb
+    from paperchase_crawler_ray.ops.relational import grouped_dense_rank
+    df = pd.DataFrame({"k": ["g"] * 3000, "o": range(3000),
+                       "v": [f"x{i % 4}" for i in range(3000)]})
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = grouped_dense_rank(ds.sort("o"), "k", "v").to_pandas()
+    want = duckdb.sql("SELECT k, o, DENSE_RANK() OVER (PARTITION BY k "
+                      "ORDER BY v) AS drnk FROM df ORDER BY k, o").df()
+    assert got.sort_values("o")["drnk"].tolist() == want["drnk"].tolist()
+
+
 # -- graph -------------------------------------------------------------------
 
 def _naive_components(pairs):
