@@ -562,6 +562,108 @@ def _q_mode(sf: str):
                    {"event_type": "mode_type"})
 
 
+def _q_cube(sf: str):
+    """GROUP BY CUBE over (returnflag, linestatus): all four grouping
+    sets from one finest-level pass."""
+    from paperchase_crawler_ray.ops.relational import cube_agg
+    li = _rp(sf, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return cube_agg(li, ["l_returnflag", "l_linestatus"], "l_quantity",
+                    sum_name="sum_qty", count_name="n_rows")
+
+
+def _q_funnel(sf: str):
+    """Conversion-funnel analysis (view -> click -> purchase, strictly
+    ordered first timestamps): one hash aggregate to per-(user, step)
+    min ts, then a keyed whole-block pivot and three scalar flag sums —
+    per-user row data never reaches the driver."""
+    from ray.data.aggregate import Min
+
+    from paperchase_crawler_ray.ops.dedup import _hash_shuffle
+    from paperchase_crawler_ray.ops.relational import cap_join_partitions
+    steps = ("view", "click", "purchase")
+    ev = _rp(sf, "events", columns=["user_id", "event_type", "ts"])
+
+    def keep_steps(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("event_type"),
+                                 value_set=pa.array(steps)))
+
+    mins = ev.map_batches(keep_steps, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(
+            Min("ts", alias_name="t0"))
+
+    def flags(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        piv = df.pivot_table(index="user_id", columns="event_type",
+                             values="t0", aggfunc="min")
+        for s in steps:
+            if s not in piv.columns:
+                piv[s] = pd.NaT
+        s1 = piv["view"].notna()
+        s2 = s1 & (piv["click"] > piv["view"])
+        s3 = s2 & (piv["purchase"] > piv["click"])
+        return pa.table({"f1": pa.array(s1.to_numpy().astype(np.int64)),
+                         "f2": pa.array(s2.to_numpy().astype(np.int64)),
+                         "f3": pa.array(s3.to_numpy().astype(np.int64))})
+
+    with _hash_shuffle(mins):
+        co = mins.repartition(num_blocks=cap_join_partitions(8),
+                              keys=["user_id"])
+        per_user = co.map_batches(flags, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+    return pd.DataFrame({
+        "n_view": np.array([per_user.sum("f1") or 0], np.int64),
+        "n_view_click": np.array([per_user.sum("f2") or 0], np.int64),
+        "n_full": np.array([per_user.sum("f3") or 0], np.int64)})
+
+
+def _q_inverted_index(sf: str):
+    """Inverted index build (token -> sorted posting list of doc ids):
+    Arrow-native token explode, pair dedup, then the string-agg stitch.
+    The IR-shaped sibling of q_word_count."""
+    from paperchase_crawler_ray.ops.relational import (exact_dedup,
+                                                       grouped_string_agg)
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern=r"\W+")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(batch.column("doc_id").to_numpy(
+            zero_copy_only=False), n_per)
+        flat = pc.list_flatten(toks).combine_chunks()
+        keep = pc.not_equal(flat, "")
+        return pa.table({"word": flat.filter(keep),
+                         "doc_id": pa.array(doc).filter(keep)})
+
+    pairs = docs.map_batches(explode_pairs, batch_format="pyarrow")
+    distinct = exact_dedup(pairs, ["word", "doc_id"], [("doc_id", False)])
+
+    def as_str(b: pa.Table) -> pa.Table:
+        return pa.table({"word": b.column("word"),
+                         "doc_id": b.column("doc_id"),
+                         "doc_str": pc.cast(b.column("doc_id"),
+                                            pa.string())})
+
+    prepped = distinct.map_batches(as_str, batch_format="pyarrow")
+    return grouped_string_agg(prepped, "word", [("doc_id", False)],
+                              "doc_str", sep=",", out_col="postings")
+
+
+def _q_salted_join(sf: str):
+    """The q_equi_join chain with the hot-key-salted exchange on the
+    orders-customer hop (left salted round-robin, right replicated per
+    salt) — result identical to the unsalted join by construction."""
+    from paperchase_crawler_ray.ops.relational import salted_equi_join
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    c = _rp(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    n = _rp(sf, "nation", columns=["n_nationkey", "n_name"])
+    j = salted_equi_join(o, "o_custkey", c, "c_custkey", salts=8)
+    j2 = j.join(n, join_type="inner", num_partitions=8,
+                on=("c_nationkey",), right_on=("n_nationkey",))
+    return _rename(j2.groupby("n_name").count(), {"count()": "n_orders"})
+
+
 def _edge_ds(sf: str):
     """Bipartite user<->event_type edge list in ONE string node space
     (graph ops need a single-typed node column)."""
@@ -1005,6 +1107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_intersect": _q_intersect,
         "q_except": _q_except,
         "q_mode": _q_mode,
+        "q_cube": _q_cube,
+        "q_funnel": _q_funnel,
+        "q_inverted_index": _q_inverted_index,
+        "q_salted_join": _q_salted_join,
         "q_event_gap": _q_event_gap,
         "q_distinct_per_group": _q_distinct_per_group,
         "q_left_join": _q_left_join,
@@ -1173,6 +1279,31 @@ def oracle_sql() -> dict[str, str]:
             "AS mode_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER "
             "BY COUNT(*) DESC, event_type) AS rn FROM events GROUP BY "
             "user_id, event_type) WHERE rn = 1",
+        "q_cube":
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS "
+            "n_rows FROM lineitem GROUP BY CUBE(l_returnflag, "
+            "l_linestatus)",
+        "q_funnel":
+            "SELECT CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_view, CAST(SUM(CASE WHEN tv IS NOT NULL "
+            "AND tc > tv THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click, "
+            "CAST(SUM(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_full FROM (SELECT "
+            "user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS tv, "
+            "MIN(ts) FILTER (WHERE event_type = 'click') AS tc, "
+            "MIN(ts) FILTER (WHERE event_type = 'purchase') AS tp "
+            "FROM events GROUP BY user_id)",
+        "q_inverted_index":
+            "SELECT word, STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER "
+            "BY doc_id) AS postings FROM (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '\\w+')) AS word "
+            "FROM documents) GROUP BY word",
+        "q_salted_join":
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders FROM "
+            "orders JOIN customer ON o_custkey = c_custkey JOIN nation "
+            "ON c_nationkey = n_nationkey GROUP BY n_name",
         "q_event_gap":
             "SELECT event_id, user_id, CAST(epoch_us(ts) - epoch_us(prev)"
             " AS BIGINT) AS gap_us FROM (SELECT event_id, user_id, ts, "

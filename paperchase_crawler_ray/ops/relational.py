@@ -459,6 +459,82 @@ def rollup_agg(ds: ray.data.Dataset, keys: list[str], value_col: str,
     return out.union(ray.data.from_arrow(grand))
 
 
+def cube_agg(ds: ray.data.Dataset, keys: list[str], value_col: str,
+             fill: str = "ALL", sum_name: str = "sum_val",
+             count_name: str = "n_rows") -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(keys...)``: every subset of ``keys`` as a
+    grouping set, grouping-set NULLs coalesced to ``fill``.
+
+    Same scale shape as `rollup_agg`: ONE pass over the big input builds
+    the finest-level hash aggregate; the other 2^k - 1 grouping sets all
+    re-aggregate that RESULT (cardinality = #groups), so nothing wider
+    than the group count is ever shuffled again."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+    finest = ds.groupby(keys).aggregate(
+        Sum(value_col, alias_name=sum_name), Count(alias_name=count_name))
+
+    def fill_cols(missing: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            for c in missing:
+                b = b.append_column(
+                    c, pa.array([fill] * b.num_rows, pa.string()))
+            return b.select(keys + [sum_name, count_name])
+        return f
+
+    levels = [finest.map_batches(fill_cols([]), batch_format="pyarrow")]
+    for r in range(len(keys) - 1, 0, -1):
+        for kept in combinations(keys, r):
+            lvl = finest.groupby(list(kept)).aggregate(
+                Sum(sum_name, alias_name=sum_name),
+                Sum(count_name, alias_name=count_name))
+            missing = [c for c in keys if c not in kept]
+            levels.append(lvl.map_batches(fill_cols(missing),
+                                          batch_format="pyarrow"))
+    total = finest.aggregate(Sum(sum_name, alias_name=sum_name),
+                             Sum(count_name, alias_name=count_name))
+    grand = pa.table({**{c: pa.array([fill], pa.string()) for c in keys},
+                      sum_name: pa.array([total[sum_name]], pa.float64()),
+                      count_name: pa.array([total[count_name]], pa.int64())})
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.union(ray.data.from_arrow(grand))
+
+
+def salted_equi_join(left: ray.data.Dataset, key: str,
+                     right: ray.data.Dataset, right_key: str,
+                     salts: int = 8, num_partitions: int = 8
+                     ) -> ray.data.Dataset:
+    """Skew-resistant inner equi join (BASELINE.json "hot-host salting"
+    applied to joins): left rows take a round-robin salt, the right side
+    is replicated once per salt, and the join keys on (key, salt) — a
+    hot left key's rows spread over ``salts`` hash partitions instead of
+    landing on one reducer. Exact same result as the unsalted join
+    (every left row still meets every matching right row exactly once);
+    cost is right_rows x salts, so use it when the left is skewed and
+    the right is the smaller side — the standard replicated-salt
+    exchange."""
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        s = np.arange(b.num_rows, dtype=np.int64) % salts
+        return b.append_column("_salt", pa.array(s))
+
+    def replicate(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [b.append_column("_salt",
+                             pa.array(np.full(b.num_rows, s, np.int64)))
+             for s in range(salts)])
+
+    lsalted = left.map_batches(add_salt, batch_format="pyarrow")
+    rrep = right.map_batches(replicate, batch_format="pyarrow")
+    j = lsalted.join(rrep, join_type="inner",
+                     num_partitions=cap_join_partitions(num_partitions),
+                     on=(key, "_salt"), right_on=(right_key, "_salt"))
+    return j.drop_columns(["_salt"])
+
+
 def grouped_histogram(ds: ray.data.Dataset, group_col: str, value_col: str,
                       bin_width: float) -> ray.data.Dataset:
     """Histogram binning per group: ``bin = floor(value / width)`` (a

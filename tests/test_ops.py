@@ -950,6 +950,48 @@ def test_grouped_ntile_matches_duckdb():
         assert got["tile"].tolist() == want["tile"].tolist(), f"n={buckets}"
 
 
+def test_cube_agg_matches_duckdb():
+    import duckdb
+    from paperchase_crawler_ray.ops.relational import cube_agg
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(0, 100, n).astype(float),
+    })
+    got = cube_agg(ray.data.from_pandas(df).repartition(5), ["a", "b"],
+                   "v", sum_name="s", count_name="c").to_pandas()
+    want = duckdb.sql(
+        "SELECT COALESCE(a, 'ALL') AS a, COALESCE(b, 'ALL') AS b, "
+        "SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS c FROM df "
+        "GROUP BY CUBE(a, b) ORDER BY a, b").df()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    assert got["s"].tolist() == want["s"].tolist()
+    assert got["c"].tolist() == want["c"].tolist()
+    assert len(got) == len(want)
+
+
+def test_salted_join_equals_plain_join():
+    """Salting must not change the result — every left row meets every
+    matching right row exactly once, including under heavy key skew."""
+    from paperchase_crawler_ray.ops.relational import salted_equi_join
+    rng = np.random.default_rng(14)
+    # 80% of left rows share ONE hot key
+    lk = np.where(rng.random(4000) < 0.8, 7, rng.integers(0, 50, 4000))
+    left = pd.DataFrame({"k": lk, "lv": np.arange(4000)})
+    right = pd.DataFrame({"rk": np.arange(50), "rv": np.arange(50) * 10})
+    got = salted_equi_join(ray.data.from_pandas(left).repartition(6), "k",
+                           ray.data.from_pandas(right), "rk",
+                           salts=5).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk")
+    assert len(got) == len(want)
+    gs = got.sort_values(["k", "lv"]).reset_index(drop=True)
+    ws = want.sort_values(["k", "lv"]).reset_index(drop=True)
+    assert gs["lv"].tolist() == ws["lv"].tolist()
+    assert gs["rv"].tolist() == ws["rv"].tolist()
+
+
 def test_grouped_string_agg_matches_duckdb():
     import duckdb
     from paperchase_crawler_ray.ops.relational import grouped_string_agg
