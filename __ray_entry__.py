@@ -664,6 +664,41 @@ def _q_salted_join(sf: str):
     return _rename(j2.groupby("n_name").count(), {"count()": "n_orders"})
 
 
+def _q_repetition(sf: str):
+    """Gopher-style repetition filter components (integer counts +
+    cross-multiplied threshold flag — no float division)."""
+    from paperchase_crawler_ray.ops.textstats import repetition_stats
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return repetition_stats(docs).select_columns(
+        ["doc_id", "n_tokens", "n_distinct", "top_count", "kept"])
+
+
+def _q_mixture(sf: str):
+    """Training-mixture builder: deterministic per-source up/down
+    weighting (weight = source index mod 4; 0 drops the source) with a
+    copy index per replica — the epoch-mixing explode."""
+    from paperchase_crawler_ray.ops.textstats import replicate_by_weight
+    docs = _rp(sf, "documents", columns=["doc_id", "source"])
+
+    def wts(b: pa.Table) -> np.ndarray:
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            b.column("source"), start=3, stop=32), pa.int64())
+        return pc.bit_wise_and(idx, 3).to_numpy(zero_copy_only=False)
+
+    return replicate_by_weight(docs, wts, copy_col="copy")
+
+
+def _q_lm_score(sf: str):
+    """Unigram-LM perplexity-proxy quality score (CCNet-style): corpus
+    unigram fit + broadcast log-prob table + per-doc mean token
+    log-probability. Row-local float sums only — deterministic, but not
+    SQL-expressible bit-for-bit (log/odds arithmetic), so rows-only;
+    the pytest naive twin checks exact values."""
+    from paperchase_crawler_ray.ops.textstats import unigram_logprob_score
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return unigram_logprob_score(docs).select_columns(["doc_id", "logprob"])
+
+
 def _edge_ds(sf: str):
     """Bipartite user<->event_type edge list in ONE string node space
     (graph ops need a single-typed node column)."""
@@ -1111,6 +1146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": _q_funnel,
         "q_inverted_index": _q_inverted_index,
         "q_salted_join": _q_salted_join,
+        "q_repetition": _q_repetition,
+        "q_mixture": _q_mixture,
+        "q_lm_score": _q_lm_score,
         "q_event_gap": _q_event_gap,
         "q_distinct_per_group": _q_distinct_per_group,
         "q_left_join": _q_left_join,
@@ -1304,6 +1342,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders FROM "
             "orders JOIN customer ON o_custkey = c_custkey JOIN nation "
             "ON c_nationkey = n_nationkey GROUP BY n_name",
+        "q_repetition":
+            "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS "
+            "BIGINT) AS top_count, CAST(CASE WHEN COUNT(*) * 4 >= SUM(c)"
+            " AND MAX(c) * 2 <= SUM(c) AND SUM(c) > 0 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS kept FROM (SELECT doc_id, word, COUNT(*) AS c"
+            " FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            " '\\w+')) AS word FROM documents) GROUP BY doc_id, word) "
+            "GROUP BY doc_id",
+        "q_mixture":
+            "SELECT doc_id, source, CAST(UNNEST(range(CAST(substr("
+            "source, 4) AS BIGINT) % 4)) AS BIGINT) AS copy "
+            "FROM documents",
         "q_event_gap":
             "SELECT event_id, user_id, CAST(epoch_us(ts) - epoch_us(prev)"
             " AS BIGINT) AS gap_us FROM (SELECT event_id, user_id, ts, "

@@ -117,6 +117,110 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("text_hash", pa.array(xh, pa.int64()))
 
 
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           ) -> pa.Table:
+    """Gopher-style per-document repetition components, as INTEGERS so
+    the SQL oracle compares exactly: total tokens, distinct tokens, and
+    the count of the single most frequent token. ``kept`` applies the
+    integer-ratio filter rule (distinct/total >= 0.25 AND top/total <=
+    0.5) with cross-multiplied thresholds — no float division."""
+    texts = batch.column(text_col).to_pylist()
+    n = np.empty(len(texts), np.int64)
+    nd = np.empty(len(texts), np.int64)
+    top = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        toks = _WORD_RE.findall(t.lower())
+        n[i] = len(toks)
+        if toks:
+            _, counts = np.unique(toks, return_counts=True)
+            nd[i] = len(counts)
+            top[i] = counts.max()
+        else:
+            nd[i] = 0
+            top[i] = 0
+    kept = ((nd * 4 >= n) & (top * 2 <= n) & (n > 0)).astype(np.int64)
+    return pa.table({c: batch.column(c) for c in batch.column_names} | {
+        "n_tokens": pa.array(n), "n_distinct": pa.array(nd),
+        "top_count": pa.array(top), "kept": pa.array(kept)})
+
+
+def repetition_stats(ds: ray.data.Dataset, text_col: str = "text"
+                     ) -> ray.data.Dataset:
+    return ds.map_batches(lambda b: repetition_stats_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def replicate_by_weight(ds: ray.data.Dataset, weight_fn,
+                        copy_col: str = "copy") -> ray.data.Dataset:
+    """Epoch/domain mixture builder: emit each row ``w`` times (w >= 0,
+    from ``weight_fn(batch) -> int64 array``) with a 0-based copy index
+    — the deterministic up/down-weighting pass a training-data pipeline
+    runs to hit per-source mixture targets. Stateless explode: blocks
+    grow by the mean weight, nothing shuffles."""
+
+    def rep(b: pa.Table) -> pa.Table:
+        w = np.asarray(weight_fn(b), np.int64)
+        if (w < 0).any():
+            raise ValueError("mixture weights must be >= 0")
+        idx = np.repeat(np.arange(b.num_rows), w)
+        out = b.take(pa.array(idx))
+        starts = np.repeat(np.cumsum(w) - w, w)
+        copy = np.arange(len(idx)) - starts
+        return out.append_column(copy_col, pa.array(copy, pa.int64()))
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def unigram_logprob_score(ds: ray.data.Dataset, text_col: str = "text",
+                          out_col: str = "logprob"
+                          ) -> ray.data.Dataset:
+    """Perplexity-proxy quality score (CCNet-style): fit a unigram LM on
+    the corpus (ONE distributed token count), broadcast the log-prob
+    table, then score each doc with its mean token log-probability.
+
+    The vocabulary is small relative to the corpus by Zipf's law, so the
+    count table is collected once and ``ray.put`` once; scoring is a
+    stateless map. Float sums are PER-DOCUMENT (row-local, fixed token
+    order), so results are deterministic across any parallelism — the
+    same float policy the driver contract uses."""
+    from ray.data.aggregate import Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(b.column(text_col)), pattern=r"\W+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pa.table({"word": toks,
+                         "c": pa.array(np.ones(len(toks), np.int64))})
+
+    counts = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="n"))
+    vocab: dict = {}
+    total = 0
+    for t in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = t if isinstance(t, pa.Table) else pa.table(t)
+        for w, c in zip(t.column("word").to_pylist(),
+                        t.column("n").to_pylist()):
+            vocab[w] = c
+            total += c
+    words = sorted(vocab)
+    logp = {w: float(np.log(vocab[w]) - np.log(total)) for w in words}
+    ref = ray.put(logp)
+
+    def score(b: pa.Table) -> pa.Table:
+        lp = ray.get(ref)
+        texts = b.column(text_col).to_pylist()
+        out = np.zeros(len(texts), np.float64)
+        for i, t in enumerate(texts):
+            toks = _WORD_RE.findall(t.lower())
+            if toks:
+                out[i] = np.float64(
+                    np.sum(np.array([lp[w] for w in toks], np.float64))
+                ) / len(toks)
+        return b.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def tfidf(ds: ray.data.Dataset, id_col: str = "doc_id",
           text_col: str = "text", round_digits: int = 6,
           n_docs: int | None = None) -> ray.data.Dataset:

@@ -1055,6 +1055,61 @@ def test_grouped_dense_rank_value_split_across_blocks():
     assert got.sort_values("o")["drnk"].tolist() == want["drnk"].tolist()
 
 
+def test_repetition_stats_naive_twin():
+    import re
+    from paperchase_crawler_ray.ops.textstats import repetition_stats
+    texts = ["the the the the cat", "a b c d e f g", "", "x x y y z z",
+             "one two two three three three"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = repetition_stats(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\w+", t.lower())
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "n_distinct"] == len(set(toks))
+        top = max((toks.count(w) for w in set(toks)), default=0)
+        assert got.loc[i, "top_count"] == top
+        want_kept = int(len(set(toks)) * 4 >= len(toks)
+                        and top * 2 <= len(toks) and len(toks) > 0)
+        assert got.loc[i, "kept"] == want_kept
+    # the fixture must exercise both outcomes
+    assert set(got["kept"]) == {0, 1}
+
+
+def test_replicate_by_weight():
+    from paperchase_crawler_ray.ops.textstats import replicate_by_weight
+    df = pd.DataFrame({"id": range(6), "w": [0, 1, 2, 3, 0, 2]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = replicate_by_weight(
+        ds, lambda b: b.column("w").to_numpy(zero_copy_only=False),
+    ).to_pandas().sort_values(["id", "copy"]).reset_index(drop=True)
+    want = [(i, c) for i, w in zip(df["id"], df["w"]) for c in range(w)]
+    assert list(zip(got["id"], got["copy"])) == want
+
+
+def test_unigram_logprob_matches_naive():
+    import re
+    from paperchase_crawler_ray.ops.textstats import unigram_logprob_score
+    texts = ["the cat sat", "the dog sat on the mat", "cat dog cat",
+             "mat the on"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = unigram_logprob_score(
+        ray.data.from_pandas(df).repartition(2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # naive twin with the IDENTICAL numpy arithmetic
+    from collections import Counter
+    all_toks = [w for t in texts for w in re.findall(r"\w+", t.lower())]
+    cnt, total = Counter(all_toks), len(all_toks)
+    lp = {w: float(np.log(c) - np.log(total)) for w, c in cnt.items()}
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\w+", t.lower())
+        want = float(np.float64(np.sum(
+            np.array([lp[w] for w in toks], np.float64))) / len(toks))
+        assert got.loc[i, "logprob"] == want, i
+    # higher-frequency tokens => higher (less negative) mean logprob
+    assert got.loc[0, "logprob"] > got.loc[3, "logprob"] - 1e9
+
+
 # -- graph -------------------------------------------------------------------
 
 def _naive_components(pairs):
