@@ -380,6 +380,18 @@ def _q_image_features(sf: str):
         ["image_id", "w", "h", "fmt", "phash"])
 
 
+def _q_caption_align(sf: str):
+    """Multimodal: CLIP-shaped two-tower caption<->image alignment
+    (actor-pool; real decoded pixels; int64 basis-point scores —
+    deterministic, rows-only: model scoring is non-SQL-expressible)."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import caption_alignment
+    rows = make_image_rows(64)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes", "caption"]))
+    return caption_alignment(ds, batch_size=16).select_columns(
+        ["image_id", "align_bp"])
+
+
 def _q_image_transcode(sf: str):
     """Multimodal: storage-ladder transcode (any fmt -> jpeg at q85/q98)
     with exact byte/PSNR accounting columns (centi-dB int64)."""
@@ -697,6 +709,32 @@ def _q_lm_score(sf: str):
     from paperchase_crawler_ray.ops.textstats import unigram_logprob_score
     docs = _rp(sf, "documents", columns=["doc_id", "text"])
     return unigram_logprob_score(docs).select_columns(["doc_id", "logprob"])
+
+
+def _q_prep_pipeline(sf: str):
+    """Flagship LLM-data prep composition, end to end in one streaming
+    Dataset chain: length+repetition quality filter -> exact text dedup
+    (hash winner) -> sliding-window chunking. Each stage is an existing
+    oracled operator; the composed SQL twin mirrors the whole chain."""
+    from paperchase_crawler_ray.ops.relational import exact_dedup
+    from paperchase_crawler_ray.ops.textstats import (chunk_documents,
+                                                      fingerprint_batch,
+                                                      repetition_stats)
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    stats = repetition_stats(docs)
+
+    def keep(b: pa.Table) -> pa.Table:
+        n = b.column("n_tokens")
+        top = b.column("top_count")
+        mask = pc.and_(pc.greater_equal(n, 30),
+                       pc.less_equal(pc.multiply(top, 8), n))
+        return b.filter(mask).select(["doc_id", "text"])
+
+    kept = stats.map_batches(keep, batch_format="pyarrow")
+    hashed = kept.map_batches(fingerprint_batch, batch_format="pyarrow")
+    dd = exact_dedup(hashed, ["text_hash"], [("doc_id", False)])
+    chunks = chunk_documents(dd.select_columns(["doc_id", "text"]))
+    return chunks.select_columns(["doc_id", "chunk_id", "n_chunk_tokens"])
 
 
 def _edge_ds(sf: str):
@@ -1149,6 +1187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": _q_repetition,
         "q_mixture": _q_mixture,
         "q_lm_score": _q_lm_score,
+        "q_prep_pipeline": _q_prep_pipeline,
+        "q_caption_align": _q_caption_align,
         "q_event_gap": _q_event_gap,
         "q_distinct_per_group": _q_distinct_per_group,
         "q_left_join": _q_left_join,
@@ -1355,6 +1395,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CAST(UNNEST(range(CAST(substr("
             "source, 4) AS BIGINT) % 4)) AS BIGINT) AS copy "
             "FROM documents",
+        "q_prep_pipeline":
+            "WITH rep AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS top "
+            "FROM (SELECT doc_id, word, COUNT(*) AS c FROM (SELECT "
+            "doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS "
+            "word FROM documents) GROUP BY doc_id, word) GROUP BY "
+            "doc_id), kept AS (SELECT d.doc_id, d.text FROM documents d "
+            "JOIN rep USING(doc_id) WHERE rep.n >= 30 AND rep.top * 8 "
+            "<= rep.n), dd AS (SELECT doc_id, text FROM kept QUALIFY "
+            "ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),"
+            " toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'\\w+') AS t FROM dd), c AS (SELECT doc_id, t, len(t) AS n "
+            "FROM toks WHERE len(t) > 0) SELECT doc_id, CAST(i - 1 AS "
+            "BIGINT) AS chunk_id, CAST(len(t[(i-1)*48 + 1 : (i-1)*48 + "
+            "64]) AS BIGINT) AS n_chunk_tokens FROM c, UNNEST("
+            "generate_series(1, 1 + CAST(CEIL(GREATEST(n - 64, 0) / "
+            "48.0) AS BIGINT))) AS u(i)",
         "q_event_gap":
             "SELECT event_id, user_id, CAST(epoch_us(ts) - epoch_us(prev)"
             " AS BIGINT) AS gap_us FROM (SELECT event_id, user_id, ts, "

@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "q_ann_topk", "q_quality_stats", "q_sessionize", "q_asof_join",
     "q_word_count", "q_anti_join_keyed", "q_grouped_topk",
     "q_group_rank", "q_doc_pack", "q_chunk", "q_decontaminate",
-    "q_left_join",
+    "q_left_join", "q_prep_pipeline",
 ]
 
 

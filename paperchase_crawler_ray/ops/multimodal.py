@@ -360,6 +360,78 @@ def image_quality(ds: ray.data.Dataset, bytes_col: str = "bytes",
                           concurrency=concurrency)
 
 
+class CaptionAlignment:
+    """Actor stage: CLIP-shaped two-tower image<->caption alignment.
+
+    The PLUMBING is the point (per the multimodal stub policy above):
+    per-actor one-time setup of both towers in ``__init__`` (a seeded
+    random projection for the image tower, feature-hashing params for
+    the text tower — the stand-ins for loading real model weights),
+    batched two-tower encode in ``__call__``, cosine head. The image
+    tower runs on REAL decoded pixels (8x8 grayscale thumb -> dim-d
+    projection); the text tower feature-hashes caption tokens.
+    Deterministic by construction: scores are emitted as int64
+    basis points (floor(cos * 10000)) so results are bit-stable across
+    any parallelism. A real CLIP drops into ``__init__``/``_encode_*``
+    without touching the Ray wiring.
+    """
+
+    def __init__(self, bytes_col: str = "bytes",
+                 caption_col: str = "caption", dim: int = 32,
+                 seed: int = 42):
+        import re
+        self.bytes_col = bytes_col
+        self.caption_col = caption_col
+        self.dim = dim
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.w_img = rng.standard_normal((64, dim))
+        self.word_re = re.compile(r"\w+")
+
+    def _encode_text(self, caption: str) -> np.ndarray:
+        v = np.zeros(self.dim, np.float64)
+        for tok in self.word_re.findall((caption or "").lower()):
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                "big")
+            v[h % self.dim] += -1.0 if (h >> 32) & 1 else 1.0
+        n = np.sqrt((v * v).sum())
+        return v / n if n > 0 else v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        caps = batch.column(self.caption_col).to_pylist()
+        scores = np.zeros(len(blobs), np.int64)
+        ok = np.zeros(len(blobs), bool)
+        for i, (data, cap) in enumerate(zip(blobs, caps)):
+            fmt = sniff_format(data)
+            if not fmt:
+                continue
+            try:
+                px = decode(data, fmt)
+            except UnsupportedFormatError:
+                continue
+            ok[i] = True
+            gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            t = area_resample(gray, 8, 8).reshape(64)
+            t = t - t.mean()
+            vi = t @ self.w_img
+            ni = np.sqrt((vi * vi).sum())
+            vi = vi / ni if ni > 0 else vi
+            vt = self._encode_text(cap)
+            scores[i] = int(np.floor(float(vi @ vt) * 10000.0))
+        out = batch.append_column("align_bp", pa.array(scores, pa.int64()))
+        return out.filter(pa.array(ok))
+
+
+def caption_alignment(ds: ray.data.Dataset, bytes_col: str = "bytes",
+                      caption_col: str = "caption", batch_size: int = 32,
+                      concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(
+        CaptionAlignment, fn_constructor_args=(bytes_col, caption_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))
+
+
 def _phash_band_explode(phash_col: str, id_col: str, band_bits: int):
     nbands = 64 // band_bits
     mask = np.uint64((1 << band_bits) - 1)

@@ -1055,6 +1055,31 @@ def test_grouped_dense_rank_value_split_across_blocks():
     assert got.sort_values("o")["drnk"].tolist() == want["drnk"].tolist()
 
 
+def test_caption_alignment_deterministic_and_bounded():
+    """Two-tower alignment must be parallelism-invariant (int64 basis
+    points), bounded by cosine range, and sensitive to the caption (a
+    different caption for the same image changes the text tower)."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import caption_alignment
+    rows = make_image_rows(24)
+    base = ray.data.from_arrow(rows.select(["image_id", "bytes", "caption"]))
+    a = caption_alignment(base, batch_size=5).to_pandas() \
+        .sort_values("image_id")
+    b = caption_alignment(
+        ray.data.from_arrow(rows.select(["image_id", "bytes", "caption"]))
+        .repartition(7), batch_size=3).to_pandas().sort_values("image_id")
+    assert a["align_bp"].tolist() == b["align_bp"].tolist()
+    assert a["align_bp"].between(-10000, 10000).all()
+    # same pixels, shuffled captions -> different scores somewhere
+    caps = rows.column("caption").to_pylist()
+    rot = pa.table({"image_id": rows.column("image_id"),
+                    "bytes": rows.column("bytes"),
+                    "caption": pa.array(caps[1:] + caps[:1])})
+    c = caption_alignment(ray.data.from_arrow(rot)).to_pandas() \
+        .sort_values("image_id")
+    assert a["align_bp"].tolist() != c["align_bp"].tolist()
+
+
 def test_repetition_stats_naive_twin():
     import re
     from paperchase_crawler_ray.ops.textstats import repetition_stats
