@@ -737,6 +737,25 @@ def _q_prep_pipeline(sf: str):
     return chunks.select_columns(["doc_id", "chunk_id", "n_chunk_tokens"])
 
 
+def _q_weighted_sample(sf: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    priorities from a stable seeded hash): deterministic top-k, so
+    rows-only is exact; hash priorities are non-SQL-expressible."""
+    from paperchase_crawler_ray.ops.textstats import weighted_sample
+    docs = _rp(sf, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars", 50) \
+        .select_columns(["doc_id", "n_chars"])
+
+
+def _q_bpe(sf: str):
+    """Tokenizer-training op: BPE merge-table induction from one
+    distributed word count (unique merge order via deterministic
+    tie-break; iterative — non-SQL-expressible, naive-twin pytest)."""
+    from paperchase_crawler_ray.ops.textstats import bpe_merges
+    docs = _rp(sf, "documents", columns=["text"])
+    return bpe_merges(docs, n_merges=20)
+
+
 def _edge_ds(sf: str):
     """Bipartite user<->event_type edge list in ONE string node space
     (graph ops need a single-typed node column)."""
@@ -1189,6 +1208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_score": _q_lm_score,
         "q_prep_pipeline": _q_prep_pipeline,
         "q_caption_align": _q_caption_align,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_bpe": _q_bpe,
         "q_event_gap": _q_event_gap,
         "q_distinct_per_group": _q_distinct_per_group,
         "q_left_join": _q_left_join,

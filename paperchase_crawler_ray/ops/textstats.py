@@ -221,6 +221,129 @@ def unigram_logprob_score(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def weighted_sample(ds: ray.data.Dataset, id_col: str, weight_col: str,
+                    k: int, seed: int = 42) -> ray.data.Dataset:
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row gets priority log(u)/w — a
+    monotone transform of u^(1/w) — with u a per-id uniform derived
+    from a stable seeded hash, and the sample is the global top-k by
+    priority. Deterministic (same seed + ids -> same sample at any
+    parallelism), one pruned top-k exchange, no driver pass over rows.
+    Weights must be positive."""
+    from .relational import global_topk
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        w = b.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if (w <= 0).any():
+            raise ValueError("weighted_sample: weights must be > 0")
+        h = np.array([stable_hash64(f"{seed}:{i}") for i in ids],
+                     np.int64).astype(np.uint64)
+        u = (h.astype(np.float64) + 2.0) / (2.0 ** 64 + 4.0)  # in (0,1)
+        key = np.log(u) / w
+        return b.append_column("_pri", pa.array(key, pa.float64()))
+
+    prio = ds.map_batches(keyed, batch_format="pyarrow")
+    return global_topk(prio, [("_pri", True), (id_col, False)], k) \
+        .drop_columns(["_pri"])
+
+
+def _bpe_pair_counts(seqs: dict) -> dict:
+    counts: dict = {}
+    for word, (syms, freq) in seqs.items():
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + freq
+    return counts
+
+
+def _bpe_apply(syms: tuple, pair: tuple) -> tuple:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_merges(ds: ray.data.Dataset, text_col: str = "text",
+               n_merges: int = 20) -> ray.data.Dataset:
+    """BPE vocabulary induction (the tokenizer-training op): ONE
+    distributed pass builds the word-frequency table (the corpus-scale
+    work); the merge loop then runs over that table, which is SMALL by
+    Zipf's law relative to the corpus — the same small-side/driver
+    switch the mixture and decontamination ops use (HF-style tokenizer
+    training works off word counts the same way). Ties break by
+    (count desc, pair lexicographic) so the merge sequence is unique.
+
+    Returns the ordered merge table (rank, left, right, count)."""
+    from ray.data.aggregate import Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(b.column(text_col)), pattern=r"\W+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pa.table({"word": toks,
+                         "c": pa.array(np.ones(len(toks), np.int64))})
+
+    counts = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="n"))
+    seqs: dict = {}
+    for t in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = t if isinstance(t, pa.Table) else pa.table(t)
+        for w, c in zip(t.column("word").to_pylist(),
+                        t.column("n").to_pylist()):
+            seqs[w] = (tuple(w) + ("</w>",), c)
+
+    ranks, lefts, rights, bestc = [], [], [], []
+    for r in range(n_merges):
+        pc_counts = _bpe_pair_counts(seqs)
+        if not pc_counts:
+            break
+        best = min(pc_counts, key=lambda p: (-pc_counts[p], p))
+        ranks.append(r)
+        lefts.append(best[0])
+        rights.append(best[1])
+        bestc.append(pc_counts[best])
+        seqs = {w: (_bpe_apply(s, best), f) for w, (s, f) in seqs.items()}
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "count": pa.array(bestc, pa.int64())}))
+
+
+def bpe_token_count(ds: ray.data.Dataset, merges: list[tuple[str, str]],
+                    text_col: str = "text", out_col: str = "n_bpe"
+                    ) -> ray.data.Dataset:
+    """Apply a learned merge list (broadcast once via ``ray.put``) to
+    every document and count resulting BPE tokens — the tokenizer
+    APPLY side, stateless and corpus-scale."""
+    ref = ray.put(list(merges))
+
+    def apply(b: pa.Table) -> pa.Table:
+        ms = ray.get(ref)
+        texts = b.column(text_col).to_pylist()
+        out = np.zeros(len(texts), np.int64)
+        cache: dict = {}
+        for i, t in enumerate(texts):
+            n = 0
+            for w in _WORD_RE.findall(t.lower()):
+                if w not in cache:
+                    syms = tuple(w) + ("</w>",)
+                    for m in ms:
+                        syms = _bpe_apply(syms, tuple(m))
+                    cache[w] = len(syms)
+                n += cache[w]
+            out[i] = n
+        return b.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def tfidf(ds: ray.data.Dataset, id_col: str = "doc_id",
           text_col: str = "text", round_digits: int = 6,
           n_docs: int | None = None) -> ray.data.Dataset:

@@ -1055,6 +1055,90 @@ def test_grouped_dense_rank_value_split_across_blocks():
     assert got.sort_values("o")["drnk"].tolist() == want["drnk"].tolist()
 
 
+def test_weighted_sample_matches_naive_and_parallelism_invariant():
+    from paperchase_crawler_ray.functions.texthash import stable_hash64
+    from paperchase_crawler_ray.ops.textstats import weighted_sample
+    rng = np.random.default_rng(21)
+    n = 3000
+    df = pd.DataFrame({"id": [f"d{i}" for i in range(n)],
+                       "w": rng.integers(1, 100, n).astype(float)})
+    # naive twin with identical arithmetic
+    h = np.array([stable_hash64(f"42:{i}") for i in df["id"]],
+                 np.int64).astype(np.uint64)
+    u = (h.astype(np.float64) + 2.0) / (2.0 ** 64 + 4.0)
+    key = np.log(u) / df["w"].to_numpy()
+    want = set(df["id"].to_numpy()[np.argsort(-key)[:100]])
+    for nblocks in (3, 11):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = weighted_sample(ds, "id", "w", 100).to_pandas()
+        assert set(got["id"]) == want, nblocks
+
+
+def test_weighted_sample_bias():
+    """A row with overwhelming weight must (essentially) always be
+    sampled; tiny-weight rows must not dominate."""
+    from paperchase_crawler_ray.ops.textstats import weighted_sample
+    df = pd.DataFrame({"id": [f"d{i}" for i in range(200)],
+                       "w": [1e6] + [1.0] * 199})
+    got = weighted_sample(ray.data.from_pandas(df), "id", "w", 10) \
+        .to_pandas()
+    assert "d0" in set(got["id"])
+
+
+def _naive_bpe(word_freq, n_merges):
+    seqs = {w: (tuple(w) + ("</w>",), c) for w, c in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, (s, f) in seqs.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((best[0], best[1], counts[best]))
+
+        def ap(s):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1]); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            return tuple(out)
+        seqs = {w: (ap(s), f) for w, (s, f) in seqs.items()}
+    return merges
+
+
+def test_bpe_merges_matches_naive():
+    import re
+    from collections import Counter
+    from paperchase_crawler_ray.ops.textstats import bpe_merges
+    texts = ["the cat sat on the mat", "the dog sat", "a cat and a dog",
+             "mat and cat chat"] * 3
+    df = pd.DataFrame({"text": texts})
+    got = bpe_merges(ray.data.from_pandas(df).repartition(3),
+                     n_merges=12).to_pandas()
+    wf = Counter(w for t in texts for w in re.findall(r"\w+", t.lower()))
+    want = _naive_bpe(wf, 12)
+    assert list(zip(got["left"], got["right"], got["count"])) == want
+
+
+def test_bpe_token_count_applies_merges():
+    from paperchase_crawler_ray.ops.textstats import (bpe_merges,
+                                                      bpe_token_count)
+    texts = ["the the the cat", "thethe theme"]
+    df = pd.DataFrame({"doc_id": [0, 1], "text": texts})
+    ds = ray.data.from_pandas(df)
+    m = bpe_merges(ds, n_merges=6).to_pandas()
+    merges = list(zip(m["left"], m["right"]))
+    out = bpe_token_count(ray.data.from_pandas(df), merges).to_pandas() \
+        .sort_values("doc_id")
+    # with enough merges "the</w>" fuses to one token: doc0 = 3x the + cat syms
+    assert out.loc[0, "n_bpe"] < 3 * 4 + 4  # strictly fewer than chars+EOW
+    assert (out["n_bpe"] > 0).all()
+
+
 def test_caption_alignment_deterministic_and_bounded():
     """Two-tower alignment must be parallelism-invariant (int64 basis
     points), bounded by cosine range, and sensitive to the caption (a
