@@ -756,6 +756,133 @@ def _q_bpe(sf: str):
     return bpe_merges(docs, n_merges=20)
 
 
+def _q_full_join(sf: str):
+    """FULL OUTER join (Ray native full_outer): per-user event counts x
+    BUILDING-segment customers — unmatched rows survive on BOTH sides."""
+    ev = _rp(sf, "events", columns=["user_id"])
+    counts = _rename(ev.groupby("user_id").count(), {"count()": "n_events"})
+    cust = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'")
+
+    def mark(b: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the right key INTO the left key
+        # column and drops it, so right-side presence needs a marker
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "_inb": pa.array(np.ones(b.num_rows, np.int8))})
+
+    j = counts.join(cust.map_batches(mark, batch_format="pyarrow"),
+                    join_type="full_outer", num_partitions=8,
+                    on=("user_id",), right_on=("c_custkey",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(b.column("n_events"), 0)
+        in_seg = pc.cast(pc.is_valid(b.column("_inb")), pa.int64())
+        return pa.table({"k": b.column("user_id"),
+                         "n_events": pc.cast(n, pa.int64()),
+                         "in_building": in_seg})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_outliers(sf: str):
+    """Robust per-group outlier profile (median / MAD with
+    quantile_disc semantics, cross-multiplied 1.5x-MAD rule — exact
+    arithmetic, no float accumulation): the distribution-screening pass
+    a data-quality pipeline runs before filtering."""
+    li = _rp(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def disc_median(g: pd.DataFrame, col: str) -> float:
+        v = np.sort(g[col].to_numpy())
+        return v[(len(v) - 1) // 2]
+
+    def med_g(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "med_qty": [disc_median(g, "l_quantity")]})
+
+    meds = {r["l_returnflag"]: r["med_qty"]
+            for b in li.groupby("l_returnflag")
+            .map_groups(med_g, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)
+            for _, r in b.iterrows()}
+    mref = ray.put(meds)
+
+    def absdev(b: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        flags = b.column("l_returnflag").to_pylist()
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        med = np.array([m[f] for f in flags], np.float64)
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "ad": pa.array(np.abs(q - med), pa.float64())})
+
+    devs = li.map_batches(absdev, batch_format="pyarrow")
+
+    def mad_g(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "mad_qty": [disc_median(g, "ad")]})
+
+    mads = {r["l_returnflag"]: r["mad_qty"]
+            for b in devs.groupby("l_returnflag")
+            .map_groups(mad_g, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)
+            for _, r in b.iterrows()}
+    dref = ray.put(mads)
+
+    def flag(b: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        flags = b.column("l_returnflag").to_pylist()
+        ad = b.column("ad").to_numpy(zero_copy_only=False)
+        mad = np.array([d[f] for f in flags], np.float64)
+        out = (2.0 * ad > 3.0 * mad).astype(np.int64)  # ad > 1.5*MAD
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "is_out": pa.array(out)})
+
+    from ray.data.aggregate import Sum
+    n_out = devs.map_batches(flag, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(Sum("is_out",
+                                               alias_name="n_outliers"))
+
+    rows = sorted(meds)
+    prof = pd.DataFrame({
+        "l_returnflag": rows,
+        "med_qty": [meds[f] for f in rows],
+        "mad_qty": [mads[f] for f in rows]})
+    out = n_out.to_pandas().merge(prof, on="l_returnflag")
+    out["n_outliers"] = out["n_outliers"].astype(np.int64)
+    return out[["l_returnflag", "med_qty", "mad_qty", "n_outliers"]]
+
+
+def _q_resample(sf: str):
+    """Time-series resample: per-user hourly grid (floor-hour span
+    explode) forward-filled with the latest event timestamp at or
+    before each grid point via the as-of join."""
+    from ray.data.aggregate import Max, Min
+
+    from paperchase_crawler_ray.ops.relational import asof_join_time
+    ev = _rp(sf, "events", columns=["user_id", "ts"])
+    spans = ev.groupby("user_id").aggregate(Min("ts", alias_name="t0"),
+                                            Max("ts", alias_name="t1"))
+
+    def mkgrid(b: pa.Table) -> pa.Table:
+        t0 = b.column("t0").to_numpy(zero_copy_only=False)
+        t1 = b.column("t1").to_numpy(zero_copy_only=False)
+        h = np.timedelta64(3_600_000_000, "us")
+        g0 = t0.astype("datetime64[h]").astype("datetime64[us]")
+        g1 = t1.astype("datetime64[h]").astype("datetime64[us]")
+        counts = ((g1 - g0) // h).astype(np.int64) + 1
+        users = np.repeat(b.column("user_id").to_numpy(
+            zero_copy_only=False), counts)
+        starts = np.repeat(g0, counts)
+        offs = np.arange(int(counts.sum())) \
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        return pa.table({"user_id": pa.array(users),
+                         "gts": pa.array(starts + offs * h)})
+
+    grid = spans.map_batches(mkgrid, batch_format="pyarrow")
+    res = asof_join_time(grid, ev, "user_id", "user_id", "gts", "ts")
+    out = res.select_columns(["user_id", "gts", "matched_ts"])
+    return _ts_us(_ts_us(out, "gts"), "matched_ts")
+
+
 def _edge_ds(sf: str):
     """Bipartite user<->event_type edge list in ONE string node space
     (graph ops need a single-typed node column)."""
@@ -1210,6 +1337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_caption_align": _q_caption_align,
         "q_weighted_sample": _q_weighted_sample,
         "q_bpe": _q_bpe,
+        "q_full_join": _q_full_join,
+        "q_outliers": _q_outliers,
+        "q_resample": _q_resample,
         "q_event_gap": _q_event_gap,
         "q_distinct_per_group": _q_distinct_per_group,
         "q_left_join": _q_left_join,
@@ -1416,6 +1546,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CAST(UNNEST(range(CAST(substr("
             "source, 4) AS BIGINT) % 4)) AS BIGINT) AS copy "
             "FROM documents",
+        "q_full_join":
+            "SELECT COALESCE(e.user_id, c.c_custkey) AS k, "
+            "CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events, "
+            "CAST(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END "
+            "AS BIGINT) AS in_building FROM (SELECT user_id, COUNT(*) "
+            "AS n_events FROM events GROUP BY user_id) e FULL OUTER "
+            "JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = "
+            "'BUILDING') c ON e.user_id = c.c_custkey",
+        "q_outliers":
+            "WITH m AS (SELECT l_returnflag, quantile_disc(l_quantity, "
+            "0.5) AS med FROM lineitem GROUP BY l_returnflag), d AS ("
+            "SELECT l.l_returnflag, ABS(l.l_quantity - m.med) AS ad, "
+            "m.med AS med FROM lineitem l JOIN m USING (l_returnflag)), "
+            "s AS (SELECT l_returnflag, quantile_disc(ad, 0.5) AS mad "
+            "FROM d GROUP BY l_returnflag) SELECT d.l_returnflag, "
+            "MIN(d.med) AS med_qty, MIN(s.mad) AS mad_qty, CAST(SUM("
+            "CASE WHEN 2.0 * d.ad > 3.0 * s.mad THEN 1 ELSE 0 END) AS "
+            "BIGINT) AS n_outliers FROM d JOIN s USING (l_returnflag) "
+            "GROUP BY d.l_returnflag",
+        "q_resample":
+            "WITH spans AS (SELECT user_id, date_trunc('hour', MIN(ts)) "
+            "AS g0, date_trunc('hour', MAX(ts)) AS g1 FROM events GROUP "
+            "BY user_id), grid AS (SELECT user_id, UNNEST("
+            "generate_series(g0, g1, INTERVAL 1 HOUR)) AS gts FROM "
+            "spans) SELECT g.user_id, g.gts, e.ts AS matched_ts FROM "
+            "grid g ASOF LEFT JOIN events e ON g.user_id = e.user_id "
+            "AND g.gts >= e.ts",
         "q_prep_pipeline":
             "WITH rep AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS top "
             "FROM (SELECT doc_id, word, COUNT(*) AS c FROM (SELECT "
