@@ -313,43 +313,118 @@ def asof_join_time(left: ray.data.Dataset, right: ray.data.Dataset,
     return _asof_impl(left, right, key, right_key, left_ts, right_ts, None)
 
 
+@ray.remote
+def _asof_block_meta(tbl: pa.Table, key: str, ts: str):
+    """(first_key, last_key, last right-ts in the block's LAST key or
+    None, nrows) — the as-of carry: a left row at the next block's start
+    whose matching right rows all live in earlier blocks only needs the
+    boundary key's latest right timestamp (the sort co-locates keys)."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, None, 0)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    side = tbl.column("_side").to_numpy(zero_copy_only=False)
+    t = tbl.column(ts).to_numpy(zero_copy_only=False)
+    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+    seg = slice(last_start, n)
+    rmask = side[seg] == 0
+    last_rts = t[seg][rmask][-1] if rmask.any() else None
+
+    def s(x):
+        return x.item() if hasattr(x, "item") else x
+
+    return (s(k[0]), s(k[-1]), last_rts, n)
+
+
+@ray.remote
+def _asof_block_fill(tbl: pa.Table, key: str, ts: str, left_id,
+                     carry_key, carry_rts) -> pa.Table:
+    """Vectorized forward-fill of the latest right timestamp over one
+    block of the global (key, ts, side) sort — no per-group pandas."""
+    n = tbl.num_rows
+    empty = {key: pa.array([], pa.string()), ts: pa.array([]),
+             "matched_ts": pa.array([], pa.timestamp("us"))}
+    if n == 0:
+        return pa.table(empty)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    side = tbl.column("_side").to_numpy(zero_copy_only=False)
+    t = tbl.column(ts).to_numpy(zero_copy_only=False)
+    is_right = side == 0
+    idx = np.where(is_right, np.arange(n), -1)
+    ffill = np.maximum.accumulate(idx)
+    # group starts (sorted by key): a fill from a previous key is invalid
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = k[1:] != k[:-1]
+    gstart = np.repeat(np.flatnonzero(new_grp), np.diff(
+        np.append(np.flatnonzero(new_grp), n)))
+    valid = ffill >= gstart
+    matched = np.full(n, np.datetime64("NaT", "us"))
+    matched[valid] = t[np.maximum(ffill[valid], 0)]
+    # block-boundary carry: rows of the carry key with no in-block fill
+    if carry_key is not None and carry_rts is not None:
+        boundary = (k == carry_key) & ~valid
+        matched[boundary] = carry_rts
+    lmask = ~is_right
+    out = {key: tbl.column(key).filter(pa.array(lmask)),
+           ts: pa.array(t[lmask]),
+           "matched_ts": pa.array(matched[lmask],
+                                  type=pa.timestamp("us"))}
+    if left_id:
+        out[left_id] = tbl.column(left_id).filter(pa.array(lmask))
+    return pa.table(out)
+
+
 def _asof_impl(left, right, key, right_key, left_ts, right_ts, left_id):
-    import pyarrow.compute as _pc
+    """One global sort by (key, ts, side) — right rows sort BEFORE left
+    rows at equal timestamps so 'at or before' is inclusive — then a
+    block-local vectorized forward fill with an O(blocks) driver carry
+    of the boundary key's latest right ts. Replaces the former
+    groupby().map_groups merge (10-100x slower per the Ray 2.49 small-
+    group pathology); all-to-all cost is exactly one sort."""
+
+    if left_id:
+        s = left.schema()
+        id_type = dict(zip(s.names, s.types))[left_id]
+    else:
+        id_type = None
 
     def tag_left(b: pa.Table) -> pa.Table:
         cols = {key: b.column(key), left_ts: b.column(left_ts),
-                "_side": pa.array(np.zeros(b.num_rows, np.int8))}
-        cols["_id"] = (b.column(left_id) if left_id
-                       else pa.array(np.zeros(b.num_rows, np.int64)))
+                "_side": pa.array(np.ones(b.num_rows, np.int8))}
+        if left_id:
+            cols[left_id] = b.column(left_id)
         return pa.table(cols)
 
     def tag_right(b: pa.Table) -> pa.Table:
-        return pa.table({key: b.column(right_key),
-                         left_ts: b.column(right_ts),
-                         "_side": pa.array(np.ones(b.num_rows, np.int8)),
-                         "_id": pa.array(np.zeros(b.num_rows, np.int64))})
+        cols = {key: b.column(right_key), left_ts: b.column(right_ts),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8))}
+        if left_id:
+            cols[left_id] = pa.nulls(b.num_rows, id_type)
+        return pa.table(cols)
 
     l = left.select_columns([key, left_ts] + ([left_id] if left_id else [])) \
         .map_batches(tag_left, batch_format="pyarrow")
     r = right.select_columns([right_key, right_ts]) \
         .map_batches(tag_right, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["_side"] == 0]
-        od = np.sort(g[g["_side"] == 1][left_ts].to_numpy())
-        ts = ev[left_ts].to_numpy()
-        if len(od) == 0:
-            matched = np.full(len(ts), np.datetime64("NaT", "us"))
-        else:
-            idx = np.searchsorted(od, ts, side="right") - 1
-            matched = np.where(idx >= 0, od[np.maximum(idx, 0)],
-                               np.datetime64("NaT", "us"))
-        out = {key: ev[key].to_numpy(), left_ts: ts, "matched_ts": matched}
-        if left_id:
-            out[left_id] = ev["_id"].to_numpy()
-        return pd.DataFrame(out)
-
-    return l.union(r).groupby(key).map_groups(merge, batch_format="pandas")
+    srt = l.union(r).sort([key, left_ts, "_side"])
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return srt
+    metas = ray.get([_asof_block_meta.remote(rf, key, left_ts)
+                     for rf in refs])
+    out, ck, crts = [], None, None
+    for rf, (fk, lk, last_rts, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        out.append(_asof_block_fill.remote(rf, key, left_ts, left_id,
+                                           ck, crts))
+        # keys are contiguous under the sort, so lk == ck means a
+        # single-key block continuing the carry key: keep the old carry
+        # only when that spanning block contributed no right rows
+        crts = last_rts if (lk != ck or last_rts is not None) else crts
+        ck = lk
+    return ray.data.from_arrow_refs(out)
 
 
 def asof_join_with_id(left, right, key, right_key, left_ts, right_ts,

@@ -1055,6 +1055,32 @@ def test_grouped_dense_rank_value_split_across_blocks():
     assert got.sort_values("o")["drnk"].tolist() == want["drnk"].tolist()
 
 
+def test_asof_join_carry_across_blocks():
+    """One key spanning many blocks with its right rows only at the
+    start: later-block left rows must forward-fill through the driver
+    carry chain, and a key with NO right rows must stay NaT."""
+    import duckdb
+    from paperchase_crawler_ray.ops.relational import asof_join_with_id
+    n = 4000
+    ev = pd.DataFrame({
+        "k": ["a"] * n + ["b"] * 50,
+        "ts": pd.to_datetime(
+            np.concatenate([np.arange(n), np.arange(50)]) * 1000, unit="us"),
+        "eid": np.arange(n + 50),
+    })
+    od = pd.DataFrame({"rk": ["a", "a"],
+                       "rts": pd.to_datetime([0, 1500], unit="us")})
+    got = asof_join_with_id(
+        ray.data.from_pandas(ev).repartition(16),
+        ray.data.from_pandas(od), "k", "rk", "ts", "rts", "eid"
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT e.eid, o.rts AS matched_ts FROM ev e ASOF LEFT JOIN od o "
+        "ON e.k = o.rk AND e.ts >= o.rts ORDER BY e.eid").df()
+    assert got["matched_ts"].astype("datetime64[us]").equals(
+        want["matched_ts"].astype("datetime64[us]"))
+
+
 def test_weighted_sample_matches_naive_and_parallelism_invariant():
     from paperchase_crawler_ray.functions.texthash import stable_hash64
     from paperchase_crawler_ray.ops.textstats import weighted_sample
