@@ -883,6 +883,97 @@ def _q_resample(sf: str):
     return _ts_us(_ts_us(out, "gts"), "matched_ts")
 
 
+def _q_unpivot(sf: str):
+    """UNPIVOT/melt: wide metric columns -> (key, metric, value) long
+    rows — the reshape every feature-store export runs. Stateless
+    per-batch explode (3x row growth, no shuffle)."""
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_linenumber",
+                                      "l_quantity", "l_extendedprice",
+                                      "l_discount"])
+    metrics = ("l_quantity", "l_extendedprice", "l_discount")
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parts = []
+        for m in metrics:
+            parts.append(pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "metric": pa.array([m] * n, pa.string()),
+                "value": pc.cast(b.column(m), pa.float64())}))
+        return pa.concat_tables(parts)
+
+    return li.map_batches(melt, batch_format="pyarrow")
+
+
+def _q_cross_join(sf: str):
+    """CROSS JOIN of two small dimensions via broadcast (no shuffle):
+    every (region, nation) pair."""
+    r = _rp(sf, "region", columns=["r_name"])
+    n = _rp(sf, "nation", columns=["n_name"])
+    r_names = sorted(x["r_name"] for x in r.take_all())
+    ref = ray.put(r_names)
+
+    def cross(b: pa.Table) -> pa.Table:
+        rs = ray.get(ref)
+        nn = b.column("n_name").to_pylist()
+        return pa.table({
+            "r_name": pa.array([x for x in rs for _ in nn]),
+            "n_name": pa.array(nn * len(rs))})
+
+    return n.map_batches(cross, batch_format="pyarrow")
+
+
+def _q_regression(sf: str):
+    """Per-group OLS slope as EXACT integer numerator/denominator
+    (n·Σxy − Σx·Σy over n·Σx² − (Σx)²): float-policy-safe distributed
+    regression — every sum is int64, division left to the consumer."""
+    from ray.data.aggregate import Count, Sum
+    li = _rp(sf, "lineitem", columns=["l_returnflag", "l_quantity",
+                                      "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("l_quantity"), pa.int64())
+        y = pc.cast(pc.floor(pc.divide(b.column("l_extendedprice"),
+                                       100.0)), pa.int64())
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "x": x, "y": y,
+                         "xy": pc.multiply(x, y),
+                         "xx": pc.multiply(x, x)})
+
+    agg = li.map_batches(prep, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Count(alias_name="n"), Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"), Sum("xy", alias_name="sxy"),
+            Sum("xx", alias_name="sxx"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "slope_num": pa.array(n * sxy - sx * sy),
+                         "slope_den": pa.array(n * sxx - sx * sx)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_extract(sf: str):
+    """Regex field extraction (Arrow RE2 kernel — the same engine as
+    DuckDB's regexp_extract): structured id out of a formatted name."""
+    c = _rp(sf, "customer", columns=["c_custkey", "c_name"])
+
+    def ex(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("c_name"), pattern=r"#(?P<num>\d+)")
+        num = pc.cast(pc.struct_field(m, "num"), pa.int64())
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "name_num": num})
+
+    return c.map_batches(ex, batch_format="pyarrow")
+
+
 def _edge_ds(sf: str):
     """Bipartite user<->event_type edge list in ONE string node space
     (graph ops need a single-typed node column)."""
@@ -1340,6 +1431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_full_join": _q_full_join,
         "q_outliers": _q_outliers,
         "q_resample": _q_resample,
+        "q_unpivot": _q_unpivot,
+        "q_cross_join": _q_cross_join,
+        "q_regression": _q_regression,
+        "q_extract": _q_extract,
         "q_event_gap": _q_event_gap,
         "q_distinct_per_group": _q_distinct_per_group,
         "q_left_join": _q_left_join,
@@ -1546,6 +1641,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CAST(UNNEST(range(CAST(substr("
             "source, 4) AS BIGINT) % 4)) AS BIGINT) AS copy "
             "FROM documents",
+        "q_unpivot":
+            "SELECT l_orderkey, l_linenumber, metric, value FROM ("
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, "
+            "CAST(l_quantity AS DOUBLE) AS value FROM lineitem UNION ALL"
+            " SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+            "CAST(l_extendedprice AS DOUBLE) FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_discount', "
+            "CAST(l_discount AS DOUBLE) FROM lineitem)",
+        "q_cross_join":
+            "SELECT r_name, n_name FROM region CROSS JOIN nation",
+        "q_regression":
+            "SELECT l_returnflag, CAST(COUNT(*) * SUM(x*y) - SUM(x) * "
+            "SUM(y) AS BIGINT) AS slope_num, CAST(COUNT(*) * SUM(x*x) - "
+            "SUM(x) * SUM(x) AS BIGINT) AS slope_den FROM (SELECT "
+            "l_returnflag, CAST(l_quantity AS BIGINT) AS x, CAST(FLOOR("
+            "l_extendedprice / 100.0) AS BIGINT) AS y FROM lineitem) "
+            "GROUP BY l_returnflag",
+        "q_extract":
+            "SELECT c_custkey, CAST(regexp_extract(c_name, '#(\\d+)', 1)"
+            " AS BIGINT) AS name_num FROM customer",
         "q_full_join":
             "SELECT COALESCE(e.user_id, c.c_custkey) AS k, "
             "CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events, "
