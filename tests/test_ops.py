@@ -1055,6 +1055,47 @@ def test_grouped_dense_rank_value_split_across_blocks():
     assert got.sort_values("o")["drnk"].tolist() == want["drnk"].tolist()
 
 
+def test_resumable_sink_kill_resume(tmp_path):
+    """Kill-resume contract for the batch sink: a rerun rewrites ONLY
+    unsealed shards (including wiping a partial orphan file) and a
+    fully-sealed rerun writes nothing."""
+    import os
+    import shutil
+    from paperchase_crawler_ray.ops.sink import (committed_shards,
+                                                 read_resumable,
+                                                 write_resumable)
+    out = str(tmp_path / "sink")
+    df = pd.DataFrame({"k": np.arange(500), "v": np.arange(500) * 2})
+    r1 = write_resumable(ray.data.from_pandas(df).repartition(4), out,
+                         "k", num_shards=8)
+    assert sorted(r1["written"]) == list(range(8)) and not r1["skipped"]
+    got = read_resumable(out, 8).to_pandas().sort_values("k")
+    assert got["v"].tolist() == df.sort_values("k")["v"].tolist()
+
+    # simulate a crash: unseal shards 1 and 5, leave a partial orphan
+    for s in (1, 5):
+        os.remove(os.path.join(out, f"shard={s}", "_COMMITTED"))
+    with open(os.path.join(out, "shard=1", "partial_orphan.parquet"),
+              "wb") as f:
+        f.write(b"garbage")
+    sealed_before = {s: os.listdir(os.path.join(out, f"shard={s}"))
+                     for s in (0, 2)}
+    r2 = write_resumable(ray.data.from_pandas(df).repartition(4), out,
+                         "k", num_shards=8)
+    assert sorted(r2["written"]) == [1, 5]
+    assert sorted(r2["skipped"]) == [0, 2, 3, 4, 6, 7]
+    for s in (0, 2):  # untouched sealed shards
+        assert os.listdir(os.path.join(out, f"shard={s}")) \
+            == sealed_before[s]
+    assert committed_shards(out, 8) == set(range(8))
+    got2 = read_resumable(out, 8).to_pandas().sort_values("k")
+    assert got2["v"].tolist() == df.sort_values("k")["v"].tolist()
+
+    r3 = write_resumable(ray.data.from_pandas(df), out, "k", num_shards=8)
+    assert r3["written"] == [] and sorted(r3["skipped"]) == list(range(8))
+    shutil.rmtree(out)
+
+
 def test_asof_join_carry_across_blocks():
     """One key spanning many blocks with its right rows only at the
     start: later-block left rows must forward-fill through the driver
