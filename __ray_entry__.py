@@ -261,6 +261,34 @@ def _q_asof_join(sf: str):
                   "matched_ts")
 
 
+def _q_session_ids(sf: str):
+    """Per-event session assignment (the row-level sibling of
+    q_sessionize): LAG gives the 30-min-gap session-start flag, a
+    grouped prefix sum turns flags into 1-based session ids — two
+    stitched sorts, no per-group pandas."""
+    from paperchase_crawler_ray.ops.relational import (grouped_lag,
+                                                       grouped_prefix_sum)
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts"])
+    lagged = grouped_lag(ev, "user_id", [("ts", False), ("event_id", False)],
+                         "ts", out_col="_prev")
+
+    def flag(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        prev = b.column("_prev").to_numpy(zero_copy_only=False)
+        gap = (ts - prev) > np.timedelta64(30 * 60 * 1_000_000, "us")
+        new_s = (np.isnat(prev) | gap).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "ts": b.column("ts"),
+                         "new_s": pa.array(new_s)})
+
+    flagged = lagged.map_batches(flag, batch_format="pyarrow")
+    out = grouped_prefix_sum(flagged, "user_id",
+                             [("ts", False), ("event_id", False)], "new_s",
+                             out_col="session_id")
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
 def _q_sample(sf: str):
     """O4: seeded sample — rows-only check (sampling isn't SQL-stable)."""
     docs = _rp(sf, "documents", columns=["doc_id", "lang"])
@@ -714,26 +742,12 @@ def _q_lm_score(sf: str):
 def _q_prep_pipeline(sf: str):
     """Flagship LLM-data prep composition, end to end in one streaming
     Dataset chain: length+repetition quality filter -> exact text dedup
-    (hash winner) -> sliding-window chunking. Each stage is an existing
-    oracled operator; the composed SQL twin mirrors the whole chain."""
-    from paperchase_crawler_ray.ops.relational import exact_dedup
-    from paperchase_crawler_ray.ops.textstats import (chunk_documents,
-                                                      fingerprint_batch,
-                                                      repetition_stats)
+    (hash winner) -> sliding-window chunking (`pipelines/prep.py`,
+    whose production wrapper lands the same chain through the resumable
+    sharded sink). The composed SQL twin mirrors the whole chain."""
+    from paperchase_crawler_ray.pipelines.prep import prep_chain
     docs = _rp(sf, "documents", columns=["doc_id", "text"])
-    stats = repetition_stats(docs)
-
-    def keep(b: pa.Table) -> pa.Table:
-        n = b.column("n_tokens")
-        top = b.column("top_count")
-        mask = pc.and_(pc.greater_equal(n, 30),
-                       pc.less_equal(pc.multiply(top, 8), n))
-        return b.filter(mask).select(["doc_id", "text"])
-
-    kept = stats.map_batches(keep, batch_format="pyarrow")
-    hashed = kept.map_batches(fingerprint_batch, batch_format="pyarrow")
-    dd = exact_dedup(hashed, ["text_hash"], [("doc_id", False)])
-    chunks = chunk_documents(dd.select_columns(["doc_id", "text"]))
+    chunks = prep_chain(docs)
     return chunks.select_columns(["doc_id", "chunk_id", "n_chunk_tokens"])
 
 
@@ -1431,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_full_join": _q_full_join,
         "q_outliers": _q_outliers,
         "q_resample": _q_resample,
+        "q_session_ids": _q_session_ids,
         "q_unpivot": _q_unpivot,
         "q_cross_join": _q_cross_join,
         "q_regression": _q_regression,
@@ -1641,6 +1656,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CAST(UNNEST(range(CAST(substr("
             "source, 4) AS BIGINT) % 4)) AS BIGINT) AS copy "
             "FROM documents",
+        "q_session_ids":
+            "SELECT event_id, user_id, CAST(SUM(new_s) OVER (PARTITION "
+            "BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM ("
+            "SELECT event_id, user_id, ts, CASE WHEN LAG(ts) OVER w IS "
+            "NULL OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 "
+            "ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY "
+            "user_id ORDER BY ts, event_id))",
         "q_unpivot":
             "SELECT l_orderkey, l_linenumber, metric, value FROM ("
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, "

@@ -1096,6 +1096,28 @@ def test_resumable_sink_kill_resume(tmp_path):
     shutil.rmtree(out)
 
 
+def test_prep_documents_end_to_end_resumable(tmp_path):
+    """The production prep pipeline: output equals the lazy chain, and
+    a second invocation is a no-op (all shards sealed)."""
+    import os
+    from paperchase_crawler_ray.pipelines.prep import (prep_chain,
+                                                       prep_documents)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "prep")
+    r1 = prep_documents(sf, out, num_shards=4)
+    assert r1["shards_done"] == 4 and len(r1["written"]) == 4
+    from paperchase_crawler_ray.ops.sink import read_resumable
+    got = read_resumable(out, 4).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    want = prep_chain(ray.data.read_parquet(sf, columns=["doc_id", "text"])
+                      ).to_pandas().sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+    assert got["chunk_text"].tolist() == want["chunk_text"].tolist()
+    assert len(got) > 0
+    r2 = prep_documents(sf, out, num_shards=4)
+    assert r2["written"] == [] and r2["shards_done"] == 4
+
+
 def test_asof_join_carry_across_blocks():
     """One key spanning many blocks with its right rows only at the
     start: later-block left rows must forward-fill through the driver
