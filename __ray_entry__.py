@@ -359,6 +359,15 @@ def _q_ivf_ann(sf: str):
     return ivf_topk(emb, query_ids=[0, 1, 2, 3], k=5)
 
 
+def _q_pq_ann(sf: str):
+    """PQ-compressed ANN (ADC byte lookups + exact shortlist refine) —
+    the memory-scale rung of the ANN ladder; deterministic for a fixed
+    layout, rows-only (model/quantizer scoring is non-SQL)."""
+    from paperchase_crawler_ray.ops.similarity import pq_topk
+    emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
+    return pq_topk(emb, query_ids=[0, 1, 2, 3], k=5)
+
+
 def _q_langid(sf: str):
     from paperchase_crawler_ray.ops.textstats import language_id
     docs = _rp(sf, "documents", columns=["doc_id", "text"])
@@ -1446,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_outliers": _q_outliers,
         "q_resample": _q_resample,
         "q_session_ids": _q_session_ids,
+        "q_pq_ann": _q_pq_ann,
         "q_unpivot": _q_unpivot,
         "q_cross_join": _q_cross_join,
         "q_regression": _q_regression,

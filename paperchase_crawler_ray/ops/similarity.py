@@ -43,9 +43,12 @@ class BatchTopK:
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            # partial top-k with deterministic (sim desc, vec_id asc) order
-            part = np.argpartition(-row, k - 1)[:k]
-            order = part[np.lexsort((ids[part], -row[part]))]
+            # partial top-k under the TOTAL order (sim desc, vec_id asc):
+            # an argpartition cut by sim alone keeps an arbitrary subset
+            # of boundary TIES, making survivors depend on block layout;
+            # selection under a total order is associative, so
+            # partial-then-final equals global for any partitioning
+            order = np.lexsort((ids, -row))[:k]
             out_q.extend([self.qids[qi]] * len(order))
             out_v.extend(ids[order].tolist())
             out_s.extend(row[order].tolist())
@@ -234,8 +237,8 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                 row = sims[qi][mask]
                 sub_ids = ids[mask]
                 kk = min(self.k, len(row))
-                part = np.argpartition(-row, kk - 1)[:kk]
-                order = part[np.lexsort((sub_ids[part], -row[part]))]
+                # total-order selection — see BatchTopK tie note
+                order = np.lexsort((sub_ids, -row))[:kk]
                 out_q.extend([self.qids[qi]] * len(order))
                 out_v.extend(sub_ids[order].tolist())
                 out_s.extend(row[order].tolist())
@@ -249,3 +252,149 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
         ProbedTopK, fn_constructor_args=(qref, iref, k, cref, pref),
         batch_format="pyarrow", concurrency=(1, 4))
     return _final_topk(partials, k).select_columns(["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path: vectors become m
+# uint8 codes (64x compression at d=64/m=8), queries score via ADC
+# table lookups instead of full-precision matmuls. Completes the ANN
+# ladder: brute force (exact) -> IVF (prune cells) -> PQ (compress
+# residency); IVF-PQ composes the two.
+# ---------------------------------------------------------------------------
+
+def pq_train(ds: ray.data.Dataset, m: int = 8, ksub: int = 16,
+             sample_n: int = 4096, iters: int = 8, seed: int = 42
+             ) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks (m, ksub, d/m) from a
+    driver-side sample (same sample policy as IVF's centroid fit;
+    deterministic seeded init per subspace). Vectors are L2-normalized
+    first so ADC inner products approximate cosine."""
+    samp = ds.select_columns(["vec_id", "embedding"]).limit(sample_n) \
+        .to_pandas().sort_values("vec_id")
+    # driver-side sort makes training independent of block ORDER; which
+    # rows limit() picks still depends on layout once the dataset
+    # exceeds sample_n (same caveat as kmeans_distributed's init)
+    sample = np.stack(samp["embedding"].to_numpy())
+    X = _normalize(sample)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.Generator(np.random.PCG64(seed + j))
+        C = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
+                           replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mem = sub[assign == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books[j] = C
+    return books
+
+
+class PQEncode:
+    """map_batches actor: vector -> m uint8 codes (one fixed-size
+    binary column). Codebooks broadcast once via ``ray.put``."""
+
+    def __init__(self, books_ref):
+        self.books = ray.get(books_ref)
+
+    def codes(self, E: np.ndarray) -> np.ndarray:
+        m, ksub, dsub = self.books.shape
+        out = np.empty((len(E), m), np.uint8)
+        for j in range(m):
+            sub = E[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - self.books[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = _normalize(np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)))
+        codes = self.codes(E)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "pq_code": pa.array([c.tobytes() for c in codes], pa.binary())})
+
+
+def pq_encode(ds: ray.data.Dataset, books: np.ndarray,
+              concurrency: int = 4) -> ray.data.Dataset:
+    bref = ray.put(books)
+    return ds.map_batches(PQEncode, fn_constructor_args=(bref,),
+                          batch_format="pyarrow",
+                          concurrency=(1, concurrency))
+
+
+def pq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
+            m: int = 8, ksub: int = 16, sample_n: int = 4096,
+            rerank_factor: int = 4) -> ray.data.Dataset:
+    """Approximate cosine top-k via asymmetric distance computation
+    with exact shortlist refinement: each query precomputes an
+    (m, ksub) inner-product table against the codebooks, every block
+    row is scored with m uint8 lookups + a sum, and only the ADC top
+    ``rerank_factor * k`` per block get full-precision dot products
+    (FAISS-style refine). Same partial-topk -> _final_topk reduce shape
+    as brute force (O(blocks x k) exchange)."""
+    books = pq_train(ds, m=m, ksub=ksub, sample_n=sample_n)
+    qids, Q = load_queries(ds, query_ids)
+    # ADC tables: table[q, j, c] = <Q[q]_subj, books[j, c]>
+    mq, d = Q.shape
+    dsub = d // m
+    tables = np.einsum("qjd,jcd->qjc",
+                       Q.reshape(mq, m, dsub), books)
+    bref, tref, iref = ray.put(books), ray.put(tables), ray.put(qids)
+
+    qref = ray.put(Q)
+
+    class ADCTopK(PQEncode):
+        def __init__(self, books_ref, tables_ref, qids_ref, q_ref, k,
+                     rerank):
+            super().__init__(books_ref)
+            self.tables = ray.get(tables_ref)
+            self.qids = ray.get(qids_ref)
+            self.Q = ray.get(q_ref)
+            self.k = k
+            self.rerank = rerank
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            E = _normalize(np.stack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)))
+            codes = self.codes(E)                      # (b, m)
+            out_q, out_v, out_s = [], [], []
+            kk = min(self.k, len(ids))
+            short = min(self.k * self.rerank, len(ids))
+            for qi in range(self.tables.shape[0]):
+                # ADC prune: sim ~= sum_j table[qi, j, codes[:, j]] —
+                # m byte lookups per vector, no full-precision math.
+                # Total-order selection: quantized sims tie CONSTANTLY
+                # (equal codes -> equal sim), see BatchTopK tie note.
+                sims = self.tables[qi][
+                    np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+                cand = np.lexsort((ids, -sims))[:short]
+                # exact refine, shortlist only (the standard PQ+refine
+                # two-stage): full dot products for rerank*k vectors
+                # per block instead of every row
+                exact = self.Q[qi] @ E[cand].T
+                sel = np.lexsort((ids[cand], -exact))[:kk]
+                order = cand[sel]
+                refined = exact[sel]
+                out_q.extend([self.qids[qi]] * len(order))
+                out_v.extend(ids[order].tolist())
+                out_s.extend(refined.tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(
+        ADCTopK, fn_constructor_args=(bref, tref, iref, qref, k,
+                                      rerank_factor),
+        batch_format="pyarrow", concurrency=(1, 4))
+    return _final_topk(partials, k).select_columns(
+        ["query_id", "vec_id", "rank"])

@@ -1055,6 +1055,42 @@ def test_grouped_dense_rank_value_split_across_blocks():
     assert got.sort_values("o")["drnk"].tolist() == want["drnk"].tolist()
 
 
+def test_pq_topk_recall_and_determinism():
+    """PQ-ADC top-k must be parallelism-invariant and recall most of
+    the exact top-k on clustered data; codes must be m bytes."""
+    from paperchase_crawler_ray.ops.similarity import (brute_force_topk,
+                                                       pq_encode, pq_topk,
+                                                       pq_train)
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((10, 64)) * 3
+    X = np.repeat(centers, 50, axis=0) + rng.standard_normal((500, 64))
+    df = pd.DataFrame({"vec_id": np.arange(500),
+                       "embedding": list(X.astype(np.float64))})
+    qids = [3, 77, 401]
+
+    def mk(nblocks):
+        return ray.data.from_pandas(df).repartition(nblocks)
+
+    exact = brute_force_topk(mk(4), qids, k=10).to_pandas()
+    a = pq_topk(mk(4), qids, k=10).to_pandas()
+    b = pq_topk(mk(4), qids, k=10).to_pandas()
+    key = lambda d: sorted(zip(d["query_id"], d["rank"], d["vec_id"]))
+    # deterministic for a fixed layout; WHICH candidates each block's
+    # ADC shortlist refines depends on block membership (approximate
+    # method — recall, not layout invariance, is the contract)
+    assert key(a) == key(b)
+    recalls = []
+    for q in qids:
+        ex = set(exact[exact["query_id"] == q]["vec_id"])
+        ap = set(a[a["query_id"] == q]["vec_id"])
+        recalls.append(len(ex & ap) / len(ex))
+    assert np.mean(recalls) >= 0.8, recalls
+
+    books = pq_train(mk(4))
+    codes = pq_encode(mk(4), books).to_pandas()
+    assert all(len(c) == 8 for c in codes["pq_code"])  # 64 floats -> 8 B
+
+
 def test_resumable_sink_kill_resume(tmp_path):
     """Kill-resume contract for the batch sink: a rerun rewrites ONLY
     unsealed shards (including wiping a partial orphan file) and a
