@@ -38,10 +38,14 @@ def _load_web(spec: str) -> pa.Table:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="paperchase_crawler_ray")
-    ap.add_argument("--seeds", required=True,
+    ap.add_argument("--pipeline", choices=("crawl", "prep"), default="crawl",
+                    help="crawl = frontier/fetch loop; prep = document "
+                         "filter->dedup->chunk through the resumable sink")
+    ap.add_argument("--seeds",
                     help="parquet/text seed list, or fixture:<n>:<hosts>")
-    ap.add_argument("--web", required=True,
+    ap.add_argument("--web",
                     help="WEB_FIXTURE parquet, or fixture:<hosts>:<pages>[:lazy]")
+    ap.add_argument("--docs", help="documents parquet (--pipeline prep)")
     ap.add_argument("--out", required=True, help="checkpointed output dir")
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--host-budget", type=int, default=8)
@@ -53,18 +57,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="synthesize image bytes in the fetch stage")
     args = ap.parse_args(argv)
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False)
 
-    cfg = CrawlConfig(max_waves=args.waves, host_budget=args.host_budget,
-                      max_depth=args.max_depth, host_suffix=args.scope_suffix)
-    run = RunConfig(nshards=args.nshards, lazy_images=args.lazy_images)
-    res = crawl(_load_web(args.web), read_seeds(args.seeds), args.out,
-                cfg, run, resume=not args.no_resume)
-    print(json.dumps({"waves_run": res.waves_run, "out_dir": res.out_dir,
-                      "counters": {k: v for k, v in res.counters.items()
-                                   if k != "hot_hosts"}}))
-    ray.shutdown()
+    if args.pipeline == "prep":
+        if not args.docs:
+            ap.error("--pipeline prep requires --docs")
+        from .pipelines.prep import prep_documents
+        res = prep_documents(args.docs, args.out, num_shards=args.nshards)
+        print(json.dumps({"out_dir": args.out, **res}))
+    else:
+        if not (args.seeds and args.web):
+            ap.error("--pipeline crawl requires --seeds and --web")
+        cfg = CrawlConfig(max_waves=args.waves, host_budget=args.host_budget,
+                          max_depth=args.max_depth,
+                          host_suffix=args.scope_suffix)
+        run = RunConfig(nshards=args.nshards, lazy_images=args.lazy_images)
+        res = crawl(_load_web(args.web), read_seeds(args.seeds), args.out,
+                    cfg, run, resume=not args.no_resume)
+        print(json.dumps({"waves_run": res.waves_run, "out_dir": res.out_dir,
+                          "counters": {k: v for k, v in res.counters.items()
+                                       if k != "hot_hosts"}}))
+    if owns_session:
+        ray.shutdown()
     return 0
 
 
