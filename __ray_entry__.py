@@ -368,6 +368,14 @@ def _q_pq_ann(sf: str):
     return pq_topk(emb, query_ids=[0, 1, 2, 3], k=5)
 
 
+def _q_ivfpq_ann(sf: str):
+    """IVF-PQ: coarse cell prune + ADC byte scoring + exact shortlist
+    refine — the composed production ANN shape (rows-only)."""
+    from paperchase_crawler_ray.ops.similarity import ivfpq_topk
+    emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
+    return ivfpq_topk(emb, query_ids=[0, 1, 2, 3], k=5)
+
+
 def _q_langid(sf: str):
     from paperchase_crawler_ray.ops.textstats import language_id
     docs = _rp(sf, "documents", columns=["doc_id", "text"])
@@ -1456,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_resample": _q_resample,
         "q_session_ids": _q_session_ids,
         "q_pq_ann": _q_pq_ann,
+        "q_ivfpq_ann": _q_ivfpq_ann,
         "q_unpivot": _q_unpivot,
         "q_cross_join": _q_cross_join,
         "q_regression": _q_regression,

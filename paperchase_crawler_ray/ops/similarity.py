@@ -398,3 +398,77 @@ def pq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
         batch_format="pyarrow", concurrency=(1, 4))
     return _final_topk(partials, k).select_columns(
         ["query_id", "vec_id", "rank"])
+
+
+def ivfpq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
+               ncell: int = 16, nprobe: int = 4, m: int = 8,
+               ksub: int = 16, sample_n: int = 4096,
+               rerank_factor: int = 4) -> ray.data.Dataset:
+    """IVF-PQ: the full ANN ladder in one scan — coarse centroids prune
+    each query to ``nprobe`` cells, PQ-ADC byte lookups score only the
+    surviving rows, and the ADC top ``rerank_factor * k`` per block get
+    exact dot products (refine). At 10^9+ vectors this is the
+    production shape: the coarse quantizer bounds rows touched, PQ
+    bounds bytes per row, refine restores exact ordering on the
+    shortlist. Deterministic for a fixed block layout."""
+    C = kmeans_lite(_normalize(np.stack(
+        ds.select_columns(["vec_id", "embedding"]).limit(sample_n)
+        .to_pandas().sort_values("vec_id")["embedding"].to_numpy())), ncell)
+    books = pq_train(ds, m=m, ksub=ksub, sample_n=sample_n)
+    qids, Q = load_queries(ds, query_ids)
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    mq, d = Q.shape
+    dsub = d // m
+    tables = np.einsum("qjd,jcd->qjc", Q.reshape(mq, m, dsub), books)
+    cref, bref = ray.put(C), ray.put(books)
+    tref, iref = ray.put(tables), ray.put(qids)
+    qref, pref = ray.put(Q), ray.put(probe)
+
+    class IVFPQTopK(PQEncode):
+        def __init__(self, books_ref, cent_ref, tables_ref, qids_ref,
+                     q_ref, probe_ref, k, rerank):
+            super().__init__(books_ref)
+            self.C = ray.get(cent_ref)
+            self.tables = ray.get(tables_ref)
+            self.qids = ray.get(qids_ref)
+            self.Q = ray.get(q_ref)
+            self.probe = ray.get(probe_ref)
+            self.k = k
+            self.rerank = rerank
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            E = _normalize(np.stack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)))
+            cell = (E @ self.C.T).argmax(axis=1)
+            codes = self.codes(E)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(self.tables.shape[0]):
+                mask = np.isin(cell, self.probe[qi])
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                sub_codes = codes[mask]
+                sims = self.tables[qi][
+                    np.arange(sub_codes.shape[1])[None, :],
+                    sub_codes].sum(axis=1)
+                short = min(self.k * self.rerank, len(sub_ids))
+                cand = np.lexsort((sub_ids, -sims))[:short]
+                exact = self.Q[qi] @ E[mask][cand].T
+                kk = min(self.k, len(cand))
+                sel = np.lexsort((sub_ids[cand], -exact))[:kk]
+                out_q.extend([self.qids[qi]] * kk)
+                out_v.extend(sub_ids[cand[sel]].tolist())
+                out_s.extend(exact[sel].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(
+        IVFPQTopK,
+        fn_constructor_args=(bref, cref, tref, iref, qref, pref, k,
+                             rerank_factor),
+        batch_format="pyarrow", concurrency=(1, 4))
+    return _final_topk(partials, k).select_columns(
+        ["query_id", "vec_id", "rank"])

@@ -1091,6 +1091,34 @@ def test_pq_topk_recall_and_determinism():
     assert all(len(c) == 8 for c in codes["pq_code"])  # 64 floats -> 8 B
 
 
+def test_ivfpq_topk_recall():
+    """The composed ladder (coarse prune + ADC + refine) must still
+    recall most of the exact top-k and stay fixed-layout deterministic."""
+    from paperchase_crawler_ray.ops.similarity import (brute_force_topk,
+                                                       ivfpq_topk)
+    rng = np.random.default_rng(33)
+    centers = rng.standard_normal((10, 64)) * 3
+    X = np.repeat(centers, 50, axis=0) + rng.standard_normal((500, 64))
+    df = pd.DataFrame({"vec_id": np.arange(500),
+                       "embedding": list(X.astype(np.float64))})
+    qids = [3, 77, 401]
+
+    def mk():
+        return ray.data.from_pandas(df).repartition(4)
+
+    exact = brute_force_topk(mk(), qids, k=10).to_pandas()
+    a = ivfpq_topk(mk(), qids, k=10).to_pandas()
+    b = ivfpq_topk(mk(), qids, k=10).to_pandas()
+    key = lambda d: sorted(zip(d["query_id"], d["rank"], d["vec_id"]))
+    assert key(a) == key(b)
+    recalls = []
+    for q in qids:
+        ex = set(exact[exact["query_id"] == q]["vec_id"])
+        ap = set(a[a["query_id"] == q]["vec_id"])
+        recalls.append(len(ex & ap) / len(ex))
+    assert np.mean(recalls) >= 0.7, recalls
+
+
 def test_resumable_sink_kill_resume(tmp_path):
     """Kill-resume contract for the batch sink: a rerun rewrites ONLY
     unsealed shards (including wiping a partial orphan file) and a
