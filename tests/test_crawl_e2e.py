@@ -24,6 +24,42 @@ def ray_result(fixture_web, fixture_seeds, crawl_cfg, tmp_path_factory):
                  RunConfig(nshards=4, fetch_concurrency=2))
 
 
+def test_host_link_graph_matches_naive(ray_result):
+    """Post-crawl analysis: the distributed host graph must equal a
+    pandas reconstruction from the same on-disk wave artifacts, and
+    host PageRank must run over it."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from paperchase_crawler_ray.functions.urlnorm import (canonicalize,
+                                                          extract_host)
+    from paperchase_crawler_ray.pipelines.analyze import (host_link_graph,
+                                                          host_pagerank)
+    out = ray_result.out_dir
+    got = host_link_graph(out).to_pandas() \
+        .sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+    waves = [wd for wd in sorted(glob.glob(os.path.join(out, "wave=*")))
+             if os.path.exists(os.path.join(wd, "_COMMITTED"))]
+    fr = pd.concat([pq.read_table(f).to_pandas() for wd in waves
+                    for f in sorted(glob.glob(wd + "/frontier/*.parquet"))])
+    adm = pd.concat([pq.read_table(f).to_pandas() for wd in waves
+                     for f in sorted(glob.glob(wd + "/admitted/*.parquet"))])
+    h = dict(zip(adm["url_hash"], adm["host"]))
+    fr = fr[(fr["parent_hash"] != 0) & fr["parent_hash"].isin(h)]
+    want = pd.DataFrame({
+        "src_host": fr["parent_hash"].map(h),
+        "dst_host": [extract_host(canonicalize(u)) for u in fr["url"]]}) \
+        .groupby(["src_host", "dst_host"]).size().reset_index(name="n_links") \
+        .sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+    assert got.equals(want) and len(got) > 0
+    pr = host_pagerank(out, iters=4).to_pandas()
+    assert len(pr) > 0 and (pr["score"] > 0).all()
+
+
 def test_admitted_ordering_matches_oracle(ray_result, oracle_result):
     got = ray_result.admitted_per_wave()
     want = oracle_result.admitted_per_wave[: ray_result.waves_run]
