@@ -425,6 +425,17 @@ def _q_image_features(sf: str):
         ["image_id", "w", "h", "fmt", "phash"])
 
 
+def _q_image_patches(sf: str):
+    """Multimodal: ViT-style patch extraction (lossless tiling of real
+    decoded pixels; rows-only — binary payload op)."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import image_patchify
+    rows = make_image_rows(32)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    out = image_patchify(ds, patch=8, batch_size=8)
+    return out.select_columns(["image_id", "patch_id", "py", "px"])
+
+
 def _q_caption_align(sf: str):
     """Multimodal: CLIP-shaped two-tower caption<->image alignment
     (actor-pool; real decoded pixels; int64 basis-point scores —
@@ -1465,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_ids": _q_session_ids,
         "q_pq_ann": _q_pq_ann,
         "q_ivfpq_ann": _q_ivfpq_ann,
+        "q_image_patches": _q_image_patches,
         "q_unpivot": _q_unpivot,
         "q_cross_join": _q_cross_join,
         "q_regression": _q_regression,

@@ -360,6 +360,69 @@ def image_quality(ds: ray.data.Dataset, bytes_col: str = "bytes",
                           concurrency=concurrency)
 
 
+class ImagePatchify:
+    """Actor stage: decoded image -> ViT-style non-overlapping patches.
+
+    Emits one row per patch: (image_id, patch_id, py, px, patch) where
+    ``patch`` is the raw (p, p, 3) uint8 bytes in row-major order —
+    the training-prep layout a vision tokenizer consumes. Edge
+    remainders (width/height not divisible by p) are DROPPED, matching
+    the standard centre-free ViT crop; the tiling over the covered
+    region is lossless (tested by exact reconstruction)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 patch: int = 8):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.p = patch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.p
+        ids_out, pid, pys, pxs, blobs = [], [], [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        for img_id, data in zip(ids, batch.column(self.bytes_col).to_pylist()):
+            fmt = sniff_format(data)
+            if not fmt:
+                continue
+            try:
+                px_arr = decode(data, fmt)
+            except UnsupportedFormatError:
+                continue
+            h, w = px_arr.shape[0], px_arr.shape[1]
+            ny, nx = h // p, w // p
+            if ny == 0 or nx == 0:
+                continue
+            # (ny, nx, p, p, 3) view -> per-patch contiguous bytes
+            tiles = px_arr[:ny * p, :nx * p].reshape(ny, p, nx, p, 3) \
+                .swapaxes(1, 2)
+            k = 0
+            for y in range(ny):
+                for x in range(nx):
+                    ids_out.append(img_id)
+                    pid.append(k)
+                    pys.append(y)
+                    pxs.append(x)
+                    blobs.append(np.ascontiguousarray(
+                        tiles[y, x]).tobytes())
+                    k += 1
+        return pa.table({
+            "image_id": pa.array(ids_out, pa.string()),
+            "patch_id": pa.array(pid, pa.int64()),
+            "py": pa.array(pys, pa.int64()),
+            "px": pa.array(pxs, pa.int64()),
+            "patch": pa.array(blobs, pa.binary())})
+
+
+def image_patchify(ds: ray.data.Dataset, bytes_col: str = "bytes",
+                   id_col: str = "image_id", patch: int = 8,
+                   batch_size: int = 32, concurrency: int = 4
+                   ) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImagePatchify, fn_constructor_args=(bytes_col, id_col, patch),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))
+
+
 class CaptionAlignment:
     """Actor stage: CLIP-shaped two-tower image<->caption alignment.
 

@@ -1292,6 +1292,34 @@ def test_bpe_token_count_applies_merges():
     assert (out["n_bpe"] > 0).all()
 
 
+def test_image_patchify_lossless_reconstruction():
+    """Patches must tile back into the exact decoded pixels over the
+    covered region, at any parallelism."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.functions.codec import decode, sniff_format
+    from paperchase_crawler_ray.ops.multimodal import image_patchify
+    rows = make_image_rows(12)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"])) \
+        .repartition(5)
+    p = 8
+    out = image_patchify(ds, patch=p, batch_size=3).to_pandas()
+    blobs = dict(zip(rows.column("image_id").to_pylist(),
+                     rows.column("bytes").to_pylist()))
+    seen_imgs = set(out["image_id"])
+    assert seen_imgs  # at least the decodable ones
+    for img_id in sorted(seen_imgs):
+        px = decode(blobs[img_id], sniff_format(blobs[img_id]))
+        ny, nx = px.shape[0] // p, px.shape[1] // p
+        sub = out[out["image_id"] == img_id].sort_values("patch_id")
+        assert len(sub) == ny * nx
+        recon = np.zeros((ny * p, nx * p, 3), np.uint8)
+        for _, r in sub.iterrows():
+            tile = np.frombuffer(r["patch"], np.uint8).reshape(p, p, 3)
+            recon[r["py"] * p:(r["py"] + 1) * p,
+                  r["px"] * p:(r["px"] + 1) * p] = tile
+        assert (recon == px[:ny * p, :nx * p]).all()
+
+
 def test_caption_alignment_deterministic_and_bounded():
     """Two-tower alignment must be parallelism-invariant (int64 basis
     points), bounded by cosine range, and sensitive to the caption (a
