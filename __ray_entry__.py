@@ -1031,17 +1031,18 @@ def _edge_ds(sf: str):
 
 
 def _q_pagerank(sf: str):
-    """Iterative distributed PageRank (BSP supersteps of keyed joins +
-    groupby-sum) in fixed-point integers — deterministic across any
-    parallelism, so rows-only is exact (naive-twin pytest covers the
-    math; non-SQL-expressible iterative op per the driver contract)."""
+    """Iterative distributed PageRank (BSP supersteps) in fixed-point
+    integers — deterministic across any parallelism, so it hash-matches
+    the DuckDB RECURSIVE-CTE twin bit for bit (integer floor-division
+    share splits on both sides)."""
     from paperchase_crawler_ray.ops.graph import pagerank
     return pagerank(_edge_ds(sf), iters=4).sort(["node"])
 
 
 def _q_components(sf: str):
     """Distributed connected components: min-label propagation with
-    pointer-jumping shortcuts (O(log diameter) rounds)."""
+    pointer-jumping shortcuts (O(log diameter) rounds); oracle is the
+    min-reachable-label RECURSIVE CTE."""
     from paperchase_crawler_ray.ops.graph import connected_components
     return connected_components(_edge_ds(sf)).sort(["node"])
 
@@ -1687,6 +1688,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CAST(UNNEST(range(CAST(substr("
             "source, 4) AS BIGINT) % 4)) AS BIGINT) AS copy "
             "FROM documents",
+        "q_pagerank":
+            "WITH RECURSIVE e AS (SELECT 'u' || CAST(user_id AS VARCHAR)"
+            " AS src, 't' || event_type AS dst FROM events), deg AS ("
+            "SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY "
+            "src), nodes AS (SELECT DISTINCT node FROM (SELECT src AS "
+            "node FROM e UNION ALL SELECT dst FROM e)), pr(iter, node, "
+            "score) AS (SELECT 0, node, CAST(1000000 AS BIGINT) FROM "
+            "nodes UNION ALL SELECT p.iter + 1, p.node, COALESCE(("
+            "SELECT SUM((p2.score * 850000 // 1000000) // deg.d) FROM "
+            "pr p2 JOIN e ON e.src = p2.node JOIN deg ON deg.src = "
+            "p2.node WHERE e.dst = p.node AND p2.iter = p.iter), 0) + "
+            "150000 FROM pr p WHERE p.iter < 4) SELECT node, CAST(score "
+            "AS BIGINT) AS score FROM pr WHERE iter = 4",
+        "q_components":
+            "WITH RECURSIVE und AS (SELECT 'u' || CAST(user_id AS "
+            "VARCHAR) AS src, 't' || event_type AS dst FROM events UNION"
+            " SELECT 't' || event_type, 'u' || CAST(user_id AS VARCHAR) "
+            "FROM events), nodes AS (SELECT DISTINCT src AS node FROM "
+            "und), reach(node, label) AS (SELECT node, node FROM nodes "
+            "UNION SELECT u.dst, r.label FROM reach r JOIN und u ON "
+            "u.src = r.node) SELECT node, MIN(label) AS component FROM "
+            "reach GROUP BY node",
         "q_session_ids":
             "SELECT event_id, user_id, CAST(SUM(new_s) OVER (PARTITION "
             "BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "
