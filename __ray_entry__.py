@@ -1528,6 +1528,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
 
+def _langid_sql() -> str:
+    """SQL twin of `language_id_batch`: marker densities share the
+    per-doc denominator, so the argmax reduces to integer
+    substring-count sums (replace-length trick); zh via CJK codepoint
+    ratio; ties fall to the alphabetically first language, matching the
+    op's sorted-language scan."""
+    def s(markers):
+        return "+".join(f"(length(low)-length(replace(low,'{m}','')))"
+                        for m in markers)
+    return (
+        "WITH L AS (SELECT doc_id, lower(text) AS low FROM documents), "
+        "N AS (SELECT doc_id, low, length(low) AS n, "
+        f"{s(('der', 'und', 'sch', 'ein', 'ch'))} AS s_de, "
+        f"{s(('the', 'and', 'ing', 'ion', 'th'))} AS s_en, "
+        f"{s(('los', 'que', 'cion', 'ado', 'll'))} AS s_es, "
+        f"{s(('les', 'ent', 'que', 'eau', 'ou'))} AS s_fr, "
+        "length(regexp_replace(low, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) "
+        "AS cjk FROM L) SELECT doc_id, CASE "
+        "WHEN TRIM(low) = '' THEN 'und' "
+        "WHEN 10*cjk > n THEN 'zh' "
+        "WHEN GREATEST(s_de,s_en,s_es,s_fr) = 0 THEN 'und' "
+        "WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr) THEN 'de' "
+        "WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr) THEN 'en' "
+        "WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr) THEN 'es' "
+        "ELSE 'fr' END AS lang_pred FROM N")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_host_counts":
@@ -1938,10 +1965,11 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY q.query_id ORDER BY list_cosine_similarity("
             "e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC, e.vec_id) AS BIGINT)"
             " AS rank FROM embeddings e CROSS JOIN q) WHERE rank <= 5",
+        "q_langid": _langid_sql(),
         # q_minhash_dedup / q_simhash_dedup / q_ngram_dedup /
-        # q_dup_clusters / q_ivf_ann / q_langid / q_fingerprint /
+        # q_dup_clusters / q_ivf_ann / q_fingerprint /
         # q_image_features / q_image_augment / q_sample / q_value_stats:
-        # SQL-inexpressible (LSH banding, heuristic langid, approximate
+        # SQL-inexpressible (LSH banding, approximate
         # ANN, binary decode, seeded sampling, float-sum order) ->
         # rows-only driver check + pytest oracles.
     }
