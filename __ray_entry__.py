@@ -394,6 +394,23 @@ def _q_quality_score(sf: str):
     return quality_score(docs).select_columns(["doc_id", "quality"])
 
 
+def _q_skyline(sf: str):
+    """Pareto frontier over parts: maximize size AND retail price —
+    two-phase distributed skyline (local prune, then survivor merge)."""
+    from paperchase_crawler_ray.ops.relational import skyline
+    part = _rp(sf, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+    return skyline(part, [("p_size", True), ("p_retailprice", True)])
+
+
+def _q_pii_stats(sf: str):
+    """PII candidate counts per document (corpus-scrub first pass) —
+    Arrow RE2 count kernels, zero Python per row."""
+    from paperchase_crawler_ray.ops.textstats import pii_stats
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return pii_stats(docs).select_columns(
+        ["doc_id", "n_emails", "n_phones", "n_ipv4", "pii_flag"])
+
+
 def _q_value_stats(sf: str):
     """Ray native Mean/Std/Quantile aggregates (rows-only: float
     aggregation order differs from DuckDB's, per the float policy)."""
@@ -1516,6 +1533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": _q_ann_topk,
         "q_ivf_ann": _q_ivf_ann,
         "q_langid": _q_langid,
+        "q_pii_stats": _q_pii_stats,
+        "q_skyline": _q_skyline,
         "q_fingerprint": _q_fingerprint,
         "q_quality_score": _q_quality_score,
         "q_value_stats": _q_value_stats,
@@ -1553,6 +1572,21 @@ def _langid_sql() -> str:
         "WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr) THEN 'en' "
         "WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr) THEN 'es' "
         "ELSE 'fr' END AS lang_pred FROM N")
+
+
+def _pii_sql() -> str:
+    """SQL twin of pii_stats: same RE2 patterns, DuckDB's
+    regexp_extract_all counts the same non-overlapping matches as
+    Arrow's count_substring_regex (both RE2)."""
+    from paperchase_crawler_ray.ops.textstats import PII_PATTERNS
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS {name}"
+        for name, rx in PII_PATTERNS.items())
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{rx}'))"
+        for rx in PII_PATTERNS.values())
+    return (f"SELECT doc_id, {cols}, ({total}) > 0 AS pii_flag "
+            "FROM documents")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1966,6 +2000,13 @@ def oracle_sql() -> dict[str, str]:
             "e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC, e.vec_id) AS BIGINT)"
             " AS rank FROM embeddings e CROSS JOIN q) WHERE rank <= 5",
         "q_langid": _langid_sql(),
+        "q_pii_stats": _pii_sql(),
+        "q_skyline":
+            "SELECT p_partkey, p_size, p_retailprice FROM part a "
+            "WHERE NOT EXISTS (SELECT 1 FROM part b WHERE "
+            "b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice "
+            "AND (b.p_size > a.p_size OR "
+            "b.p_retailprice > a.p_retailprice))",
         # q_minhash_dedup / q_simhash_dedup / q_ngram_dedup /
         # q_dup_clusters / q_ivf_ann / q_fingerprint /
         # q_image_features / q_image_augment / q_sample / q_value_stats:

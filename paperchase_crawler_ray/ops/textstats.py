@@ -558,3 +558,36 @@ def ngram_contamination(corpus: ray.data.Dataset, bench: ray.data.Dataset,
     return corpus.map_batches(
         _ContaminationFlag, fn_constructor_args=(ref, id_col, text_col, n),
         batch_format="pyarrow", concurrency=(1, 4))
+
+
+# PII detector patterns — deliberately simple, spec'd patterns (RE2
+# syntax, no backrefs) so Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all (both RE2) count identically. These flag *candidate*
+# spans for redaction/review, the usual first pass of a corpus scrub.
+PII_PATTERNS: dict[str, str] = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\(?\d{3}\)?[-. ]\d{3}[-. ]?\d{4}",
+    "n_ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document PII candidate counts (emails / phone-shaped / IPv4),
+    fully vectorized via Arrow's RE2 ``count_substring_regex`` — zero
+    Python per row. Counts are non-overlapping matches, matching the
+    DuckDB ``len(regexp_extract_all(...))`` oracle exactly."""
+    col = batch.column(text_col)
+    out = batch
+    for name, rx in PII_PATTERNS.items():
+        c = pc.cast(pc.count_substring_regex(col, pattern=rx), pa.int64())
+        out = out.append_column(name, c)
+    total = None
+    for name in PII_PATTERNS:
+        col_n = out.column(name)
+        total = col_n if total is None else pc.add(total, col_n)
+    return out.append_column("pii_flag", pc.greater(total, 0))
+
+
+def pii_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(lambda b: pii_stats_batch(b, text_col),
+                          batch_format="pyarrow")

@@ -1499,3 +1499,64 @@ def test_pagerank_authority_ordering():
     got = pagerank(edges, iters=8).to_pandas()
     s = dict(zip(got["node"], got["score"]))
     assert s[99] > s[0] > s[1] == s[2]
+
+
+def test_skyline_matches_naive():
+    """Two-phase distributed skyline == O(n^2) naive dominance filter,
+    across several block layouts (phase-1 pruning must be lossless)."""
+    from paperchase_crawler_ray.ops.relational import skyline
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "x": rng.integers(0, 25, n),          # coarse -> many ties
+        "y": rng.random(n).round(2),          # coarse -> exact dup points
+    })
+    pts = df[["x", "y"]].to_numpy(np.float64)
+    naive = set()
+    for i in range(n):
+        dom = ((pts >= pts[i]).all(axis=1) & (pts > pts[i]).any(axis=1))
+        if not dom.any():
+            naive.add(i)
+    for nblocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = skyline(ds, [("x", True), ("y", True)]).to_pandas()
+        assert set(got["id"]) == naive
+
+    # minimize direction: flip both dims, frontier must flip too
+    ds = ray.data.from_pandas(df).repartition(3)
+    lo = skyline(ds, [("x", False), ("y", False)]).to_pandas()
+    naive_lo = {i for i in range(n)
+                if not (((-pts) >= (-pts[i])).all(axis=1)
+                        & ((-pts) > (-pts[i])).any(axis=1)).any()}
+    assert set(lo["id"]) == naive_lo
+
+
+def test_pii_stats_matches_naive(docs_table):
+    from paperchase_crawler_ray.ops.textstats import (PII_PATTERNS,
+                                                      pii_stats)
+    got = pii_stats(ray.data.from_arrow(docs_table)).to_pandas()
+    assert len(got) == docs_table.num_rows
+    compiled = {k: re.compile(rx) for k, rx in PII_PATTERNS.items()}
+    texts = dict(zip(docs_table.column("doc_id").to_pylist(),
+                     docs_table.column("text").to_pylist()))
+    for row in got.sample(n=min(60, len(got)), random_state=1).itertuples():
+        t = texts[row.doc_id]
+        tot = 0
+        for k, cre in compiled.items():
+            n = len(cre.findall(t))
+            assert getattr(row, k) == n, (row.doc_id, k)
+            tot += n
+        assert row.pii_flag == (tot > 0)
+
+
+def test_pii_stats_synthetic_hits():
+    from paperchase_crawler_ray.ops.textstats import pii_stats
+    tbl = pa.table({"doc_id": [1, 2, 3], "text": [
+        "mail a@b.io and c.d+e@f-g.org, host 10.0.0.1",
+        "call (303) 555-7788 now", "clean"]})
+    got = pii_stats(ray.data.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id")
+    assert got.loc[1, "n_emails"] == 2 and got.loc[1, "n_ipv4"] == 1
+    assert got.loc[2, "n_phones"] == 1 and bool(got.loc[2, "pii_flag"])
+    assert not bool(got.loc[3, "pii_flag"])
