@@ -453,6 +453,18 @@ def _q_image_patches(sf: str):
     return out.select_columns(["image_id", "patch_id", "py", "px"])
 
 
+def _q_image_preprocess(sf: str):
+    """Multimodal: vision-training input transform (bilinear short-side
+    resize + center crop) with exact-int channel sums (rows-only —
+    binary payload op; pytest golden covers the resize kernel)."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import image_preprocess
+    rows = make_image_rows(48)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    return image_preprocess(ds, size=24, batch_size=8).select_columns(
+        ["image_id", "w", "h", "sum_r", "sum_g", "sum_b", "phash"])
+
+
 def _q_caption_align(sf: str):
     """Multimodal: CLIP-shaped two-tower caption<->image alignment
     (actor-pool; real decoded pixels; int64 basis-point scores —
@@ -1495,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pq_ann": _q_pq_ann,
         "q_ivfpq_ann": _q_ivfpq_ann,
         "q_image_patches": _q_image_patches,
+        "q_image_preprocess": _q_image_preprocess,
         "q_unpivot": _q_unpivot,
         "q_cross_join": _q_cross_join,
         "q_regression": _q_regression,

@@ -595,3 +595,103 @@ def image_neardup_clusters(ds: ray.data.Dataset, id_col: str = "image_id",
     return ds.select_columns([id_col]).map_batches(
         Attach, fn_constructor_args=(ref,), batch_format="pyarrow",
         concurrency=(1, 4))
+
+
+def bilinear_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic bilinear resample of an (h, w, 3) uint8 image with
+    half-pixel centers (the align_corners=False convention): source
+    coordinate of output pixel i is ``(i + 0.5) * in/out - 0.5``. A
+    same-size call is the exact identity under this mapping."""
+    h, w = px.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return px.copy()
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0f = np.floor(ys)
+    x0f = np.floor(xs)
+    wy = (ys - y0f)[:, None, None]
+    wx = (xs - x0f)[None, :, None]
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def center_crop(px: np.ndarray, size: int) -> np.ndarray:
+    h, w = px.shape[:2]
+    y0 = max(0, (h - size) // 2)
+    x0 = max(0, (w - size) // 2)
+    return np.ascontiguousarray(px[y0:y0 + size, x0:x0 + size])
+
+
+class ImagePreprocess:
+    """Actor stage: the standard vision-training input transform —
+    decode, bilinear-resize so the SHORT side equals ``size``
+    (aspect-preserving), center-crop to ``size x size``, re-encode PNG.
+    Emits exact-integer channel sums (``sum_r/g/b`` over the cropped
+    uint8 pixels) so downstream normalization stats are reproducible
+    bit-for-bit, plus the crop's phash for dedup continuity.
+
+    Scale shape: stateless per payload, actor pool with small batches
+    (binary-heavy blocks); no shuffle. At 100 TB this stage is
+    embarrassingly parallel and CPU-bound in the resize kernel, which
+    is pure vectorized numpy (two gathers + three lerps per pixel).
+    """
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 size: int = 32):
+        self.col, self.id_col = bytes_col, id_col
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codec import encode
+        s = self.size
+        ids = batch.column(self.id_col).to_pylist()
+        oid, oby, ow, oh, osr, osg, osb, oph = [], [], [], [], [], [], [], []
+        for rid, data in zip(ids, batch.column(self.col).to_pylist()):
+            fmt = sniff_format(data)
+            if not fmt:
+                continue
+            try:
+                px = decode(data, fmt)
+            except UnsupportedFormatError:
+                continue
+            h, w = px.shape[:2]
+            if min(h, w) == 0:
+                continue
+            scale = s / min(h, w)
+            rh = max(s, int(round(h * scale)))
+            rw = max(s, int(round(w * scale)))
+            crop = center_crop(bilinear_resize(px, rh, rw), s)
+            sums = crop.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            oid.append(rid)
+            oby.append(encode(crop, "png"))
+            oh.append(crop.shape[0])
+            ow.append(crop.shape[1])
+            osr.append(sums[0]); osg.append(sums[1]); osb.append(sums[2])
+            oph.append(phash64(crop))
+        return pa.table({
+            self.id_col: pa.array(oid, pa.string()),
+            "bytes": pa.array(oby, pa.binary()),
+            "w": pa.array(np.array(ow, np.int32), pa.int32()),
+            "h": pa.array(np.array(oh, np.int32), pa.int32()),
+            "sum_r": pa.array(np.array(osr, np.int64), pa.int64()),
+            "sum_g": pa.array(np.array(osg, np.int64), pa.int64()),
+            "sum_b": pa.array(np.array(osb, np.int64), pa.int64()),
+            "phash": pa.array(np.array(oph, np.int64), pa.int64()),
+        })
+
+
+def image_preprocess(ds: ray.data.Dataset, bytes_col: str = "bytes",
+                     id_col: str = "image_id", size: int = 32,
+                     batch_size: int = 32,
+                     concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImagePreprocess, fn_constructor_args=(bytes_col, id_col, size),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))

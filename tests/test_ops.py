@@ -1560,3 +1560,53 @@ def test_pii_stats_synthetic_hits():
     assert got.loc[1, "n_emails"] == 2 and got.loc[1, "n_ipv4"] == 1
     assert got.loc[2, "n_phones"] == 1 and bool(got.loc[2, "pii_flag"])
     assert not bool(got.loc[3, "pii_flag"])
+
+
+def test_bilinear_resize_golden():
+    """Vectorized bilinear == independent scalar reference (half-pixel
+    centers), plus exact identity and constant-preservation."""
+    from paperchase_crawler_ray.ops.multimodal import bilinear_resize
+
+    def scalar_ref(px, oh, ow):
+        h, w = px.shape[:2]
+        out = np.zeros((oh, ow, 3))
+        for i in range(oh):
+            for j in range(ow):
+                sy = (i + 0.5) * h / oh - 0.5
+                sx = (j + 0.5) * w / ow - 0.5
+                y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+                wy, wx = sy - y0, sx - x0
+                y0c, y1c = np.clip([y0, y0 + 1], 0, h - 1)
+                x0c, x1c = np.clip([x0, x0 + 1], 0, w - 1)
+                p = px.astype(np.float64)
+                out[i, j] = ((1 - wy) * ((1 - wx) * p[y0c, x0c]
+                                         + wx * p[y0c, x1c])
+                             + wy * ((1 - wx) * p[y1c, x0c]
+                                     + wx * p[y1c, x1c]))
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    for oh, ow in [(10, 14), (3, 4), (5, 7), (17, 2)]:
+        got = bilinear_resize(px, oh, ow)
+        assert got.shape == (oh, ow, 3)
+        assert np.array_equal(got, scalar_ref(px, oh, ow)), (oh, ow)
+    assert np.array_equal(bilinear_resize(px, 5, 7), px)   # identity
+    const = np.full((4, 9, 3), 77, np.uint8)
+    assert (bilinear_resize(const, 13, 5) == 77).all()
+
+
+def test_image_preprocess_end_to_end():
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.functions.codec import decode
+    from paperchase_crawler_ray.ops.multimodal import image_preprocess
+    rows = make_image_rows(12)
+    ds = ray.data.from_arrow(rows.select(["image_id", "bytes"]))
+    out = image_preprocess(ds, size=16, batch_size=4).to_pandas()
+    assert len(out) == 12
+    assert (out["w"] == 16).all() and (out["h"] == 16).all()
+    for r in out.itertuples():
+        crop = decode(r.bytes)              # PNG roundtrip is lossless
+        assert crop.shape == (16, 16, 3)
+        sums = crop.reshape(-1, 3).sum(axis=0)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sums)
