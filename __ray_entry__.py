@@ -394,6 +394,24 @@ def _q_quality_score(sf: str):
     return quality_score(docs).select_columns(["doc_id", "quality"])
 
 
+def _q_jaccard_join(sf: str):
+    """EXACT similarity self-join via prefix filtering (SSJoin/PPJoin)
+    — the provably-complete counterpart of the LSH dedups; integer
+    cross-multiplied threshold so SQL compares bit-for-bit."""
+    from paperchase_crawler_ray.ops.dedup import jaccard_similarity_join
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return jaccard_similarity_join(docs, "doc_id", "text", 3, 5) \
+        .select_columns(["id_a", "id_b", "inter", "uni"])
+
+
+def _q_dup_ngrams(sf: str):
+    """Gopher duplicate-ngram components (exact ints) per document."""
+    from paperchase_crawler_ray.ops.textstats import dup_ngram_stats
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return dup_ngram_stats(docs).select_columns(
+        ["doc_id", "n_2grams", "dup_2grams", "n_3grams", "dup_3grams"])
+
+
 def _q_skyline(sf: str):
     """Pareto frontier over parts: maximize size AND retail price —
     two-phase distributed skyline (local prune, then survivor merge)."""
@@ -1548,6 +1566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": _q_langid,
         "q_pii_stats": _q_pii_stats,
         "q_skyline": _q_skyline,
+        "q_dup_ngrams": _q_dup_ngrams,
+        "q_jaccard_join": _q_jaccard_join,
         "q_fingerprint": _q_fingerprint,
         "q_quality_score": _q_quality_score,
         "q_value_stats": _q_value_stats,
@@ -2014,6 +2034,31 @@ def oracle_sql() -> dict[str, str]:
             " AS rank FROM embeddings e CROSS JOIN q) WHERE rank <= 5",
         "q_langid": _langid_sql(),
         "q_pii_stats": _pii_sql(),
+        "q_jaccard_join":
+            "WITH S AS (SELECT doc_id, list_distinct("
+            "regexp_extract_all(lower(text), '\\w+')) AS s "
+            "FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter, "
+            "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) "
+            "AS BIGINT) AS uni "
+            "FROM S a JOIN S b ON a.doc_id < b.doc_id "
+            "WHERE len(a.s) > 0 AND len(b.s) > 0 AND "
+            "5 * len(list_intersect(a.s, b.s)) >= "
+            "3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))",
+        "q_dup_ngrams":
+            "WITH T AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\w+') AS toks "
+            "FROM documents), G AS (SELECT doc_id, "
+            "[list_aggregate(toks[i:i+1], 'string_agg', ' ') "
+            "for i in range(1, len(toks))] AS g2, "
+            "[list_aggregate(toks[i:i+2], 'string_agg', ' ') "
+            "for i in range(1, len(toks)-1)] AS g3 FROM T) "
+            "SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_2grams, "
+            "CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) "
+            "AS dup_2grams, CAST(len(g3) AS BIGINT) AS n_3grams, "
+            "CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) "
+            "AS dup_3grams FROM G",
         "q_skyline":
             "SELECT p_partkey, p_size, p_retailprice FROM part a "
             "WHERE NOT EXISTS (SELECT 1 FROM part b WHERE "

@@ -115,7 +115,8 @@ class MinHashSignatures:
         })
 
 
-def _bucket_pairs_block(batch: pa.Table, id_col: str) -> pa.Table:
+def _bucket_pairs_block(batch: pa.Table, id_col: str,
+                        bucket_cap: int | None = 64) -> pa.Table:
     """Vectorized candidate pairs over a WHOLE block of (id, band_key)
     rows holding complete buckets (after ``repartition(keys=["band_key"])``
     or ``sort``): one lexsort, then per-bucket upper-triangle pairs.
@@ -133,7 +134,9 @@ def _bucket_pairs_block(batch: pa.Table, id_col: str) -> pa.Table:
     n = len(ids_s)
     for i in range(1, n + 1):
         if i == n or bands_s[i] != bands_s[start]:
-            members = np.unique(ids_s[start:i])[:64]
+            members = np.unique(ids_s[start:i])
+            if bucket_cap is not None:
+                members = members[:bucket_cap]
             if len(members) > 1:
                 ia, ib = np.triu_indices(len(members), k=1)
                 out_a.append(members[ia])
@@ -148,7 +151,8 @@ def _bucket_pairs_block(batch: pa.Table, id_col: str) -> pa.Table:
 
 def lsh_candidate_pairs(ds_bands: ray.data.Dataset, id_col: str,
                         driver_max: int = 2_000_000,
-                        est_rows: int | None = None) -> pa.Table:
+                        est_rows: int | None = None,
+                        bucket_cap: int | None = 64) -> pa.Table:
     """(id, band_key) rows -> UNIQUE candidate pairs, returned eagerly
     (pairs are small — the whole point of LSH banding).
 
@@ -168,12 +172,15 @@ def lsh_candidate_pairs(ds_bands: ray.data.Dataset, id_col: str,
         raw = _bucket_pairs_block(
             pa.concat_tables(parts) if parts else
             pa.table({id_col: pa.array([], pa.int64()),
-                      "band_key": pa.array([], pa.int64())}), id_col)
+                      "band_key": pa.array([], pa.int64())}), id_col,
+            bucket_cap)
     else:
         with _hash_shuffle(ds_bands):
             pairs_ds = (ds_bands.repartition(num_blocks=16, keys=["band_key"])
-                        .map_batches(lambda b: _bucket_pairs_block(b, id_col),
-                                     batch_format="pyarrow", batch_size=None))
+                        .map_batches(
+                            lambda b: _bucket_pairs_block(b, id_col,
+                                                          bucket_cap),
+                            batch_format="pyarrow", batch_size=None))
             parts = [b if isinstance(b, pa.Table) else pa.table(b)
                      for b in pairs_ds.iter_batches(batch_format="pyarrow",
                                                     batch_size=None)]
@@ -638,3 +645,169 @@ def embedding_lsh_dedup(ds: ray.data.Dataset, dim: int, threshold: float = 0.35,
             t = b if isinstance(b, pa.Table) else pa.table(b)
             drops.update(t.column("drop_id").to_pylist())
     return _filter_dropped(ds, "vec_id", drops)
+
+
+def _distinct_token_sets(batch: pa.Table, id_col: str, text_col: str):
+    ids = batch.column(id_col).to_pylist()
+    for did, text in zip(ids, batch.column(text_col).to_pylist()):
+        yield did, set(tokens(text or ""))
+
+
+class _PrefixExplode:
+    """Per doc: distinct tokens ordered by global rarity rank; emit
+    (band_key=rank, id) rows for the first ``n - ceil(t*n) + 1`` tokens
+    (the prefix-filter signature). Rank map broadcast once per actor."""
+
+    def __init__(self, rank_ref, id_col: str, text_col: str,
+                 t_num: int, t_den: int):
+        self.rank = ray.get(rank_ref)
+        self.id_col, self.text_col = id_col, text_col
+        self.t_num, self.t_den = t_num, t_den
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_key = [], []
+        for did, s in _distinct_token_sets(batch, self.id_col,
+                                           self.text_col):
+            n = len(s)
+            if n == 0:
+                continue
+            alpha = -(-self.t_num * n // self.t_den)     # ceil(t*n)
+            plen = n - alpha + 1
+            ranks = sorted(self.rank[tok] for tok in s)
+            out_id.extend([did] * plen)
+            out_key.extend(ranks[:plen])
+        return pa.table({self.id_col: pa.array(out_id, pa.int64()),
+                         "band_key": pa.array(out_key, pa.int64())})
+
+
+class _VerifyTokenOverlap:
+    """Exact |A∩B| / |A∪B| over distinct word-token sets for candidate
+    pairs, against a broadcast id->text lookup (small-corpus path)."""
+
+    def __init__(self, texts_ref):
+        self._texts = ray.get(texts_ref)
+        self._sets: dict = {}
+
+    def _set(self, doc_id) -> set:
+        s = self._sets.get(doc_id)
+        if s is None:
+            s = set(tokens(self._texts[doc_id] or ""))
+            if len(self._sets) < 1_000_000:
+                self._sets[doc_id] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_pylist()
+        ib = batch.column("id_b").to_pylist()
+        inter = np.empty(len(ia), np.int64)
+        uni = np.empty(len(ia), np.int64)
+        for i, (a, b) in enumerate(zip(ia, ib)):
+            sa, sb = self._set(a), self._set(b)
+            k = len(sa & sb)
+            inter[i] = k
+            uni[i] = len(sa) + len(sb) - k
+        out = batch.append_column("inter", pa.array(inter, pa.int64()))
+        return out.append_column("uni", pa.array(uni, pa.int64()))
+
+
+def jaccard_similarity_join(ds: ray.data.Dataset, id_col: str,
+                            text_col: str, t_num: int = 3, t_den: int = 5,
+                            broadcast_max_docs: int = 2_000_000,
+                            ) -> ray.data.Dataset:
+    """EXACT similarity self-join: all pairs (id_a < id_b) whose
+    distinct-word-token Jaccard >= t_num/t_den, with the intersection
+    and union sizes as exact int64 columns (the float never exists —
+    the threshold test is the cross-multiplied ``t_den*inter >=
+    t_num*uni``, so a SQL oracle compares bit-for-bit).
+
+    This is the exact counterpart of the LSH dedups: prefix filtering
+    (SSJoin/PPJoin) instead of banding. Tokens get a global rarity
+    order (document frequency, ties by token); a pair at threshold t
+    MUST share one of the first ``n - ceil(t*n) + 1`` rarest tokens of
+    each set, so only those prefix tokens are exploded and bucketed —
+    candidate completeness is a theorem, not a probability.
+
+    Scale shape: one groupby(token) count for document frequencies
+    (pre-aggregated per block by construction — distinct-per-doc
+    explode), rank map broadcast via ray.put (vocab ~1e8 tokens = GBs;
+    beyond that the rank attach becomes a keyed join — documented
+    switch, same pattern as the verify step); prefix explode streams;
+    candidate buckets shuffle by token rank only for prefix tokens
+    (rarity order keeps buckets tiny); exact verify reuses the
+    broadcast-vs-Dataset.join size switch of the LSH dedups.
+    """
+    # pass 1: document frequency per token (distinct within doc)
+    def df_explode(batch: pa.Table) -> pa.Table:
+        toks = []
+        for _, s in _distinct_token_sets(batch, id_col, text_col):
+            toks.extend(s)
+        return pa.table({"tok": pa.array(toks, pa.string())})
+
+    freq: dict = {}
+    for b in ds.map_batches(df_explode, batch_format="pyarrow") \
+            .groupby("tok").count().iter_batches(batch_format="pyarrow",
+                                                 batch_size=65536):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        freq.update(zip(t.column("tok").to_pylist(),
+                        t.column("count()").to_pylist()))
+    rank = {tok: i for i, (tok, _) in enumerate(
+        sorted(freq.items(), key=lambda kv: (kv[1], kv[0])))}
+    rank_ref = ray.put(rank)
+
+    sig = ds.map_batches(
+        _PrefixExplode, fn_constructor_args=(rank_ref, id_col, text_col,
+                                             t_num, t_den),
+        batch_format="pyarrow", concurrency=(1, 4))
+    # exactness requires UNCAPPED buckets; rarity ordering keeps them
+    # small (a bucket is "docs whose prefix contains this rare token")
+    pairs_t = lsh_candidate_pairs(sig, id_col, bucket_cap=None)
+
+    n_docs = ds.count()
+    if n_docs <= broadcast_max_docs:
+        texts_ref = _broadcast_texts(ds, id_col, text_col)
+        verified = ray.data.from_arrow(pairs_t).map_batches(
+            _VerifyTokenOverlap, fn_constructor_args=(texts_ref,),
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        verified = _verify_token_pairs_join(pairs_t, ds, id_col, text_col)
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        inter = batch.column("inter").to_numpy(zero_copy_only=False)
+        uni = batch.column("uni").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(t_den * inter >= t_num * uni))
+
+    return verified.map_batches(thresh, batch_format="pyarrow")
+
+
+def _verify_token_pairs_join(pairs: pa.Table, ds: ray.data.Dataset,
+                             id_col: str, text_col: str,
+                             num_partitions: int = 16) -> ray.data.Dataset:
+    """Scale path: attach both texts via two keyed joins (no driver
+    corpus materialization), then exact token-set overlap per pair."""
+    from .relational import cap_join_partitions
+    num_partitions = cap_join_partitions(num_partitions)
+    texts = ds.select_columns([id_col, text_col])
+    j1 = ray.data.from_arrow(pairs).join(
+        texts, join_type="inner", num_partitions=num_partitions,
+        on=("id_a",), right_on=(id_col,), right_suffix="_ta")
+    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
+                 on=("id_b",), right_on=(id_col,), right_suffix="_tb")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        ta_col = text_col if text_col in names else text_col + "_ta"
+        ta = batch.column(ta_col).to_pylist()
+        tb = batch.column(text_col + "_tb").to_pylist()
+        inter = np.empty(len(ta), np.int64)
+        uni = np.empty(len(ta), np.int64)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa, sb = set(tokens(a or "")), set(tokens(b or ""))
+            k = len(sa & sb)
+            inter[i] = k
+            uni[i] = len(sa) + len(sb) - k
+        return pa.table({"id_a": batch.column("id_a"),
+                         "id_b": batch.column("id_b"),
+                         "inter": pa.array(inter, pa.int64()),
+                         "uni": pa.array(uni, pa.int64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")

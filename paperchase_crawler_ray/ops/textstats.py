@@ -591,3 +591,38 @@ def pii_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def pii_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(lambda b: pii_stats_batch(b, text_col),
                           batch_format="pyarrow")
+
+
+def dup_ngram_stats_batch(batch: pa.Table, text_col: str = "text",
+                          ) -> pa.Table:
+    """Gopher-style duplicate n-gram components as exact INTEGERS:
+    total and duplicated bigram / trigram counts per document
+    (duplicated = occurrences beyond each gram's first). The float
+    "fraction of duplicate n-grams" filter is then a downstream
+    cross-multiplied integer comparison, same pattern as
+    ``repetition_stats_batch``."""
+    texts = batch.column(text_col).to_pylist()
+    n2 = np.empty(len(texts), np.int64)
+    d2 = np.empty(len(texts), np.int64)
+    n3 = np.empty(len(texts), np.int64)
+    d3 = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        toks = _WORD_RE.findall((t or "").lower())
+        for n, tot, dup in ((2, n2, d2), (3, n3, d3)):
+            k = max(0, len(toks) - n + 1)
+            tot[i] = k
+            if k == 0:
+                dup[i] = 0
+                continue
+            grams = [" ".join(toks[j:j + n]) for j in range(k)]
+            dup[i] = k - len(set(grams))
+    out = batch.append_column("n_2grams", pa.array(n2, pa.int64()))
+    out = out.append_column("dup_2grams", pa.array(d2, pa.int64()))
+    out = out.append_column("n_3grams", pa.array(n3, pa.int64()))
+    return out.append_column("dup_3grams", pa.array(d3, pa.int64()))
+
+
+def dup_ngram_stats(ds: ray.data.Dataset, text_col: str = "text",
+                    ) -> ray.data.Dataset:
+    return ds.map_batches(lambda b: dup_ngram_stats_batch(b, text_col),
+                          batch_format="pyarrow")

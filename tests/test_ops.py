@@ -1610,3 +1610,52 @@ def test_image_preprocess_end_to_end():
         assert crop.shape == (16, 16, 3)
         sums = crop.reshape(-1, 3).sum(axis=0)
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sums)
+
+
+def test_dup_ngram_stats_edges():
+    from paperchase_crawler_ray.ops.textstats import dup_ngram_stats
+    tbl = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+        "", "one", "spam spam", "a b a b c a b"]})
+    got = dup_ngram_stats(ray.data.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id").drop(columns=["text"])
+    assert tuple(got.loc[1]) == (0, 0, 0, 0)
+    assert tuple(got.loc[2]) == (0, 0, 0, 0)
+    assert tuple(got.loc[3]) == (1, 0, 0, 0)
+    # bigrams of 'a b a b c a b': ab ba ab bc ca ab -> 6 total, 2 extra
+    # trigrams: aba bab abc bca cab -> 5 total, 0 extra
+    assert tuple(got.loc[4]) == (6, 2, 5, 0)
+
+
+def test_jaccard_similarity_join_exact_and_join_path():
+    """Prefix-filter join == naive all-pairs on adversarial synthetic
+    data (near-identical docs -> giant buckets; exactness must not be
+    capped), on both the broadcast and the Dataset.join verify paths."""
+    import itertools
+    from paperchase_crawler_ray.ops.dedup import jaccard_similarity_join
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(80):
+        base = list(rng.choice(vocab, size=rng.integers(3, 12)))
+        texts.append(" ".join(base))
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": texts})
+    sets = {r.doc_id: set(re.findall(r"\w+", r.text.lower()))
+            for r in df.itertuples()}
+    naive = set()
+    for a, b in itertools.combinations(range(80), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        k = len(sa & sb)
+        if 5 * k >= 3 * (len(sa) + len(sb) - k):
+            naive.add((a, b))
+    for kwargs in ({}, {"broadcast_max_docs": 0}):
+        got = jaccard_similarity_join(
+            ray.data.from_pandas(df).repartition(5), "doc_id", "text",
+            3, 5, **kwargs).to_pandas()
+        assert set(zip(got.id_a, got.id_b)) == naive, kwargs
+        for r in got.itertuples():
+            sa, sb = sets[r.id_a], sets[r.id_b]
+            assert r.inter == len(sa & sb)
+            assert r.uni == len(sa | sb)
