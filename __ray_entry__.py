@@ -1471,6 +1471,44 @@ def _q_tumbling(sf: str):
     return _ts_us(agg, "day")
 
 
+def _q_bloom_semi(sf: str):
+    """Semi join with a broadcast Bloom pre-filter: the probe side is
+    pruned inside map_batches (no false negatives) before the exact
+    join sees only survivors — the shuffle-avoidance shape for a
+    selective semi join at 100 TB. Result is exact."""
+    from paperchase_crawler_ray.ops.sketch import bloom_semi_join
+    li = _rp(sf, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_suppkey"])
+    sup = _rp(sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+    small = sup.map_batches(
+        lambda b: b.filter(pc.less(b.column("s_nationkey"),
+                                   pa.scalar(5, pa.int32()))),
+        batch_format="pyarrow")
+    return bloom_semi_join(li, "l_suppkey", small, "s_suppkey",
+                           n_bits=1 << 16, k=5) \
+        .select_columns(["l_orderkey", "l_linenumber", "l_suppkey"])
+
+
+def _q_heavy_hitters(sf: str):
+    """Exact frequent items (count > 40) via a Misra-Gries candidate
+    pass + an isin-restricted exact counting pass — the two-pass heavy
+    hitter that never groupbys the full key space."""
+    from paperchase_crawler_ray.ops.sketch import heavy_hitters
+    li = _rp(sf, "lineitem", columns=["l_partkey"])
+    return heavy_hitters(li, "l_partkey", threshold=40, capacity=32768)
+
+
+def _q_corr_stats(sf: str):
+    """Per-returnflag exact integer sufficient statistics for
+    corr(extendedprice, quantity) — moments stay mergeable integers,
+    the ratio is one downstream formula."""
+    from paperchase_crawler_ray.ops.relational import grouped_corr_suffstats
+    li = _rp(sf, "lineitem",
+             columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_corr_suffstats(li, "l_returnflag",
+                                  "l_extendedprice", "l_quantity")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -1566,6 +1604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": _q_langid,
         "q_pii_stats": _q_pii_stats,
         "q_skyline": _q_skyline,
+        "q_bloom_semi": _q_bloom_semi,
+        "q_heavy_hitters": _q_heavy_hitters,
+        "q_corr_stats": _q_corr_stats,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_jaccard_join": _q_jaccard_join,
         "q_fingerprint": _q_fingerprint,
@@ -2059,6 +2100,25 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_2grams, CAST(len(g3) AS BIGINT) AS n_3grams, "
             "CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) "
             "AS dup_3grams FROM G",
+        "q_bloom_semi":
+            "SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem "
+            "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier "
+            "WHERE s_nationkey < 5)",
+        "q_heavy_hitters":
+            "SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) "
+            "AS n_occurrences FROM lineitem GROUP BY l_partkey "
+            "HAVING COUNT(*) > 40",
+        "q_corr_stats":
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sum_x, "
+            "CAST(SUM(y) AS BIGINT) AS sum_y, "
+            "CAST(SUM(x*x) AS BIGINT) AS sum_xx, "
+            "CAST(SUM(y*y) AS BIGINT) AS sum_yy, "
+            "CAST(SUM(x*y) AS BIGINT) AS sum_xy FROM ("
+            "SELECT l_returnflag, "
+            "CAST(FLOOR(l_extendedprice) AS BIGINT) AS x, "
+            "CAST(FLOOR(l_quantity) AS BIGINT) AS y FROM lineitem) "
+            "GROUP BY l_returnflag",
         "q_skyline":
             "SELECT p_partkey, p_size, p_retailprice FROM part a "
             "WHERE NOT EXISTS (SELECT 1 FROM part b WHERE "

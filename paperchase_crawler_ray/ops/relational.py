@@ -1241,3 +1241,54 @@ def skyline(ds: ray.data.Dataset,
     if merged is None or merged.num_rows == 0:
         return local
     return ray.data.from_arrow(_block_skyline(merged.combine_chunks(), cols))
+
+
+def grouped_corr_suffstats(ds: ray.data.Dataset, group_col: str,
+                           x_col: str, y_col: str) -> ray.data.Dataset:
+    """Per-group EXACT sufficient statistics for covariance/correlation:
+    ``(n, sum_x, sum_y, sum_xx, sum_yy, sum_xy)`` with x and y FLOORed
+    to int64 per row FIRST (np.floor == SQL FLOOR bit-for-bit, unlike
+    round-half-to-even np.rint vs round-half-away SQL ROUND), so every
+    aggregate is an integer sum —
+    order-independent and bit-identical across any distribution of rows
+    to blocks (the float policy in __ray_entry__'s module docstring).
+    corr/cov are one driver-side (or per-row downstream) formula away;
+    shipping the moments instead of the ratio keeps the op mergeable:
+    partial sums from any partitioning combine by addition.
+
+    Shape at scale: one map_batches (vectorized casts + products) into
+    Ray's native hash aggregate, which pre-combines per block before the
+    key shuffle — the exchange is O(groups), not O(rows)."""
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch.column(x_col).to_numpy(zero_copy_only=False)
+                     .astype(np.float64)).astype(np.int64)
+        y = np.floor(batch.column(y_col).to_numpy(zero_copy_only=False)
+                     .astype(np.float64)).astype(np.int64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "yy": pa.array(y * y),
+            "xy": pa.array(x * y)})
+
+    agg = (ds.select_columns([group_col, x_col, y_col])
+           .map_batches(moments, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(ray.data.aggregate.Count(),
+                      ray.data.aggregate.Sum("x"),
+                      ray.data.aggregate.Sum("y"),
+                      ray.data.aggregate.Sum("xx"),
+                      ray.data.aggregate.Sum("yy"),
+                      ray.data.aggregate.Sum("xy")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        mapping = {"count()": "n", "sum(x)": "sum_x", "sum(y)": "sum_y",
+                   "sum(xx)": "sum_xx", "sum(yy)": "sum_yy",
+                   "sum(xy)": "sum_xy"}
+        t = batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
+        for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.cast(t.column(c), pa.int64()))
+        return t
+
+    return agg.map_batches(rename, batch_format="pyarrow")

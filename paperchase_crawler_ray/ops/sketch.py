@@ -20,6 +20,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _C1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -139,3 +140,174 @@ def approx_distinct(ds: ray.data.Dataset, col: str,
     return ray.data.from_arrow(pa.table({
         "column": pa.array([col], pa.string()),
         "approx_distinct": pa.array([est], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcastable membership sketch for join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEED = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _bloom_positions(hashes: np.ndarray, n_bits: int, k: int):
+    """Double hashing (Kirsch & Mitzenmacher 2006): k probe positions
+    from two base hashes, vectorized — yields one (len,) index array per
+    probe round."""
+    h1 = hashes
+    h2 = _mix64(hashes ^ _BLOOM_SEED) | np.uint64(1)  # odd -> full cycle
+    nb = np.uint64(n_bits)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % nb).astype(np.int64)
+
+
+def bloom_build(ds: ray.data.Dataset, col: str, n_bits: int = 1 << 23,
+                k: int = 5) -> np.ndarray:
+    """Build a Bloom filter over ``col`` as a uint64 word array
+    (``n_bits/8`` bytes total, e.g. 1 MB at the default 2^23 bits).
+
+    Per-block partials are each a full bitmask ORed on the driver —
+    fine while blocks are few; the point of the sketch is the FILTER is
+    tiny and broadcastable even when the key SET is not. With default
+    params, ~500k keys -> fpp ~= 0.9%."""
+    n_words = (n_bits + 63) // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        h = _hash_column(batch.column(col))
+        for idx in _bloom_positions(h, n_bits, k):
+            np.bitwise_or.at(words, idx >> 6,
+                             np.uint64(1) << (idx & 63).astype(np.uint64))
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    out = np.zeros(n_words, np.uint64)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for w in b.column("words").to_pylist():
+            np.bitwise_or(out, np.frombuffer(w, np.uint64), out=out)
+    return out
+
+
+def bloom_contains(words: np.ndarray, hashes: np.ndarray, n_bits: int,
+                   k: int) -> np.ndarray:
+    """Vectorized membership probe: bool mask (no false negatives)."""
+    mask = np.ones(len(hashes), bool)
+    for idx in _bloom_positions(hashes, n_bits, k):
+        mask &= ((words[idx >> 6] >> (idx & 63).astype(np.uint64))
+                 & np.uint64(1)).astype(bool)
+    return mask
+
+
+def bloom_semi_join(big: ray.data.Dataset, key: str,
+                    small: ray.data.Dataset, small_key: str,
+                    n_bits: int = 1 << 23, k: int = 5,
+                    verify: bool = True) -> ray.data.Dataset:
+    """Semi join with a Bloom pre-filter: build a ~MB filter over the
+    build side, broadcast it once (``ray.put``), prune the probe side
+    INSIDE ``map_batches`` (no shuffle touches the pruned-away rows),
+    then run the exact semi join on the survivors only.
+
+    The 100-TB shape: the probe side never shuffles non-matching rows —
+    at a 1% match rate the exact join sees ~2% of the input (matches +
+    fpp) instead of 100%. Result is EXACT (bloom has no false
+    negatives; ``verify`` removes the false positives). ``verify=False``
+    returns the approximate superset for callers that re-check later."""
+    words = bloom_build(small, small_key, n_bits, k)
+    ref = ray.put(words)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        h = _hash_column(batch.column(key))
+        return batch.filter(pa.array(bloom_contains(w, h, n_bits, k)))
+
+    pruned = big.map_batches(prune, batch_format="pyarrow")
+    if not verify:
+        return pruned
+    from .relational import semi_join
+    return semi_join(pruned, key, small, small_key)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate pass + exact counting pass
+# ---------------------------------------------------------------------------
+
+def _mg_truncate(ids: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra-Gries truncation: keep <= capacity counters by subtracting
+    the (capacity+1)-th largest count from all (Agarwal et al. 2013
+    mergeable-summaries rule). Guarantees kept_count >= true - n/(cap+1)."""
+    if len(ids) <= capacity:
+        return ids, counts
+    kth = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1]
+    adj = counts - kth
+    keep = adj > 0
+    return ids[keep], adj[keep]
+
+
+def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
+                  capacity: int = 4096) -> ray.data.Dataset:
+    """EXACT frequent items: all values of ``col`` with count >
+    ``threshold``, via a Misra-Gries sketch pass + a counting pass
+    restricted to the sketch's candidates.
+
+    Pass 1 folds every block into <= ``capacity`` (value, count)
+    counters (np.unique — vectorized), merged on the driver with the
+    mergeable-MG rule: the merged summary retains every item with true
+    count > n/(capacity+1), so candidates = {count + n/(cap+1) >
+    threshold} is a SUPERSET of the true heavy hitters. Pass 2 re-scans
+    with an ``isin`` filter on that small set and counts exactly — a
+    groupby whose key space is bounded by capacity, not by the column's
+    cardinality. Requires threshold > n/(capacity+1) to be exact (else
+    raises): pick capacity >= n/threshold."""
+    item_type = ds.schema().base_schema.field(col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(v, return_counts=True)
+        ids, counts = _mg_truncate(ids, counts.astype(np.int64), capacity)
+        items = (pa.array(ids).cast(item_type) if len(ids)
+                 else pa.nulls(0, item_type))
+        # the block row count rides in a typed-null SENTINEL row so it
+        # survives even when truncation empties the summary (all-equal
+        # counts legally truncate to zero counters)
+        return pa.table({
+            "item": pa.concat_arrays([items, pa.nulls(1, item_type)]),
+            "c": pa.array(np.concatenate([counts, [0]]), pa.int64()),
+            "n": pa.array([0] * len(ids) + [batch.num_rows], pa.int64())})
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None)
+             .iter_batches(batch_format="pyarrow", batch_size=None)]
+    merged = pa.concat_tables(parts) if parts else \
+        pa.table({"item": pa.nulls(0, item_type),
+                  "c": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())})
+    total_n = int(pc.sum(merged.column("n")).as_py() or 0)
+    valid = merged.filter(pc.is_valid(merged.column("item")))
+    summ = valid.to_pandas().groupby("item", sort=True)["c"].sum()
+    ids = summ.index.to_numpy()
+    counts = summ.to_numpy().astype(np.int64)
+    ids, counts = _mg_truncate(ids, counts, capacity)
+    slack = total_n // (capacity + 1)
+    if threshold <= slack:
+        raise ValueError(
+            f"threshold {threshold} <= MG slack {slack}; raise capacity")
+    cand = ids[counts + slack > threshold]
+    ref = ray.put(cand)
+
+    def keep_cand(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(v, c)))
+
+    counted = (ds.select_columns([col])
+               .map_batches(keep_cand, batch_format="pyarrow")
+               .groupby(col).count())
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch.column("count()"), pa.scalar(threshold))
+        t = batch.filter(m)
+        return pa.table({"item": t.column(col),
+                         "n_occurrences": pc.cast(t.column("count()"),
+                                                  pa.int64())})
+
+    return counted.map_batches(thresh, batch_format="pyarrow")

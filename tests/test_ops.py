@@ -8,6 +8,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 import ray.data
@@ -1659,3 +1660,113 @@ def test_jaccard_similarity_join_exact_and_join_path():
             sa, sb = sets[r.id_a], sets[r.id_b]
             assert r.inter == len(sa & sb)
             assert r.uni == len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# bloom semi join / heavy hitters / corr suffstats
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_prunes():
+    from paperchase_crawler_ray.ops.sketch import (_hash_column, bloom_build,
+                                                   bloom_contains,
+                                                   bloom_semi_join)
+    rng = np.random.default_rng(7)
+    members = rng.choice(10_000_000, size=2000, replace=False)
+    small = ray.data.from_arrow(pa.table({"k": pa.array(members, pa.int64())}))
+    n_bits, k = 1 << 16, 5
+    words = bloom_build(small, "k", n_bits=n_bits, k=k)
+    # every member must probe true
+    hm = _hash_column(pa.chunked_array([pa.array(members, pa.int64())]))
+    assert bloom_contains(words, hm, n_bits, k).all()
+    # non-members mostly pruned (fpp ~ (1-e^{-kn/m})^k ~ 0.5% here)
+    others = np.setdiff1d(rng.choice(10_000_000, size=20000, replace=False),
+                          members)
+    ho = _hash_column(pa.chunked_array([pa.array(others, pa.int64())]))
+    fpp = bloom_contains(words, ho, n_bits, k).mean()
+    assert fpp < 0.05
+    # end-to-end exactness on real tables
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    sup = ray.data.read_parquet(f"{SF}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+    sup_small = sup.map_batches(
+        lambda b: b.filter(pc.less(b.column("s_nationkey"),
+                                   pa.scalar(5, pa.int32()))),
+        batch_format="pyarrow")
+    got = bloom_semi_join(li, "l_suppkey", sup_small, "s_suppkey",
+                          n_bits=1 << 14, k=4).to_pandas()
+    li_df = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    sup_df = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    keys = set(sup_df.loc[sup_df.s_nationkey < 5, "s_suppkey"])
+    want = li_df[li_df.l_suppkey.isin(keys)]
+    assert sorted(got.l_orderkey.tolist()) == sorted(want.l_orderkey.tolist())
+
+
+def test_heavy_hitters_matches_exact_counts():
+    from paperchase_crawler_ray.ops.sketch import heavy_hitters
+    rng = np.random.default_rng(11)
+    # zipf-ish: few hot keys + long tail, shuffled across blocks
+    vals = np.concatenate([np.repeat(np.arange(10), 500),
+                           rng.integers(100, 100_000, size=20000)])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+    got = heavy_hitters(ds, "v", threshold=100, capacity=1024).to_pandas()
+    ser = pd.Series(vals).value_counts()
+    want = ser[ser > 100]
+    assert dict(zip(got["item"], got["n_occurrences"])) == \
+        {int(k): int(v) for k, v in want.items()}
+
+
+def test_heavy_hitters_raises_when_capacity_too_small():
+    from paperchase_crawler_ray.ops.sketch import heavy_hitters
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.arange(5000) % 50, pa.int64())}))
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "v", threshold=2, capacity=8).to_pandas()
+
+
+def test_mg_truncate_superset_guarantee():
+    from paperchase_crawler_ray.ops.sketch import _mg_truncate
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, 1000, size=500).astype(np.int64)
+    ids = np.arange(500)
+    cap = 32
+    kids, kcounts = _mg_truncate(ids, counts.copy(), cap)
+    assert len(kids) <= cap
+    n = counts.sum()
+    # every id with true count > n/(cap+1) must survive
+    for i, c in zip(ids, counts):
+        if c > n // (cap + 1):
+            assert i in kids
+    # and kept counters never exceed true counts
+    true = dict(zip(ids, counts))
+    for i, c in zip(kids, kcounts):
+        assert c <= true[i]
+
+
+def test_grouped_corr_suffstats_matches_pandas():
+    from paperchase_crawler_ray.ops.relational import grouped_corr_suffstats
+    li = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    got = grouped_corr_suffstats(
+        li, "l_returnflag", "l_extendedprice", "l_quantity") \
+        .to_pandas().set_index("l_returnflag").sort_index()
+    df = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    df["x"] = np.floor(df.l_extendedprice).astype(np.int64)
+    df["y"] = np.floor(df.l_quantity).astype(np.int64)
+    for flag, g in df.groupby("l_returnflag"):
+        row = got.loc[flag]
+        assert row["n"] == len(g)
+        assert row["sum_x"] == g.x.sum()
+        assert row["sum_y"] == g.y.sum()
+        assert row["sum_xx"] == (g.x * g.x).sum()
+        assert row["sum_yy"] == (g.y * g.y).sum()
+        assert row["sum_xy"] == (g.x * g.y).sum()
+        # the downstream formula reproduces pandas corr on ints
+        n = row["n"]
+        cov = row["sum_xy"] - row["sum_x"] * row["sum_y"] / n
+        vx = row["sum_xx"] - row["sum_x"] ** 2 / n
+        vy = row["sum_yy"] - row["sum_y"] ** 2 / n
+        assert np.isclose(cov / np.sqrt(vx * vy), g.x.corr(g.y))
