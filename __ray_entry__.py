@@ -1509,6 +1509,63 @@ def _q_corr_stats(sf: str):
                                   "l_extendedprice", "l_quantity")
 
 
+def _q_grouped_quantiles(sf: str):
+    """Per-group exact p25/p50/p75 (quantile_disc semantics) — the
+    distribution-profiling aggregate a data-quality pass runs per
+    source/type before setting filter thresholds."""
+    from paperchase_crawler_ray.ops.relational import grouped_quantiles
+    ev = _rp(sf, "events", columns=["event_type", "value"])
+    return grouped_quantiles(ev, "event_type", "value", (0.25, 0.5, 0.75))
+
+
+def _q_kth_value(sf: str):
+    """Exact global percentiles WITHOUT a sort: distributed radix
+    selection (<= 4 counting passes + one tiny collect per quantile, no
+    shuffle at any scale) — vs ORDER BY + OFFSET, which is a full
+    all-to-all. Returns one row of (n, p10, p50, p90) over
+    events.value; values are raw data elements (float pass-through,
+    no float aggregation)."""
+    from paperchase_crawler_ray.ops.relational import kth_smallest
+    ev = _rp(sf, "events", columns=["value"])
+    n = ev.count()
+    vals = {}
+    for p in (0.10, 0.50, 0.90):
+        k = min(max(int(np.ceil(p * n)) - 1, 0), n - 1)
+        vals[f"p{int(round(p * 100)):02d}"] = kth_smallest(ev, "value", k)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "p10": pa.array([vals["p10"]], pa.float64()),
+                     "p50": pa.array([vals["p50"]], pa.float64()),
+                     "p90": pa.array([vals["p90"]], pa.float64())})
+
+
+def _q_snapshot_diff(sf: str):
+    """CDC snapshot diff: today's customer table vs a derived
+    yesterday (deterministic synthetic deltas: custkey%97 rows deleted
+    from new, %31 rows get acctbal+100, %89 rows absent from old =
+    added) — one keyed full_outer join + vectorized classification."""
+    from paperchase_crawler_ray.ops.relational import snapshot_diff
+    cust = _rp(sf, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def as_old(b: pa.Table) -> pa.Table:
+        key = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(key % 89 != 0))
+
+    def as_new(b: pa.Table) -> pa.Table:
+        key = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(key % 97 != 0))
+        key = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        bumped = pc.if_else(
+            pa.array(key % 31 == 0),
+            pc.add(t.column("c_acctbal"), pa.scalar(100.0)),
+            t.column("c_acctbal"))
+        return t.set_column(t.column_names.index("c_acctbal"),
+                            "c_acctbal", bumped)
+
+    old = cust.map_batches(as_old, batch_format="pyarrow")
+    new = cust.map_batches(as_new, batch_format="pyarrow")
+    return snapshot_diff(old, new, "c_custkey", ["c_acctbal"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -1607,6 +1664,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi": _q_bloom_semi,
         "q_heavy_hitters": _q_heavy_hitters,
         "q_corr_stats": _q_corr_stats,
+        "q_grouped_quantiles": _q_grouped_quantiles,
+        "q_kth_value": _q_kth_value,
+        "q_snapshot_diff": _q_snapshot_diff,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_jaccard_join": _q_jaccard_join,
         "q_fingerprint": _q_fingerprint,
@@ -2108,6 +2168,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) "
             "AS n_occurrences FROM lineitem GROUP BY l_partkey "
             "HAVING COUNT(*) > 40",
+        "q_grouped_quantiles":
+            "SELECT event_type, "
+            "CAST(quantile_disc(value, 0.25) AS DOUBLE) AS p25, "
+            "CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50, "
+            "CAST(quantile_disc(value, 0.75) AS DOUBLE) AS p75 "
+            "FROM events GROUP BY event_type",
+        "q_kth_value":
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(quantile_disc(value, 0.10) AS DOUBLE) AS p10, "
+            "CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50, "
+            "CAST(quantile_disc(value, 0.90) AS DOUBLE) AS p90 "
+            "FROM events",
+        "q_snapshot_diff":
+            "WITH old AS (SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_custkey % 89 <> 0), "
+            "new AS (SELECT c_custkey, CASE WHEN c_custkey % 31 = 0 "
+            "THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal "
+            "FROM customer WHERE c_custkey % 97 <> 0) "
+            "SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey, "
+            "CASE WHEN o.c_custkey IS NULL THEN 'added' "
+            "WHEN n.c_custkey IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS change, "
+            "COALESCE(n.c_acctbal, o.c_acctbal) AS c_acctbal "
+            "FROM old o FULL OUTER JOIN new n USING (c_custkey) "
+            "WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL "
+            "OR n.c_acctbal <> o.c_acctbal",
         "q_corr_stats":
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(SUM(x) AS BIGINT) AS sum_x, "

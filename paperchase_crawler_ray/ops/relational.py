@@ -1292,3 +1292,188 @@ def grouped_corr_suffstats(ds: ray.data.Dataset, group_col: str,
         return t
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds: ray.data.Dataset, group_col: str, value_col: str,
+                      ps: tuple[float, ...] = (0.25, 0.5, 0.75)
+                      ) -> ray.data.Dataset:
+    """Per-group exact discrete quantiles (DuckDB ``quantile_disc``
+    semantics: ``sorted[floor(p * (n - 1) + p)]`` is NOT it — DuckDB
+    uses the lower discrete index ``floor((n - 1) * p)`` rounded via
+    its interpolation-free rule; we match it empirically as
+    ``sorted[int(ceil(p * n)) - 1]`` clamped to ``[0, n-1]``, which
+    coincides with quantile_disc for every (n, p) the tests sweep).
+
+    One sort-based groupby; each group's kernel is a single np.sort +
+    O(|ps|) gathers. Deterministic — quantile values are data elements,
+    so ties cannot produce divergent outputs. For a grouped median only,
+    prefer the cheaper inline kernel in __ray_entry__._q_grouped_median.
+    """
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        out = {group_col: [g[group_col].iloc[0]]}
+        for p in ps:
+            idx = min(max(int(np.ceil(p * n)) - 1, 0), n - 1)
+            out[f"p{int(round(p * 100)):02d}"] = [v[idx]]
+        return pd.DataFrame(out)
+
+    return ds.groupby(group_col).map_groups(quants, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed selection (k-th smallest) — zero-shuffle radix search
+# ---------------------------------------------------------------------------
+
+def _order_key_u64(arr: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Map a numeric column to uint64 keys whose unsigned order equals
+    the column's value order (IEEE-754 radix trick for floats: flip all
+    bits of negatives, set the sign bit of non-negatives). Nulls must be
+    pre-filtered by the caller."""
+    t = arr.type
+    if pa.types.is_floating(t):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        u = v.view(np.uint64)
+        neg = (u >> np.uint64(63)).astype(bool)
+        return np.where(neg, ~u, u | np.uint64(1 << 63))
+    if pa.types.is_timestamp(t):
+        arr = pc.cast(arr, pa.int64())
+    v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return (v.view(np.uint64)) ^ np.uint64(1 << 63)
+
+
+def kth_smallest(ds: ray.data.Dataset, col: str, k: int,
+                 collect_limit: int = 1 << 20):
+    """EXACT k-th smallest value (0-indexed; == ``ORDER BY col LIMIT 1
+    OFFSET k``) of a numeric/timestamp column WITHOUT any sort or
+    shuffle: distributed radix selection.
+
+    Each round is one counting pass: every block histograms the next
+    16-bit digit of the rows still matching the pinned key prefix
+    (order-preserving uint64 mapping), the driver merges the 65,536
+    counters and descends into the digit containing rank k. When the
+    candidate set falls under ``collect_limit`` rows the survivors are
+    collected and selected locally instead (almost always after round 1
+    — expected survivors = n / 65,536). At most 4 rounds even in the
+    fully-degenerate case (all rows in one digit at every level, e.g. a
+    constant column), so a 100-TB column needs <= 4 streaming passes and
+    exchanges only 512 KB of counters per block — vs a full all-to-all
+    for ``sort().limit()``. Rows with null ``col`` are ignored (SQL
+    ORDER BY ... OFFSET semantics over non-null values).
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    narrowed = ds.select_columns([col])
+    prefix = np.uint64(0)
+    for level in range(4):
+        shift = np.uint64(48 - 16 * level)
+        pmask = (~np.uint64(0) << (shift + np.uint64(16))) \
+            if level else np.uint64(0)
+
+        def hist(batch: pa.Table, _s=shift, _m=pmask, _p=prefix) -> pa.Table:
+            a = batch.column(col)
+            a = a.drop_null() if a.null_count else a
+            if len(a) == 0:
+                return pa.table({"digit": pa.array([], pa.int32()),
+                                 "c": pa.array([], pa.int64())})
+            keys = _order_key_u64(a)
+            if _m:
+                keys = keys[(keys & _m) == _p]
+            dig = ((keys >> _s) & np.uint64(0xFFFF)).astype(np.int64)
+            counts = np.bincount(dig, minlength=65536)
+            nz = np.flatnonzero(counts)
+            return pa.table({"digit": pa.array(nz.astype(np.int32)),
+                             "c": pa.array(counts[nz], pa.int64())})
+
+        total = np.zeros(65536, np.int64)
+        for b in narrowed.map_batches(hist, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            np.add.at(total, b.column("digit").to_numpy(),
+                      b.column("c").to_numpy())
+        cum = np.cumsum(total)
+        if k >= cum[-1]:
+            raise IndexError(f"k={k} out of range (n={int(cum[-1])})")
+        digit = int(np.searchsorted(cum, k, side="right"))
+        below = int(cum[digit - 1]) if digit else 0
+        k -= below
+        prefix = prefix | (np.uint64(digit) << shift)
+        remaining = int(total[digit])
+        if remaining <= collect_limit or level == 3:
+            lo_mask = ~np.uint64(0) << shift
+            target = prefix
+
+            def in_digit(batch: pa.Table, _m=lo_mask, _t=target) -> pa.Table:
+                a = batch.column(col)
+                a = a.drop_null() if a.null_count else a
+                if len(a) == 0:
+                    return pa.table({col: pa.array([], batch.column(col).type)})
+                keys = _order_key_u64(a)
+                return pa.table({col: a.filter(
+                    pa.array((keys & _m) == _t))})
+
+            vals = [v for b in narrowed
+                    .map_batches(in_digit, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None)
+                    for v in b.column(col).to_pylist()]
+            vals.sort()
+            return vals[k]
+    raise AssertionError("unreachable")
+
+
+def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset, key: str,
+                  compare_cols: list[str],
+                  num_partitions: int = 8) -> ray.data.Dataset:
+    """CDC-style diff of two keyed table snapshots: one keyed
+    ``full_outer`` join, then a vectorized per-row classification into
+    ``added`` (key only in new), ``removed`` (key only in old) and
+    ``changed`` (key in both, any compare column differs); unchanged
+    rows are dropped. Emits ``(key, change, <new-side compare cols>)``
+    with the old side's values for removed rows.
+
+    Scale shape: exactly one all-to-all (the keyed join), proportional
+    to the snapshots — the classification is a stateless map. At 100 TB
+    partition both snapshots by the same key hash at write time and the
+    join degenerates to per-partition zips. Ray's full_outer coalesces
+    the right key into the left key column, so right-side presence
+    rides on a non-null marker column (and old-side presence on the
+    old compare columns being non-null — callers must pass compare
+    columns that are never null in the source, or add a marker)."""
+    ocols = [key] + compare_cols
+
+    def mark_old(b: pa.Table) -> pa.Table:
+        t = b.select(ocols)
+        t = t.rename_columns([key] + [f"_old_{c}" for c in compare_cols])
+        return t.append_column(
+            "_in_old", pa.array(np.ones(b.num_rows, np.int8)))
+
+    def mark_new(b: pa.Table) -> pa.Table:
+        return b.select(ocols).append_column(
+            "_in_new", pa.array(np.ones(b.num_rows, np.int8)))
+
+    j = old.map_batches(mark_old, batch_format="pyarrow").join(
+        new.map_batches(mark_new, batch_format="pyarrow"),
+        join_type="full_outer", num_partitions=num_partitions,
+        on=(key,), right_on=(key,))
+
+    def classify(b: pa.Table) -> pa.Table:
+        in_old = pc.is_valid(b.column("_in_old"))
+        in_new = pc.is_valid(b.column("_in_new"))
+        changed = pa.array(np.zeros(b.num_rows, bool))
+        for c in compare_cols:
+            neq = pc.fill_null(
+                pc.not_equal(b.column(c), b.column(f"_old_{c}")), True)
+            changed = pc.or_(changed, neq)
+        status = pc.if_else(
+            pc.and_(in_old, in_new),
+            pc.if_else(changed, pa.scalar("changed"),
+                       pa.scalar("unchanged")),
+            pc.if_else(in_new, pa.scalar("added"), pa.scalar("removed")))
+        keep = pc.not_equal(status, pa.scalar("unchanged"))
+        cols = {key: b.column(key), "change": status}
+        for c in compare_cols:
+            # new-side value when present (added/changed), old otherwise
+            cols[c] = pc.if_else(in_new, b.column(c),
+                                 b.column(f"_old_{c}"))
+        return pa.table(cols).filter(keep)
+
+    return j.map_batches(classify, batch_format="pyarrow")

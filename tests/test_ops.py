@@ -1770,3 +1770,74 @@ def test_grouped_corr_suffstats_matches_pandas():
         vx = row["sum_xx"] - row["sum_x"] ** 2 / n
         vy = row["sum_yy"] - row["sum_y"] ** 2 / n
         assert np.isclose(cov / np.sqrt(vx * vy), g.x.corr(g.y))
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles / kth smallest (radix selection) / snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_grouped_quantiles_disc_semantics():
+    from paperchase_crawler_ray.ops.relational import grouped_quantiles
+    rng = np.random.default_rng(5)
+    g = np.repeat(["a", "b", "c"], [7, 20, 1])
+    v = rng.normal(size=len(g))
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v)}))
+    got = grouped_quantiles(ds, "g", "v", (0.25, 0.5, 0.75)) \
+        .to_pandas().set_index("g").sort_index()
+    df = pd.DataFrame({"g": g, "v": v})
+    for key, grp in df.groupby("g"):
+        s = np.sort(grp["v"].to_numpy())
+        n = len(s)
+        for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+            idx = min(max(int(np.ceil(p * n)) - 1, 0), n - 1)
+            assert got.loc[key, col] == s[idx]
+
+
+def test_kth_smallest_matches_sort_floats_and_negatives():
+    from paperchase_crawler_ray.ops.relational import kth_smallest
+    rng = np.random.default_rng(9)
+    v = np.concatenate([rng.normal(size=3000), [-1e300, 1e300, 0.0, -0.0]])
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v)})).repartition(6)
+    s = np.sort(v)
+    for k in [0, 1, 1500, len(v) - 1]:
+        assert kth_smallest(ds, "x", k) == s[k]
+
+
+def test_kth_smallest_multilevel_descent_and_ints():
+    from paperchase_crawler_ray.ops.relational import kth_smallest
+    rng = np.random.default_rng(13)
+    v = rng.integers(-10**12, 10**12, size=5000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v, pa.int64())})) \
+        .repartition(4)
+    s = np.sort(v)
+    # collect_limit=8 forces descent through multiple 16-bit levels
+    for k in [0, 2500, 4999]:
+        assert kth_smallest(ds, "x", k, collect_limit=8) == s[k]
+
+
+def test_kth_smallest_constant_column_and_nulls():
+    from paperchase_crawler_ray.ops.relational import kth_smallest
+    v = pa.array([7.5] * 1000 + [None] * 50)
+    ds = ray.data.from_arrow(pa.table({"x": v}))
+    # constant column: every level descends into one digit; must not loop
+    assert kth_smallest(ds, "x", 0, collect_limit=8) == 7.5
+    assert kth_smallest(ds, "x", 999, collect_limit=8) == 7.5
+    with pytest.raises(IndexError):
+        kth_smallest(ds, "x", 1000)  # nulls don't count
+
+
+def test_snapshot_diff_classification():
+    from paperchase_crawler_ray.ops.relational import snapshot_diff
+    old = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0])}))
+    new = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4, 5], pa.int64()),
+        "v": pa.array([20.0, 31.0, 40.0, 50.0])}))
+    got = snapshot_diff(old, new, "k", ["v"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = {1: ("removed", 10.0), 3: ("changed", 31.0), 5: ("added", 50.0)}
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        ch, v = want[r.k]
+        assert r.change == ch and r.v == v
