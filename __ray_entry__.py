@@ -1566,6 +1566,42 @@ def _q_snapshot_diff(sf: str):
     return snapshot_diff(old, new, "c_custkey", ["c_acctbal"])
 
 
+def _q_lev_join(sf: str):
+    """Record linkage: all distinct part-name pairs within edit
+    distance 2, via PassJoin segment signatures (never all-pairs) +
+    banded-DP verify. Dedupe-to-distinct first is the linkage-join
+    shape that bounds hot-segment skew."""
+    import hashlib as _hl
+    from paperchase_crawler_ray.ops.linkage import edit_distance_join
+    names = _rename(_rp(sf, "part", columns=["p_name"])
+                    .groupby("p_name").count(), {"count()": "_c"})
+
+    def with_id(b: pa.Table) -> pa.Table:
+        ns = b.column("p_name").to_pylist()
+        ids = []
+        for n in ns:
+            v = int.from_bytes(
+                _hl.blake2b(n.encode(), digest_size=8).digest(), "big")
+            ids.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "name": pa.array(ns, pa.string())})
+
+    ds = names.map_batches(with_id, batch_format="pyarrow")
+    pairs = edit_distance_join(ds, "id", "name", max_dist=2,
+                               with_texts=True)
+
+    def orient(b: pa.Table) -> pa.Table:
+        ta = b.column("text_a").to_pylist()
+        tb = b.column("text_b").to_pylist()
+        lo = [min(x, y) for x, y in zip(ta, tb)]
+        hi = [max(x, y) for x, y in zip(ta, tb)]
+        return pa.table({"name_a": pa.array(lo, pa.string()),
+                         "name_b": pa.array(hi, pa.string()),
+                         "dist": pc.cast(b.column("dist"), pa.int64())})
+
+    return pairs.map_batches(orient, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -1667,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_quantiles": _q_grouped_quantiles,
         "q_kth_value": _q_kth_value,
         "q_snapshot_diff": _q_snapshot_diff,
+        "q_lev_join": _q_lev_join,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_jaccard_join": _q_jaccard_join,
         "q_fingerprint": _q_fingerprint,
@@ -2180,6 +2217,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50, "
             "CAST(quantile_disc(value, 0.90) AS DOUBLE) AS p90 "
             "FROM events",
+        "q_lev_join":
+            "WITH n AS (SELECT DISTINCT p_name AS name FROM part) "
+            "SELECT a.name AS name_a, b.name AS name_b, "
+            "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist "
+            "FROM n a, n b WHERE a.name < b.name "
+            "AND levenshtein(a.name, b.name) <= 2",
         "q_snapshot_diff":
             "WITH old AS (SELECT c_custkey, c_acctbal FROM customer "
             "WHERE c_custkey % 89 <> 0), "

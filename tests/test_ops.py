@@ -1841,3 +1841,90 @@ def test_snapshot_diff_classification():
     for _, r in got.iterrows():
         ch, v = want[r.k]
         assert r.change == ch and r.v == v
+
+
+# ---------------------------------------------------------------------------
+# edit-distance join (PassJoin segment signatures)
+# ---------------------------------------------------------------------------
+
+def _lev_full(a: str, b: str) -> int:
+    """Reference full-DP Levenshtein for tests."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j - 1] + (a[i - 1] != b[j - 1]),
+                         prev[j] + 1, cur[j - 1] + 1)
+        prev = cur
+    return prev[lb]
+
+
+def test_lev_banded_matches_full_dp():
+    from paperchase_crawler_ray.ops.linkage import lev_banded
+    rng = np.random.default_rng(2)
+    alpha = "abcde"
+    for _ in range(300):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 12)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 12)))
+        true = _lev_full(a, b)
+        for d in (0, 1, 2, 3):
+            got = lev_banded(a, b, d)
+            assert got == (true if true <= d else d + 1), (a, b, d)
+
+
+def _mutate(rng, s: str, n_edits: int) -> str:
+    alpha = "abcdefgh"
+    for _ in range(n_edits):
+        op = rng.integers(0, 3)
+        if op == 0 and s:  # substitute
+            i = rng.integers(0, len(s))
+            s = s[:i] + str(rng.choice(list(alpha))) + s[i + 1:]
+        elif op == 1 and s:  # delete
+            i = rng.integers(0, len(s))
+            s = s[:i] + s[i + 1:]
+        else:  # insert
+            i = rng.integers(0, len(s) + 1)
+            s = s[:i] + str(rng.choice(list(alpha))) + s[i:]
+    return s
+
+
+def test_edit_distance_join_lossless_vs_bruteforce():
+    from paperchase_crawler_ray.ops.linkage import edit_distance_join
+    rng = np.random.default_rng(17)
+    base = ["".join(rng.choice(list("abcdefgh"), rng.integers(4, 14)))
+            for _ in range(120)]
+    texts = base + [_mutate(rng, s, int(rng.integers(1, 3))) for s in base]
+    texts = list(dict.fromkeys(texts))  # unique strings, stable order
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "t": pa.array(texts)})).repartition(4)
+    for d in (1, 2):
+        got = edit_distance_join(ds, "id", "t", max_dist=d).to_pandas()
+        got_pairs = {(int(r.id_a), int(r.id_b)): int(r.dist)
+                     for _, r in got.iterrows()}
+        want = {}
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                dist = _lev_full(texts[i], texts[j])
+                if dist <= d:
+                    want[(i, j)] = dist
+        assert got_pairs == want, f"d={d}"
+
+
+def test_edit_distance_join_path_matches_broadcast():
+    from paperchase_crawler_ray.ops.linkage import edit_distance_join
+    rng = np.random.default_rng(23)
+    base = ["".join(rng.choice(list("abcd"), rng.integers(5, 10)))
+            for _ in range(60)]
+    texts = list(dict.fromkeys(
+        base + [_mutate(rng, s, 1) for s in base]))
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "t": pa.array(texts)}))
+    bc = edit_distance_join(ds, "id", "t", 1, with_texts=True).to_pandas()
+    jn = edit_distance_join(ds, "id", "t", 1, broadcast_max_docs=0,
+                            with_texts=True).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "dist",
+                                           "text_a", "text_b"]].values))
+    assert key(bc) == key(jn) and len(bc) > 0
