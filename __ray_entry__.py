@@ -1602,6 +1602,51 @@ def _q_lev_join(sf: str):
     return pairs.map_batches(orient, batch_format="pyarrow")
 
 
+def _q_interval_lookup(sf: str):
+    """Static-interval (price-band) lookup: broadcast sorted bands +
+    per-batch searchsorted — the zero-shuffle form of a small-side
+    range join (geo-IP shape)."""
+    from paperchase_crawler_ray.ops.relational import interval_lookup_join
+    bands = pa.table({
+        "lo": pa.array([0, 50_000, 150_000], pa.int64()),
+        "hi": pa.array([50_000, 150_000, 1_000_000_000], pa.int64()),
+        "band": pa.array(["low", "mid", "high"], pa.string())})
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = interval_lookup_join(o, "o_totalprice", bands, "lo", "hi")
+    return out.select_columns(["o_orderkey", "band"])
+
+
+def _q_winsorize(sf: str):
+    """Percentile capping at exact [p05, p95] quantiles (radix-selected,
+    zero shuffle) — outlier clipping before training. Clipped values
+    are data elements (float pass-through, no float math)."""
+    from paperchase_crawler_ray.ops.relational import winsorize
+    ev = _rp(sf, "events", columns=["event_id", "value"])
+    out = winsorize(ev, "value", 0.05, 0.95, out_col="value_w")
+    return out.select_columns(["event_id", "value_w"])
+
+
+def _q_table_checksum(sf: str):
+    """Order/partitioning-independent content checksum (anti-entropy
+    replica validation): md5-top-8-bytes per row, wrapping int sum."""
+    from paperchase_crawler_ray.ops.sketch import table_checksum
+    li = _rp(sf, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_suppkey"])
+    return table_checksum(li, ["l_orderkey", "l_linenumber", "l_suppkey"])
+
+
+def _q_zorder(sf: str):
+    """Z-order (Morton) layout keys over (partkey, suppkey) low 16 bits
+    — the data-layout pass that makes 2-D-filtered scans prune files.
+    Emits the key per row; the downstream sort is the layout rewrite."""
+    from paperchase_crawler_ray.ops.layout import zorder_keys
+    li = _rp(sf, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_partkey",
+                      "l_suppkey"])
+    out = zorder_keys(li, "l_partkey", "l_suppkey")
+    return out.select_columns(["l_orderkey", "l_linenumber", "zkey"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -1704,6 +1749,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kth_value": _q_kth_value,
         "q_snapshot_diff": _q_snapshot_diff,
         "q_lev_join": _q_lev_join,
+        "q_interval_lookup": _q_interval_lookup,
+        "q_winsorize": _q_winsorize,
+        "q_table_checksum": _q_table_checksum,
+        "q_zorder": _q_zorder,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_jaccard_join": _q_jaccard_join,
         "q_fingerprint": _q_fingerprint,
@@ -1761,6 +1810,7 @@ def _pii_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from paperchase_crawler_ray.ops.layout import zorder_sql
     return {
         "q_host_counts":
             "SELECT source, COUNT(*) AS c FROM documents GROUP BY source",
@@ -2217,6 +2267,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50, "
             "CAST(quantile_disc(value, 0.90) AS DOUBLE) AS p90 "
             "FROM events",
+        "q_interval_lookup":
+            "SELECT o_orderkey, band FROM orders JOIN (VALUES "
+            "(0, 50000, 'low'), (50000, 150000, 'mid'), "
+            "(150000, 1000000000, 'high')) AS b(lo, hi, band) "
+            "ON o_totalprice >= lo AND o_totalprice < hi",
+        "q_winsorize":
+            "WITH q AS (SELECT quantile_disc(value, 0.05) AS ql, "
+            "quantile_disc(value, 0.95) AS qh FROM events) "
+            "SELECT event_id, CASE WHEN value < ql THEN ql "
+            "WHEN value > qh THEN qh ELSE value END AS value_w "
+            "FROM events, q",
+        "q_table_checksum":
+            "SELECT CAST(n AS BIGINT) AS n_rows, CAST(CASE WHEN m >= "
+            "9223372036854775808 THEN m - 18446744073709551616 "
+            "ELSE m END AS BIGINT) AS checksum FROM ("
+            "SELECT COUNT(*) AS n, COALESCE(SUM(CAST(CAST('0x' || "
+            "substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+            "CAST(l_linenumber AS VARCHAR), CAST(l_suppkey AS VARCHAR)"
+            ")), 1, 16) AS UBIGINT) AS HUGEINT)), 0) "
+            "% 18446744073709551616 AS m FROM lineitem)",
+        "q_zorder":
+            "SELECT l_orderkey, l_linenumber, CAST("
+            + zorder_sql("(l_partkey & 65535)", "(l_suppkey & 65535)")
+            + " AS BIGINT) AS zkey FROM lineitem",
         "q_lev_join":
             "WITH n AS (SELECT DISTINCT p_name AS name FROM part) "
             "SELECT a.name AS name_a, b.name AS name_b, "

@@ -1,0 +1,61 @@
+"""Data-layout operators: space-filling-curve keys for scan locality.
+
+At 100 TB the dominant cost of a multi-dimensional-filtered scan is how
+many files/row-groups a predicate touches.  Sorting by a Z-order (Morton)
+key interleaves the bits of several columns so rows close in EVERY
+dimension land close in the file order — the standard public technique
+(Morton 1966; used by every lakehouse OPTIMIZE ZORDER BY).  The key
+computation is a stateless vectorized map; the one all-to-all is the
+final sort, which any layout rewrite pays by definition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the low 16 bits of x (uint64 out):
+    classic Morton bit-twiddling masks, fully vectorized."""
+    v = x.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def morton_key2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """32-bit Morton code of two 16-bit non-negative ints (int64 out):
+    bit i of x -> bit 2i, bit i of y -> bit 2i+1."""
+    return (_spread16(x) | (_spread16(y) << np.uint64(1))).astype(np.int64)
+
+
+def zorder_keys(ds: ray.data.Dataset, x_col: str, y_col: str,
+                out_col: str = "zkey") -> ray.data.Dataset:
+    """Append the Morton key of (x % 2^16, y % 2^16).  Callers that
+    need full-width columns should first quantile-bucket each column to
+    16 bits (rank / 2^16 buckets) — the curve needs bounded coordinates
+    by construction."""
+    def key(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & 0xFFFF
+        y = batch.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & 0xFFFF
+        return batch.append_column(out_col,
+                                   pa.array(morton_key2(x, y), pa.int64()))
+
+    return ds.map_batches(key, batch_format="pyarrow")
+
+
+def zorder_sql(x_expr: str, y_expr: str) -> str:
+    """The DuckDB twin of morton_key2 as a generated bit-ops expression
+    (sum over bit positions) — lets the driver's SQL oracle verify the
+    layout key bit-for-bit."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x_expr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y_expr} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

@@ -1928,3 +1928,80 @@ def test_edit_distance_join_path_matches_broadcast():
     key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "dist",
                                            "text_a", "text_b"]].values))
     assert key(bc) == key(jn) and len(bc) > 0
+
+
+# ---------------------------------------------------------------------------
+# interval lookup / winsorize / table checksum / z-order
+# ---------------------------------------------------------------------------
+
+def test_interval_lookup_bounds_and_unmatched():
+    from paperchase_crawler_ray.ops.relational import interval_lookup_join
+    bands = pa.table({"lo": pa.array([0, 10], pa.int64()),
+                      "hi": pa.array([10, 20], pa.int64()),
+                      "band": pa.array(["a", "b"])})
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array([-1.0, 0.0, 9.999, 10.0, 19.999, 20.0, 25.0])}))
+    got = interval_lookup_join(ds, "v", bands, "lo", "hi").to_pandas()
+    # [lo, hi): -1, 20, 25 drop; 0/9.999 -> a; 10/19.999 -> b
+    assert got["band"].tolist() == ["a", "a", "b", "b"]
+    kept = interval_lookup_join(ds, "v", bands, "lo", "hi",
+                                unmatched="keep").to_pandas()
+    assert len(kept) == 7 and kept["band"].isna().sum() == 3
+    overlapping = pa.table({"lo": pa.array([0, 5], pa.int64()),
+                            "hi": pa.array([10, 20], pa.int64()),
+                            "band": pa.array(["a", "b"])})
+    with pytest.raises(ValueError):
+        interval_lookup_join(ds, "v", overlapping, "lo", "hi")
+
+
+def test_winsorize_clips_to_exact_quantiles():
+    from paperchase_crawler_ray.ops.relational import winsorize
+    rng = np.random.default_rng(31)
+    v = rng.normal(size=2001)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v)})).repartition(5)
+    got = np.sort(winsorize(ds, "x", 0.05, 0.95).to_pandas()["x"].to_numpy())
+    s = np.sort(v)
+    n = len(v)
+    lo = s[int(np.ceil(0.05 * n)) - 1]
+    hi = s[int(np.ceil(0.95 * n)) - 1]
+    assert np.array_equal(got, np.sort(np.clip(v, lo, hi)))
+    assert got.min() == lo and got.max() == hi
+
+
+def test_table_checksum_order_invariant_and_sensitive():
+    from paperchase_crawler_ray.ops.sketch import table_checksum
+    t = pa.table({"a": pa.array(np.arange(500), pa.int64()),
+                  "b": pa.array([f"s{i%7}" for i in range(500)])})
+    ds1 = ray.data.from_arrow(t)
+    perm = np.random.default_rng(3).permutation(500)
+    ds2 = ray.data.from_arrow(t.take(pa.array(perm))).repartition(7)
+    c1 = table_checksum(ds1, ["a", "b"]).to_pandas()
+    c2 = table_checksum(ds2, ["a", "b"]).to_pandas()
+    assert c1["checksum"][0] == c2["checksum"][0]
+    assert c1["n_rows"][0] == c2["n_rows"][0] == 500
+    # one changed cell changes the sum
+    t3 = t.set_column(0, "a", pa.array(
+        np.concatenate([[999999], np.arange(1, 500)]), pa.int64()))
+    c3 = table_checksum(ray.data.from_arrow(t3), ["a", "b"]).to_pandas()
+    assert c3["checksum"][0] != c1["checksum"][0]
+
+
+def test_morton_key_bit_interleave():
+    from paperchase_crawler_ray.ops.layout import morton_key2
+    def slow(x, y):
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+    rng = np.random.default_rng(41)
+    xs = rng.integers(0, 1 << 16, size=200)
+    ys = rng.integers(0, 1 << 16, size=200)
+    got = morton_key2(xs, ys)
+    assert all(int(g) == slow(int(x), int(y))
+               for g, x, y in zip(got, xs, ys))
+    # locality sanity: nearby points get nearby keys within a quad
+    assert morton_key2(np.array([0]), np.array([0]))[0] == 0
+    assert morton_key2(np.array([1]), np.array([0]))[0] == 1
+    assert morton_key2(np.array([0]), np.array([1]))[0] == 2
+    assert morton_key2(np.array([1]), np.array([1]))[0] == 3
