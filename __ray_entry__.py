@@ -1647,6 +1647,28 @@ def _q_zorder(sf: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "zkey"])
 
 
+def _q_pca(sf: str):
+    """Embedding decorrelation: distributed PCA fit (one moments pass,
+    O(dim^2) exchange per block) + whitened projection (rows-only —
+    float covariance; pytest compares against numpy eigh)."""
+    from paperchase_crawler_ray.ops.similarity import pca_fit, pca_transform
+    emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
+    mu, comps, _ = pca_fit(emb, k=8, whiten=True)
+    return pca_transform(emb, mu, comps, round_dp=4)
+
+
+def _q_image_shard(sf: str):
+    """Multimodal: aspect/resolution bucketing for training batch
+    locality (tags from metadata columns, one keyed co-location
+    shuffle; rows-only — fixture image table)."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import shard_by_aspect
+    rows = make_image_rows(96)
+    ds = ray.data.from_arrow(rows.select(["image_id", "w", "h"]))
+    out = shard_by_aspect(ds, num_shards=4)
+    return out.select_columns(["image_id", "aspect_bucket", "res_tier"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -1750,6 +1772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snapshot_diff": _q_snapshot_diff,
         "q_lev_join": _q_lev_join,
         "q_interval_lookup": _q_interval_lookup,
+        "q_image_shard": _q_image_shard,
+        "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
         "q_table_checksum": _q_table_checksum,
         "q_zorder": _q_zorder,

@@ -212,8 +212,12 @@ def edit_distance_join(ds: ray.data.Dataset, id_col: str, text_col: str,
         batch_format="pyarrow")
     # bucket_cap=None: capping would break exactness; hot segments are
     # the caller's skew to pre-dedupe (module docstring).
+    # est_rows: (2d+1) lengths x (d+1) slots x <=(2d+1) positions per
+    # doc — an upper bound, so the driver-vs-shuffle switch never
+    # underestimates; avoids executing the key stage twice for count().
+    est = n_docs * (2 * max_dist + 1) ** 2 * (max_dist + 1)
     pairs = lsh_candidate_pairs(keys, id_col, bucket_cap=None,
-                                est_rows=None)
+                                est_rows=est)
     if n_docs <= broadcast_max_docs:
         texts_ref = _broadcast_texts(ds, id_col, text_col)
         return ray.data.from_arrow(pairs).map_batches(

@@ -695,3 +695,65 @@ def image_preprocess(ds: ray.data.Dataset, bytes_col: str = "bytes",
         ImagePreprocess, fn_constructor_args=(bytes_col, id_col, size),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency))
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio / resolution bucketing: batching locality for vision training
+# ---------------------------------------------------------------------------
+
+def aspect_buckets_block(batch: pa.Table, w_col: str = "w", h_col: str = "h",
+                         tall_below: float = 0.75,
+                         wide_above: float = 4.0 / 3.0,
+                         res_edges: tuple[int, ...] = (64, 256, 1024)
+                         ) -> pa.Table:
+    """Vectorized bucket assignment from the metadata columns alone (no
+    decode): ``aspect_bucket`` in {tall, square, wide} by w/h cross
+    ratio (integer cross-multiplication — no float division, so the
+    bucket edges are exact) and ``res_tier`` = index into ``res_edges``
+    by max(w, h)."""
+    w = batch.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch.column(h_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    # w/h < tall_below  <=>  w * denom < h * numer  with exact ints
+    def _ratio_frac(x: float) -> tuple[int, int]:
+        from fractions import Fraction
+        f = Fraction(x).limit_denominator(720)
+        return f.numerator, f.denominator
+    tn, td = _ratio_frac(tall_below)
+    wn, wd = _ratio_frac(wide_above)
+    tall = w * td < h * tn
+    wide = w * wd > h * wn
+    aspect = np.where(tall, "tall", np.where(wide, "wide", "square"))
+    side = np.maximum(w, h)
+    tier = np.searchsorted(np.asarray(res_edges, np.int64), side,
+                           side="right").astype(np.int64)
+    out = batch.append_column("aspect_bucket", pa.array(aspect, pa.string()))
+    return out.append_column("res_tier", pa.array(tier, pa.int64()))
+
+
+def shard_by_aspect(ds: ray.data.Dataset, w_col: str = "w", h_col: str = "h",
+                    num_shards: int = 16, colocate: bool = True,
+                    **bucket_kw) -> ray.data.Dataset:
+    """Training-batch locality pass: tag every image row with
+    (aspect_bucket, res_tier) from metadata columns (zero decode, zero
+    payload touch), then optionally co-locate equal buckets with ONE
+    keyed repartition so downstream batch formation (same-shape padding
+    / resize kernels) never mixes shapes inside a block.
+
+    Scale shape: the tag is stateless; the keyed repartition moves each
+    (usually wide) image row exactly once — at 100 TB that is the same
+    single payload all-to-all any bucketed-batching pipeline pays, and
+    `num_shards` should be ~2x cluster CPUs, NOT the bucket count
+    (buckets are only the shuffle key). With `colocate=False` the op is
+    shuffle-free and callers bucket at iteration time instead."""
+    tagged = ds.map_batches(
+        lambda b: aspect_buckets_block(b, w_col, h_col, **bucket_kw),
+        batch_format="pyarrow")
+    if not colocate:
+        return tagged
+    from .dedup import _hash_shuffle
+    from .relational import cap_join_partitions
+    with _hash_shuffle(tagged):
+        out = tagged.repartition(
+            num_blocks=cap_join_partitions(num_shards),
+            keys=["aspect_bucket", "res_tier"]).materialize()
+    return out

@@ -472,3 +472,94 @@ def ivfpq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
         batch_format="pyarrow", concurrency=(1, 4))
     return _final_topk(partials, k).select_columns(
         ["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening: embedding decorrelation for retrieval + dedup pipelines
+# ---------------------------------------------------------------------------
+
+def embedding_moments(ds: ray.data.Dataset, vec_col: str = "embedding"
+                      ) -> tuple[int, np.ndarray, np.ndarray]:
+    """One streaming pass -> (n, sum, X^T X): the sufficient statistics
+    for mean/covariance. Each block emits a (dim + dim^2)-float partial
+    regardless of its row count, so the driver reduce is O(blocks *
+    dim^2) — at dim=128 that is 132 KB per block, fine at 100 TB.
+    Partials are reduced in sorted-block order to keep the float sum
+    deterministic for a given partitioning."""
+    def partial(batch: pa.Table) -> pa.Table:
+        E = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        s = E.sum(axis=0)
+        g = E.T @ E
+        return pa.table({
+            "n": pa.array([E.shape[0]], pa.int64()),
+            "s": pa.array([s.tobytes()], pa.binary()),
+            "g": pa.array([g.tobytes()], pa.binary())})
+
+    parts = []
+    for b in ds.select_columns([vec_col]) \
+            .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        for i in range(t.num_rows):
+            parts.append((t.column("n")[i].as_py(),
+                          t.column("s")[i].as_py(), t.column("g")[i].as_py()))
+    if not parts:
+        raise ValueError("empty dataset")
+    parts.sort(key=lambda p: (p[0], p[1]))
+    n = sum(p[0] for p in parts)
+    dim = len(np.frombuffer(parts[0][1], np.float64))
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for pn, ps, pg in parts:
+        s += np.frombuffer(ps, np.float64)
+        g += np.frombuffer(pg, np.float64).reshape(dim, dim)
+    return n, s, g
+
+
+def pca_fit(ds: ray.data.Dataset, vec_col: str = "embedding",
+            k: int = 8, whiten: bool = False, eps: float = 1e-9
+            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA from one distributed moments pass: returns (mean,
+    components [k x dim], explained_variance [k]). Components' signs
+    are canonicalized (largest-|coef| coordinate positive) so the fit
+    is reproducible across runs. ``whiten`` scales components by
+    1/sqrt(var) so projected coordinates have unit variance."""
+    n, s, g = embedding_moments(ds, vec_col)
+    if n < 2:
+        raise ValueError("need >= 2 vectors to fit PCA")
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                  # k x dim
+    var = np.clip(vals[order], 0.0, None)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    if whiten:
+        comps = comps / np.sqrt(var + eps)[:, None]
+    return mu, comps, var
+
+
+def pca_transform(ds: ray.data.Dataset, mu: np.ndarray, comps: np.ndarray,
+                  vec_col: str = "embedding", out_col: str = "pca",
+                  round_dp: int | None = None) -> ray.data.Dataset:
+    """Project every embedding onto the fitted components: stateless
+    vectorized map, fit broadcast once via ``ray.put``."""
+    import ray as _ray
+    ref = _ray.put((mu.astype(np.float64), comps.astype(np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        bmu, bc = _ray.get(ref)
+        E = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        P = (E - bmu) @ bc.T
+        if round_dp is not None:
+            P = np.round(P, round_dp)
+        keep = [c for c in batch.column_names if c != vec_col]
+        out = batch.select(keep)
+        return out.append_column(out_col,
+                                 pa.array(list(P), pa.list_(pa.float64())))
+
+    return ds.map_batches(project, batch_format="pyarrow")

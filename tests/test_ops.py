@@ -2005,3 +2005,77 @@ def test_morton_key_bit_interleave():
     assert morton_key2(np.array([1]), np.array([0]))[0] == 1
     assert morton_key2(np.array([0]), np.array([1]))[0] == 2
     assert morton_key2(np.array([1]), np.array([1]))[0] == 3
+
+
+# ---------------------------------------------------------------------------
+# aspect/resolution bucketing shards
+# ---------------------------------------------------------------------------
+
+def test_aspect_buckets_block_edges_exact():
+    from paperchase_crawler_ray.ops.multimodal import aspect_buckets_block
+    t = pa.table({
+        "w": pa.array([3, 3, 4, 4, 8, 100, 2000], pa.int32()),
+        "h": pa.array([4, 5, 4, 3, 6, 100, 1000], pa.int32())})
+    got = aspect_buckets_block(t)
+    # 3/4 == tall_below edge -> square (strict <); 3/5 tall;
+    # 4/3 and 8/6 == wide_above edge -> square (strict >); 2000/1000 wide
+    assert got.column("aspect_bucket").to_pylist() == \
+        ["square", "tall", "square", "square", "square", "square", "wide"]
+    # res tiers at edges (64, 256, 1024), side = max(w, h), right-closed
+    assert got.column("res_tier").to_pylist() == [0, 0, 0, 0, 0, 1, 3]
+
+
+def test_shard_by_aspect_colocates_buckets():
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import shard_by_aspect
+    rows = make_image_rows(48)
+    ds = ray.data.from_arrow(rows).repartition(6)
+    out = shard_by_aspect(ds, num_shards=4)
+    assert out.count() == 48
+    # every (aspect_bucket, res_tier) key lives in exactly one block
+    seen: dict = {}
+    for bi, b in enumerate(out.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        for a, r in set(zip(t.column("aspect_bucket").to_pylist(),
+                            t.column("res_tier").to_pylist())):
+            assert seen.setdefault((a, r), bi) == bi
+    # tag-only path is shuffle-free and preserves row count + columns
+    tagged = shard_by_aspect(ds, colocate=False)
+    assert tagged.count() == 48
+    assert "aspect_bucket" in tagged.schema().names
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA / whitening
+# ---------------------------------------------------------------------------
+
+def test_pca_matches_numpy_and_whitens():
+    from paperchase_crawler_ray.ops.similarity import (pca_fit,
+                                                       pca_transform)
+    rng = np.random.default_rng(19)
+    # anisotropic gaussian so components are well separated
+    A = rng.normal(size=(6, 6)) * np.array([10, 5, 2, 1, 0.5, 0.1])
+    X = rng.normal(size=(800, 6)) @ A.T
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(800), pa.int64()),
+        "embedding": pa.array(list(X.astype(np.float32)),
+                              pa.list_(pa.float32()))})).repartition(5)
+    mu, comps, var = pca_fit(ds, k=3)
+    Xf = X.astype(np.float32).astype(np.float64)
+    assert np.allclose(mu, Xf.mean(axis=0), atol=1e-8)
+    cov = np.cov(Xf, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    want = vecs[:, order].T
+    flip = np.sign(want[np.arange(3), np.abs(want).argmax(axis=1)])
+    want = want * flip[:, None]
+    assert np.allclose(np.abs(comps), np.abs(want), atol=1e-6)
+    assert np.allclose(var, vals[order], rtol=1e-6)
+    # whitened projection has ~unit variance per component
+    muw, compsw, _ = pca_fit(ds, k=3, whiten=True)
+    out = pca_transform(ds, muw, compsw).to_pandas()
+    P = np.stack(out["pca"].to_numpy())
+    assert P.shape == (800, 3)
+    assert np.allclose(P.var(axis=0, ddof=1), 1.0, rtol=1e-2)
+    assert "embedding" not in out.columns
