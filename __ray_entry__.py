@@ -687,6 +687,20 @@ def _q_cube(sf: str):
                     sum_name="sum_qty", count_name="n_rows")
 
 
+def _q_grouping_sets(sf: str):
+    """GROUP BY GROUPING SETS ((flag), (status), (flag, status)) —
+    arbitrary-set OLAP aggregate from one finest-level pass (no grand
+    total, distinguishing it from CUBE)."""
+    from paperchase_crawler_ray.ops.relational import grouping_sets_agg
+    li = _rp(sf, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouping_sets_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        [["l_returnflag"], ["l_linestatus"],
+         ["l_returnflag", "l_linestatus"]],
+        "l_quantity", sum_name="sum_qty", count_name="n_rows")
+
+
 def _q_funnel(sf: str):
     """Conversion-funnel analysis (view -> click -> purchase, strictly
     ordered first timestamps): one hash aggregate to per-(user, step)
@@ -1471,6 +1485,35 @@ def _q_tumbling(sf: str):
     return _ts_us(agg, "day")
 
 
+def _q_hopping(sf: str):
+    """Hopping (sliding) time-window aggregate: 60-min windows every
+    30 min — each event lands in size/hop = 2 windows via a vectorized
+    window-start explode, then one keyed count. The streaming-analytics
+    window shape tumbling can't express."""
+    ev = _rp(sf, "events", columns=["ts"])
+    size_us = 60 * 60 * 1_000_000
+    hop_us = 30 * 60 * 1_000_000
+    m = size_us // hop_us
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = (t // hop_us) * hop_us
+        ws = np.concatenate([base - i * hop_us for i in range(m)])
+        return pa.table({"window_start": pa.array(ws, pa.int64())})
+
+    agg = _rename(ev.map_batches(explode_windows, batch_format="pyarrow")
+                  .groupby("window_start").count(), {"count()": "c"})
+
+    def to_ts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.cast(b.column("window_start"),
+                                    pa.timestamp("us")),
+            "c": pc.cast(b.column("c"), pa.int64())})
+
+    return agg.map_batches(to_ts, batch_format="pyarrow")
+
+
 def _q_bloom_semi(sf: str):
     """Semi join with a broadcast Bloom pre-filter: the probe side is
     pruned inside map_batches (no false negatives) before the exact
@@ -1525,17 +1568,32 @@ def _q_kth_value(sf: str):
     all-to-all. Returns one row of (n, p10, p50, p90) over
     events.value; values are raw data elements (float pass-through,
     no float aggregation)."""
-    from paperchase_crawler_ray.ops.relational import kth_smallest
+    from paperchase_crawler_ray.ops.relational import multi_kth_smallest
     ev = _rp(sf, "events", columns=["value"])
     n = ev.count()
-    vals = {}
-    for p in (0.10, 0.50, 0.90):
-        k = min(max(int(np.ceil(p * n)) - 1, 0), n - 1)
-        vals[f"p{int(round(p * 100)):02d}"] = kth_smallest(ev, "value", k)
+    ks = [min(max(int(np.ceil(p * n)) - 1, 0), n - 1)
+          for p in (0.10, 0.50, 0.90)]
+    p10, p50, p90 = multi_kth_smallest(ev, "value", ks)
     return pa.table({"n": pa.array([n], pa.int64()),
-                     "p10": pa.array([vals["p10"]], pa.float64()),
-                     "p50": pa.array([vals["p50"]], pa.float64()),
-                     "p90": pa.array([vals["p90"]], pa.float64())})
+                     "p10": pa.array([p10], pa.float64()),
+                     "p50": pa.array([p50], pa.float64()),
+                     "p90": pa.array([p90], pa.float64())})
+
+
+def _q_equidepth(sf: str):
+    """Equi-depth histogram boundaries (9 deciles of o_totalprice) in
+    ONE shared radix-selection descent — <= 4 counting passes + 1
+    collect for all 9 quantiles together, zero shuffle."""
+    from paperchase_crawler_ray.ops.relational import multi_kth_smallest
+    o = _rp(sf, "orders", columns=["o_totalprice"])
+    n = o.count()
+    ps = [i / 10 for i in range(1, 10)]
+    ks = [min(max(int(np.ceil(p * n)) - 1, 0), n - 1) for p in ps]
+    vals = multi_kth_smallest(o, "o_totalprice", ks)
+    cols = {"n": pa.array([n], pa.int64())}
+    for p, v in zip(ps, vals):
+        cols[f"b{int(p * 100):02d}"] = pa.array([v], pa.float64())
+    return pa.table(cols)
 
 
 def _q_snapshot_diff(sf: str):
@@ -1693,6 +1751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_rank": _q_group_rank,
         "q_pivot": _q_pivot,
         "q_tumbling": _q_tumbling,
+        "q_hopping": _q_hopping,
+        "q_grouping_sets": _q_grouping_sets,
         "q_running_sum": _q_running_sum,
         "q_moving_sum": _q_moving_sum,
         "q_pagerank": _q_pagerank,
@@ -1769,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corr_stats": _q_corr_stats,
         "q_grouped_quantiles": _q_grouped_quantiles,
         "q_kth_value": _q_kth_value,
+        "q_equidepth": _q_equidepth,
         "q_snapshot_diff": _q_snapshot_diff,
         "q_lev_join": _q_lev_join,
         "q_interval_lookup": _q_interval_lookup,
@@ -1962,6 +2023,13 @@ def oracle_sql() -> dict[str, str]:
             "SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS "
             "n_rows FROM lineitem GROUP BY CUBE(l_returnflag, "
             "l_linestatus)",
+        "q_grouping_sets":
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS "
+            "n_rows FROM lineitem GROUP BY GROUPING SETS ("
+            "(l_returnflag), (l_linestatus), "
+            "(l_returnflag, l_linestatus))",
         "q_funnel":
             "SELECT CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)"
             " AS BIGINT) AS n_view, CAST(SUM(CASE WHEN tv IS NOT NULL "
@@ -2136,6 +2204,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS c, "
             "CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_floor "
             "FROM events GROUP BY user_id, day",
+        "q_hopping":
+            "SELECT make_timestamp((epoch_us(ts) // 1800000000) "
+            "* 1800000000 - i * 1800000000) AS window_start, "
+            "CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS i) "
+            "GROUP BY window_start",
         "q_bigram":
             "SELECT bigram, c FROM (SELECT bigram, COUNT(*) AS c FROM ("
             "SELECT unnest(list_transform(generate_series(1, len(toks)-1), "
@@ -2321,6 +2395,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist "
             "FROM n a, n b WHERE a.name < b.name "
             "AND levenshtein(a.name, b.name) <= 2",
+        "q_equidepth":
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            + ", ".join(
+                f"CAST(quantile_disc(o_totalprice, {i / 10:.1f}) AS DOUBLE)"
+                f" AS b{i * 10:02d}" for i in range(1, 10))
+            + " FROM orders",
         "q_snapshot_diff":
             "WITH old AS (SELECT c_custkey, c_acctbal FROM customer "
             "WHERE c_custkey % 89 <> 0), "

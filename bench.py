@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q_word_count", "q_anti_join_keyed", "q_grouped_topk",
     "q_group_rank", "q_doc_pack", "q_chunk", "q_decontaminate",
     "q_left_join", "q_prep_pipeline",
+    "q_kth_value", "q_heavy_hitters", "q_bloom_semi", "q_lev_join",
+    "q_snapshot_diff", "q_zorder",
 ]
 
 
@@ -210,7 +212,13 @@ def run_queries(sf_dir: str, num_cpus: int) -> dict:
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
         res = qs[name](sf_dir)
-        n = len(res) if isinstance(res, pd.DataFrame) else res.count()
+        import pyarrow as pa
+        if isinstance(res, pd.DataFrame):
+            n = len(res)
+        elif isinstance(res, pa.Table):
+            n = res.num_rows
+        else:
+            n = res.count()
         assert n >= 0
         out[name] = round(time.monotonic() - t0, 3)
     return out

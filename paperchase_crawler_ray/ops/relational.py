@@ -1342,82 +1342,140 @@ def _order_key_u64(arr: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     return (v.view(np.uint64)) ^ np.uint64(1 << 63)
 
 
-def kth_smallest(ds: ray.data.Dataset, col: str, k: int,
-                 collect_limit: int = 1 << 20):
-    """EXACT k-th smallest value (0-indexed; == ``ORDER BY col LIMIT 1
-    OFFSET k``) of a numeric/timestamp column WITHOUT any sort or
-    shuffle: distributed radix selection.
+def multi_kth_smallest(ds: ray.data.Dataset, col: str, ks: list[int],
+                       collect_limit: int = 1 << 20) -> list:
+    """EXACT k-th smallest values (0-indexed; each == ``ORDER BY col
+    LIMIT 1 OFFSET k``) of a numeric/timestamp column for EVERY rank in
+    ``ks`` at once, WITHOUT any sort or shuffle: distributed radix
+    selection with shared passes.
 
-    Each round is one counting pass: every block histograms the next
-    16-bit digit of the rows still matching the pinned key prefix
-    (order-preserving uint64 mapping), the driver merges the 65,536
-    counters and descends into the digit containing rank k. When the
-    candidate set falls under ``collect_limit`` rows the survivors are
-    collected and selected locally instead (almost always after round 1
-    — expected survivors = n / 65,536). At most 4 rounds even in the
-    fully-degenerate case (all rows in one digit at every level, e.g. a
-    constant column), so a 100-TB column needs <= 4 streaming passes and
-    exchanges only 512 KB of counters per block — vs a full all-to-all
-    for ``sort().limit()``. Rows with null ``col`` are ignored (SQL
-    ORDER BY ... OFFSET semantics over non-null values).
-    """
-    if k < 0:
-        raise ValueError("k must be >= 0")
+    Each round is one counting pass over the full column: every block
+    histograms the next 16-bit digit of the order-preserving uint64 key
+    for every prefix still being chased (at most ``len(ks)`` of them),
+    the driver merges the counters and descends each rank into its
+    digit. A rank whose candidate set falls under ``collect_limit``
+    stops descending; one final filtered-collect pass gathers the
+    survivors for ALL finished ranks together. So B quantiles cost
+    <= 4 counting passes + 1 collect pass TOTAL (not per rank) — vs a
+    full all-to-all for ``sort()`` — and the exchange per block is
+    O(active_prefixes * distinct digits) counter rows. Rows with null
+    ``col`` are ignored (SQL ORDER BY ... OFFSET semantics over
+    non-null values); out-of-range ranks raise IndexError."""
+    if any(k < 0 for k in ks):
+        raise ValueError("ranks must be >= 0")
     narrowed = ds.select_columns([col])
-    prefix = np.uint64(0)
+    # state per requested rank: current prefix, rank-within-prefix,
+    # and the level at which it stopped (None while still descending)
+    st = [{"prefix": np.uint64(0), "k": int(k), "stop": None} for k in ks]
+    n_total = None
     for level in range(4):
         shift = np.uint64(48 - 16 * level)
         pmask = (~np.uint64(0) << (shift + np.uint64(16))) \
             if level else np.uint64(0)
+        active = sorted({int(s["prefix"]) for s in st if s["stop"] is None})
+        if not active:
+            break
+        pref_arr = np.array(active, np.uint64)
 
-        def hist(batch: pa.Table, _s=shift, _m=pmask, _p=prefix) -> pa.Table:
+        def hist(batch: pa.Table, _s=shift, _m=pmask,
+                 _pref=pref_arr) -> pa.Table:
+            empty = pa.table({"p": pa.array([], pa.int64()),
+                              "digit": pa.array([], pa.int32()),
+                              "c": pa.array([], pa.int64())})
             a = batch.column(col)
             a = a.drop_null() if a.null_count else a
             if len(a) == 0:
-                return pa.table({"digit": pa.array([], pa.int32()),
-                                 "c": pa.array([], pa.int64())})
+                return empty
             keys = _order_key_u64(a)
-            if _m:
-                keys = keys[(keys & _m) == _p]
+            kp = keys & _m
+            pi = np.searchsorted(_pref, kp)
+            pi_c = np.clip(pi, 0, len(_pref) - 1)
+            ok = _pref[pi_c] == kp
+            if not ok.any():
+                return empty
+            keys = keys[ok]
+            pi_c = pi_c[ok]
             dig = ((keys >> _s) & np.uint64(0xFFFF)).astype(np.int64)
-            counts = np.bincount(dig, minlength=65536)
-            nz = np.flatnonzero(counts)
-            return pa.table({"digit": pa.array(nz.astype(np.int32)),
-                             "c": pa.array(counts[nz], pa.int64())})
+            combo = pi_c.astype(np.int64) * 65536 + dig
+            uniq, counts = np.unique(combo, return_counts=True)
+            return pa.table({
+                "p": pa.array(uniq // 65536, pa.int64()),
+                "digit": pa.array((uniq % 65536).astype(np.int32)),
+                "c": pa.array(counts.astype(np.int64), pa.int64())})
 
-        total = np.zeros(65536, np.int64)
+        totals = {p: np.zeros(65536, np.int64) for p in active}
         for b in narrowed.map_batches(hist, batch_format="pyarrow") \
                 .iter_batches(batch_format="pyarrow", batch_size=None):
-            np.add.at(total, b.column("digit").to_numpy(),
-                      b.column("c").to_numpy())
-        cum = np.cumsum(total)
-        if k >= cum[-1]:
-            raise IndexError(f"k={k} out of range (n={int(cum[-1])})")
-        digit = int(np.searchsorted(cum, k, side="right"))
-        below = int(cum[digit - 1]) if digit else 0
-        k -= below
-        prefix = prefix | (np.uint64(digit) << shift)
-        remaining = int(total[digit])
-        if remaining <= collect_limit or level == 3:
-            lo_mask = ~np.uint64(0) << shift
-            target = prefix
+            ps = b.column("p").to_numpy()
+            ds_ = b.column("digit").to_numpy()
+            cs = b.column("c").to_numpy()
+            for p, d, c in zip(ps, ds_, cs):
+                totals[active[p]][d] += c
+        cums = {p: np.cumsum(t) for p, t in totals.items()}
+        if level == 0:
+            n_total = int(cums[0][-1]) if 0 in cums else 0
+            for s in st:
+                if s["k"] >= n_total:
+                    raise IndexError(
+                        f"k={s['k']} out of range (n={n_total})")
+        for s in st:
+            if s["stop"] is not None:
+                continue
+            cum = cums[int(s["prefix"])]
+            total = totals[int(s["prefix"])]
+            digit = int(np.searchsorted(cum, s["k"], side="right"))
+            s["k"] -= int(cum[digit - 1]) if digit else 0
+            s["prefix"] = s["prefix"] | (np.uint64(digit) << shift)
+            if int(total[digit]) <= collect_limit or level == 3:
+                s["stop"] = level
 
-            def in_digit(batch: pa.Table, _m=lo_mask, _t=target) -> pa.Table:
-                a = batch.column(col)
-                a = a.drop_null() if a.null_count else a
-                if len(a) == 0:
-                    return pa.table({col: pa.array([], batch.column(col).type)})
-                keys = _order_key_u64(a)
-                return pa.table({col: a.filter(
-                    pa.array((keys & _m) == _t))})
+    # one combined collect pass for every rank
+    conds = []
+    for i, s in enumerate(st):
+        mask = ~np.uint64(0) << np.uint64(48 - 16 * s["stop"])
+        conds.append((np.uint64(s["prefix"] & mask), mask))
+    uniq_conds = sorted(set(conds))
+    tag_of = {c: t for t, c in enumerate(uniq_conds)}
 
-            vals = [v for b in narrowed
-                    .map_batches(in_digit, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow", batch_size=None)
-                    for v in b.column(col).to_pylist()]
-            vals.sort()
-            return vals[k]
-    raise AssertionError("unreachable")
+    def collect(batch: pa.Table, _conds=uniq_conds) -> pa.Table:
+        a = batch.column(col)
+        a = a.drop_null() if a.null_count else a
+        typ = batch.column(col).type
+        if len(a) == 0:
+            return pa.table({"tag": pa.array([], pa.int32()),
+                             col: pa.array([], typ)})
+        keys = _order_key_u64(a)
+        tags, vals = [], []
+        for t, (p, m) in enumerate(_conds):
+            sel = (keys & m) == p
+            if sel.any():
+                picked = a.filter(pa.array(sel))
+                tags.append(np.full(len(picked), t, np.int32))
+                vals.append(picked)
+        if not tags:
+            return pa.table({"tag": pa.array([], pa.int32()),
+                             col: pa.array([], typ)})
+        return pa.table({
+            "tag": pa.array(np.concatenate(tags)),
+            col: pa.concat_arrays([v.combine_chunks()
+                                   if isinstance(v, pa.ChunkedArray) else v
+                                   for v in vals])})
+
+    buckets: dict[int, list] = {t: [] for t in range(len(uniq_conds))}
+    for b in narrowed.map_batches(collect, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for t, v in zip(b.column("tag").to_pylist(),
+                        b.column(col).to_pylist()):
+            buckets[t].append(v)
+    for t in buckets:
+        buckets[t].sort()
+    return [buckets[tag_of[c]][s["k"]] for c, s in zip(conds, st)]
+
+
+def kth_smallest(ds: ray.data.Dataset, col: str, k: int,
+                 collect_limit: int = 1 << 20):
+    """Single-rank convenience wrapper over ``multi_kth_smallest``."""
+    return multi_kth_smallest(ds, col, [k], collect_limit)[0]
 
 
 def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset, key: str,
@@ -1539,8 +1597,7 @@ def winsorize(ds: ray.data.Dataset, col: str, p_lo: float = 0.01,
         return ds
     def _k(p: float) -> int:
         return min(max(int(np.ceil(p * n)) - 1, 0), n - 1)
-    lo = kth_smallest(ds, col, _k(p_lo))
-    hi = kth_smallest(ds, col, _k(p_hi))
+    lo, hi = multi_kth_smallest(ds, col, [_k(p_lo), _k(p_hi)])
     dst = out_col or col
 
     def clip(batch: pa.Table) -> pa.Table:
@@ -1552,3 +1609,59 @@ def winsorize(ds: ray.data.Dataset, col: str, p_lo: float = 0.01,
         return batch.append_column(dst, arr)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def grouping_sets_agg(ds: ray.data.Dataset, keys: list[str],
+                      sets: list[list[str]], value_col: str,
+                      fill: str = "ALL", sum_name: str = "sum_val",
+                      count_name: str = "n_rows") -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (...)`` — arbitrary grouping sets
+    (each a subset of ``keys``; ``[]`` is the grand total), completing
+    the rollup/cube family.
+
+    Same scale shape as those: the ONE pass over the big input is the
+    finest-level hash aggregate over ``keys``; every requested set
+    re-aggregates that RESULT (cardinality = #groups, not #rows).
+    Duplicate sets are kept duplicated — SQL semantics."""
+    from ray.data.aggregate import Count, Sum
+    for s in sets:
+        unknown = [c for c in s if c not in keys]
+        if unknown:
+            raise ValueError(f"grouping set column(s) {unknown} "
+                             f"not in keys {keys}")
+    finest = ds.groupby(keys).aggregate(
+        Sum(value_col, alias_name=sum_name), Count(alias_name=count_name))
+
+    def fill_cols(missing: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            for c in missing:
+                b = b.append_column(
+                    c, pa.array([fill] * b.num_rows, pa.string()))
+            return b.select(keys + [sum_name, count_name])
+        return f
+
+    levels = []
+    for s in sets:
+        missing = [c for c in keys if c not in s]
+        if not s:
+            total = finest.aggregate(
+                Sum(sum_name, alias_name=sum_name),
+                Sum(count_name, alias_name=count_name))
+            grand = pa.table({
+                **{c: pa.array([fill], pa.string()) for c in keys},
+                sum_name: pa.array([total[sum_name]], pa.float64()),
+                count_name: pa.array([total[count_name]], pa.int64())})
+            levels.append(ray.data.from_arrow(grand))
+        elif not missing:
+            levels.append(finest.map_batches(fill_cols([]),
+                                             batch_format="pyarrow"))
+        else:
+            lvl = finest.groupby(list(s)).aggregate(
+                Sum(sum_name, alias_name=sum_name),
+                Sum(count_name, alias_name=count_name))
+            levels.append(lvl.map_batches(fill_cols(missing),
+                                          batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

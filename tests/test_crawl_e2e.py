@@ -214,3 +214,26 @@ def test_lazy_image_mode_matches_eager(fixture_seeds, crawl_cfg,
         assert lazy_imgs.loc[iid, "phash"] == eager_imgs.loc[iid, "phash"]
         assert bytes(lazy_imgs.loc[iid, "bytes"]) == \
             bytes(eager_imgs.loc[iid, "bytes"])
+
+
+def test_snapshot_diff_between_crawl_checkpoints(fixture_web, fixture_seeds,
+                                                 tmp_path):
+    """CDC integration: diffing the landed image tables of a 3-wave and
+    a 4-wave crawl of the SAME web must classify exactly the wave-4
+    images as 'added' — no removals, no changes (image content is
+    deterministic)."""
+    from paperchase_crawler_ray.oracle import CrawlConfig
+    from paperchase_crawler_ray.ops.relational import snapshot_diff
+
+    r3 = crawl(fixture_web, fixture_seeds, str(tmp_path / "w3"),
+               CrawlConfig(max_waves=3))
+    r4 = crawl(fixture_web, fixture_seeds, str(tmp_path / "w4"),
+               CrawlConfig(max_waves=4))
+    old = r3.images_dataset().select_columns(["image_id", "phash"])
+    new = r4.images_dataset().select_columns(["image_id", "phash"])
+    diff = snapshot_diff(old, new, "image_id", ["phash"]).to_pandas()
+    ids3 = set(r3.images_dataset().to_pandas()["image_id"])
+    ids4 = set(r4.images_dataset().to_pandas()["image_id"])
+    assert set(diff["change"]) <= {"added"}
+    assert set(diff["image_id"]) == ids4 - ids3
+    assert len(ids4 - ids3) > 0  # wave 4 actually landed new images

@@ -2079,3 +2079,43 @@ def test_pca_matches_numpy_and_whitens():
     assert P.shape == (800, 3)
     assert np.allclose(P.var(axis=0, ddof=1), 1.0, rtol=1e-2)
     assert "embedding" not in out.columns
+
+
+def test_multi_kth_smallest_shared_descent():
+    from paperchase_crawler_ray.ops.relational import multi_kth_smallest
+    rng = np.random.default_rng(29)
+    v = rng.integers(-10**14, 10**14, size=8000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v, pa.int64())})) \
+        .repartition(5)
+    s = np.sort(v)
+    ks = [0, 1, 2, 799, 800, 4000, 7999]  # duplicates of prefix + extremes
+    got = multi_kth_smallest(ds, "x", ks)
+    assert got == [s[k] for k in ks]
+    # deep descent for every rank
+    got_deep = multi_kth_smallest(ds, "x", ks, collect_limit=4)
+    assert got_deep == [s[k] for k in ks]
+    with pytest.raises(IndexError):
+        multi_kth_smallest(ds, "x", [0, 8000])
+
+
+def test_grouping_sets_matches_manual_union():
+    from paperchase_crawler_ray.ops.relational import grouping_sets_agg
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = grouping_sets_agg(ds, ["a", "b"], [["a"], [], ["a", "b"]],
+                            "v").to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    # set (a): x->3, y->12; set (): grand 15; set (a,b): 4 rows
+    assert len(got) == 2 + 1 + 4
+    g_a = got[(got.b == "ALL") & (got.a != "ALL")]
+    assert dict(zip(g_a.a, g_a.sum_val)) == {"x": 3.0, "y": 12.0}
+    grand = got[(got.a == "ALL") & (got.b == "ALL")]
+    assert grand.sum_val.tolist() == [15.0] and grand.n_rows.tolist() == [5]
+    fine = got[(got.a != "ALL") & (got.b != "ALL")]
+    assert dict(zip(zip(fine.a, fine.b), fine.sum_val)) == \
+        {("x", "p"): 1.0, ("x", "q"): 2.0, ("y", "p"): 7.0, ("y", "q"): 5.0}
+    with pytest.raises(ValueError):
+        grouping_sets_agg(ds, ["a", "b"], [["zz"]], "v")
