@@ -243,6 +243,22 @@ def _q_redact(sf: str):
     return docs.map_batches(scrub, batch_format="pyarrow")
 
 
+def _q_normalize(sf: str):
+    """Text canonicalization (the first stage of every LLM-prep chain):
+    unicode NFC + lowercase + whitespace collapse + trim, all Arrow
+    kernels (same RE2/ICU semantics DuckDB uses)."""
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(batch.column("text"), form="NFC")
+        t = pc.replace_substring_regex(pc.utf8_lower(t), pattern=r"\s+",
+                                       replacement=" ")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "norm_text": pc.utf8_trim_whitespace(t)})
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
 def _q_sessionize(sf: str):
     """Windowed aggregate: 30-min-gap sessionization per user."""
     from paperchase_crawler_ray.ops.relational import sessionize
@@ -1715,6 +1731,18 @@ def _q_pca(sf: str):
     return pca_transform(emb, mu, comps, round_dp=4)
 
 
+def _q_image_prep(sf: str):
+    """Image-side flagship prep chain: phash near-dup collapse on the
+    NARROW plane -> ONE wide pass (decode-quality gate + aspect tags).
+    Rows-only — binary payloads; pytest carries the naive twin +
+    kill-resume check via the resumable sink."""
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.pipelines.prep import image_prep_chain
+    rows = make_image_rows(96)
+    out = image_prep_chain(ray.data.from_arrow(rows))
+    return out.select_columns(["image_id", "aspect_bucket", "res_tier"])
+
+
 def _q_image_shard(sf: str):
     """Multimodal: aspect/resolution bucketing for training batch
     locality (tags from metadata columns, one keyed co-location
@@ -1753,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tumbling": _q_tumbling,
         "q_hopping": _q_hopping,
         "q_grouping_sets": _q_grouping_sets,
+        "q_normalize": _q_normalize,
         "q_running_sum": _q_running_sum,
         "q_moving_sum": _q_moving_sum,
         "q_pagerank": _q_pagerank,
@@ -1834,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lev_join": _q_lev_join,
         "q_interval_lookup": _q_interval_lookup,
         "q_image_shard": _q_image_shard,
+        "q_image_prep": _q_image_prep,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
         "q_table_checksum": _q_table_checksum,
@@ -2365,6 +2395,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50, "
             "CAST(quantile_disc(value, 0.90) AS DOUBLE) AS p90 "
             "FROM events",
+        "q_normalize":
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
+            "text)), '\\s+', ' ', 'g')) AS norm_text FROM documents",
         "q_interval_lookup":
             "SELECT o_orderkey, band FROM orders JOIN (VALUES "
             "(0, 50000, 'low'), (50000, 150000, 'mid'), "

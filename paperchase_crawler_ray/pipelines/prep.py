@@ -60,3 +60,53 @@ def prep_documents(in_path: str, out_dir: str, num_shards: int = 16,
     res = write_resumable(chunks, out_dir, "doc_id", num_shards)
     res["shards_done"] = len(committed_shards(out_dir, num_shards))
     return res
+
+
+def image_prep_chain(imgs: ray.data.Dataset, hamming_max: int = 6,
+                     min_entropy: float = 1.0) -> ray.data.Dataset:
+    """Image-side flagship prep: phash near-dup collapse -> decoded
+    quality filter -> aspect/resolution bucket tags, as one chain that
+    touches the WIDE (bytes) table exactly once.
+
+    Stage order is the scale decision: near-dup clustering runs first
+    on the NARROW (image_id, phash) plane (the phash landed at crawl
+    time — no decode, no payload shuffle), producing a representative
+    set; the single wide pass then semi-join-filters to representatives,
+    decodes once for the quality signals, and tags buckets. Payload
+    bytes never cross an all-to-all."""
+    from ..ops.multimodal import (aspect_buckets_block, image_neardup_clusters,
+                                  image_quality)
+    from ..ops.relational import semi_join
+
+    clusters = image_neardup_clusters(
+        imgs.select_columns(["image_id", "phash"]), hamming_max=hamming_max)
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("image_id"), b.column("cluster_id"))
+        return b.filter(keep).select(["image_id"])
+
+    reps = clusters.map_batches(reps_only, batch_format="pyarrow")
+    uniq = semi_join(imgs, "image_id", reps, "image_id")
+    scored = image_quality(uniq, batch_size=32)
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(b.column("entropy"),
+                                pa.scalar(float(min_entropy)))
+        kept = b.filter(mask)
+        return aspect_buckets_block(kept.select(
+            ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]))
+
+    return scored.map_batches(quality_gate, batch_format="pyarrow",
+                              batch_size=32)
+
+
+def prep_images(in_path: str, out_dir: str, num_shards: int = 8,
+                **chain_kwargs) -> dict:
+    """Run the image prep chain over an image_caption parquet and land
+    it through the resumable sink (kill-safe re-runs skip sealed
+    shards). Returns {written, skipped, shards_done}."""
+    imgs = ray.data.read_parquet(in_path)
+    out = image_prep_chain(imgs, **chain_kwargs)
+    res = write_resumable(out, out_dir, "image_id", num_shards)
+    res["shards_done"] = len(committed_shards(out_dir, num_shards))
+    return res

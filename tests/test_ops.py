@@ -2119,3 +2119,56 @@ def test_grouping_sets_matches_manual_union():
         {("x", "p"): 1.0, ("x", "q"): 2.0, ("y", "p"): 7.0, ("y", "q"): 5.0}
     with pytest.raises(ValueError):
         grouping_sets_agg(ds, ["a", "b"], [["zz"]], "v")
+
+
+def test_prep_images_end_to_end_resumable(tmp_path):
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.functions.codec import decode, sniff_format
+    from paperchase_crawler_ray.functions.phash import hamming64
+    from paperchase_crawler_ray.pipelines.prep import prep_images
+
+    rows = make_image_rows(40)
+    src = str(tmp_path / "imgs.parquet")
+    pq.write_table(rows, src)
+    out = str(tmp_path / "prep")
+    res = prep_images(src, out, num_shards=4, hamming_max=6,
+                      min_entropy=1.0)
+    assert len(res["written"]) > 0 and res["shards_done"] == 4
+
+    # naive twin: all-pairs phash union-find reps + entropy gate
+    ids = rows.column("image_id").to_pylist()
+    ph = np.array(rows.column("phash").to_pylist(), np.int64)
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for j in range(1, len(ids)):
+        d = hamming64(ph[:j], ph[j])
+        for i in np.flatnonzero(d <= 6):
+            ra, rb = sorted((find(ids[i]), find(ids[j])))
+            parent[rb] = ra
+    reps = {i for i in ids if find(i) == i}
+    gray_w = np.array([0.299, 0.587, 0.114])
+    expected = set()
+    for i, blob in zip(ids, rows.column("bytes").to_pylist()):
+        if i not in reps:
+            continue
+        g = decode(blob, sniff_format(blob)).astype(np.float64) @ gray_w
+        hist = np.bincount(np.clip(g, 0, 255).astype(np.uint8).ravel(),
+                           minlength=256).astype(np.float64)
+        p = hist[hist > 0] / hist.sum()
+        if float(-(p * np.log2(p)).sum()) >= 1.0:
+            expected.add(i)
+    import glob
+    got = pq.read_table(glob.glob(f"{out}/shard=*/**/*.parquet",
+                                  recursive=True))
+    assert set(got.column("image_id").to_pylist()) == expected
+    assert "aspect_bucket" in got.column_names
+
+    # kill-safe rerun: every shard sealed -> nothing rewritten
+    res2 = prep_images(src, out, num_shards=4, hamming_max=6,
+                       min_entropy=1.0)
+    assert res2["written"] == [] and \
+        sorted(res2["skipped"]) == sorted(res["written"] + res["skipped"])
