@@ -1530,6 +1530,60 @@ def _q_hopping(sf: str):
     return agg.map_batches(to_ts, batch_format="pyarrow")
 
 
+def _q_rolling_7d(sf: str):
+    """Trailing-7-day event counts per calendar day — the composed
+    time-series shape: distributed daily aggregate (the only pass over
+    the big table) -> dense day grid (gaps count as 0) via broadcast
+    lookup -> windowed moving sum over the tiny grid."""
+    from ray.data.aggregate import Max, Min
+    from paperchase_crawler_ray.ops.relational import grouped_moving_sum
+    ev = _rp(sf, "events", columns=["ts"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(
+            pc.floor_temporal(b.column("ts"), unit="day"),
+            pa.timestamp("us"))})
+
+    daily = _rename(ev.map_batches(trunc, batch_format="pyarrow")
+                    .groupby("day").count(), {"count()": "c"})
+    mm = daily.aggregate(Min("day", alias_name="lo"),
+                         Max("day", alias_name="hi"))
+    day_us = 86_400_000_000
+    lo = int(pd.Timestamp(mm["lo"]).value // 1000)
+    hi = int(pd.Timestamp(mm["hi"]).value // 1000)
+    grid = ray.data.from_arrow(pa.table({
+        "day": pa.array(np.arange(lo, hi + day_us, day_us),
+                        pa.timestamp("us")),
+        "g": pa.array(np.zeros((hi - lo) // day_us + 1, np.int64))}))
+    # broadcast fill (not broadcast_lookup_join: that's inner-join and
+    # would drop gap days, which must count as 0 in the window)
+    small = {pd.Timestamp(r["day"]).value // 1000: r["c"]
+             for b in daily.iter_batches(batch_format="pandas",
+                                         batch_size=None)
+             for _, r in b.iterrows()}
+    sref = ray.put(small)
+
+    def attach(b: pa.Table) -> pa.Table:
+        m = ray.get(sref)
+        days = pc.cast(b.column("day"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = np.array([m.get(int(d), 0) for d in days], np.int64)
+        return pa.table({"day": b.column("day"),
+                         "g": b.column("g"),
+                         "c": pa.array(c, pa.int64())})
+
+    dense = grid.map_batches(attach, batch_format="pyarrow")
+    out = grouped_moving_sum(dense, "g", [("day", False)], "c", 7,
+                             out_col="c7")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(b.column("day"),
+                                        pa.timestamp("us")),
+                         "c7": pc.cast(b.column("c7"), pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_bloom_semi(sf: str):
     """Semi join with a broadcast Bloom pre-filter: the probe side is
     pruned inside map_batches (no false negatives) before the exact
@@ -1782,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping": _q_hopping,
         "q_grouping_sets": _q_grouping_sets,
         "q_normalize": _q_normalize,
+        "q_rolling_7d": _q_rolling_7d,
         "q_running_sum": _q_running_sum,
         "q_moving_sum": _q_moving_sum,
         "q_pagerank": _q_pagerank,
@@ -2398,6 +2453,15 @@ def oracle_sql() -> dict[str, str]:
         "q_normalize":
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
             "text)), '\\s+', ' ', 'g')) AS norm_text FROM documents",
+        "q_rolling_7d":
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "COUNT(*) AS c FROM events GROUP BY day), "
+            "g AS (SELECT unnest(generate_series("
+            "(SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d), "
+            "INTERVAL 1 DAY)) AS day) "
+            "SELECT g.day, CAST(SUM(COALESCE(d.c, 0)) OVER ("
+            "ORDER BY g.day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS c7 FROM g LEFT JOIN d USING (day)",
         "q_interval_lookup":
             "SELECT o_orderkey, band FROM orders JOIN (VALUES "
             "(0, 50000, 'low'), (50000, 150000, 'mid'), "

@@ -38,7 +38,8 @@ def _load_web(spec: str) -> pa.Table:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="paperchase_crawler_ray")
-    ap.add_argument("--pipeline", choices=("crawl", "prep"), default="crawl",
+    ap.add_argument("--pipeline", choices=("crawl", "prep", "image-prep"),
+                    default="crawl",
                     help="crawl = frontier/fetch loop; prep = document "
                          "filter->dedup->chunk through the resumable sink")
     ap.add_argument("--seeds",
@@ -46,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--web",
                     help="WEB_FIXTURE parquet, or fixture:<hosts>:<pages>[:lazy]")
     ap.add_argument("--docs", help="documents parquet (--pipeline prep)")
+    ap.add_argument("--images",
+                    help="image_caption parquet (--pipeline image-prep)")
     ap.add_argument("--out", required=True, help="checkpointed output dir")
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--host-budget", type=int, default=8)
@@ -66,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--pipeline prep requires --docs")
         from .pipelines.prep import prep_documents
         res = prep_documents(args.docs, args.out, num_shards=args.nshards)
+        print(json.dumps({"out_dir": args.out, **res}))
+    elif args.pipeline == "image-prep":
+        if not args.images:
+            ap.error("--pipeline image-prep requires --images")
+        from .pipelines.prep import prep_images
+        res = prep_images(args.images, args.out, num_shards=args.nshards)
         print(json.dumps({"out_dir": args.out, **res}))
     else:
         if not (args.seeds and args.web):
