@@ -1530,6 +1530,32 @@ def _q_hopping(sf: str):
     return agg.map_batches(to_ts, batch_format="pyarrow")
 
 
+def _q_group_max_rows(sf: str):
+    """All rows equal to their group's max (RANK() = 1 — TIES KEPT,
+    unlike exact_dedup's ROW_NUMBER winner): one hash aggregate to the
+    tiny (group, max) map, broadcast once, equality filter inside
+    map_batches — no second shuffle."""
+    from ray.data.aggregate import Max
+    li = _rp(sf, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_suppkey",
+                      "l_quantity"])
+    gm = li.groupby("l_suppkey").aggregate(
+        Max("l_quantity", alias_name="mx"))
+    lut = {r["l_suppkey"]: r["mx"]
+           for b in gm.iter_batches(batch_format="pandas", batch_size=None)
+           for _, r in b.iterrows()}
+    ref = ray.put(lut)
+
+    def keep_max(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        mx = np.array([m[s] for s in sk], q.dtype)
+        return b.filter(pa.array(q == mx))
+
+    return li.map_batches(keep_max, batch_format="pyarrow")
+
+
 def _q_rolling_7d(sf: str):
     """Trailing-7-day event counts per calendar day — the composed
     time-series shape: distributed daily aggregate (the only pass over
@@ -1837,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouping_sets": _q_grouping_sets,
         "q_normalize": _q_normalize,
         "q_rolling_7d": _q_rolling_7d,
+        "q_group_max_rows": _q_group_max_rows,
         "q_running_sum": _q_running_sum,
         "q_moving_sum": _q_moving_sum,
         "q_pagerank": _q_pagerank,
@@ -2453,6 +2480,10 @@ def oracle_sql() -> dict[str, str]:
         "q_normalize":
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
             "text)), '\\s+', ' ', 'g')) AS norm_text FROM documents",
+        "q_group_max_rows":
+            "SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity "
+            "FROM lineitem QUALIFY RANK() OVER (PARTITION BY l_suppkey "
+            "ORDER BY l_quantity DESC) = 1",
         "q_rolling_7d":
             "WITH d AS (SELECT date_trunc('day', ts) AS day, "
             "COUNT(*) AS c FROM events GROUP BY day), "

@@ -110,3 +110,64 @@ def test_fast_canonical_mask_is_fixpoint(s, prefix):
     if mask[0]:
         assert canonicalize(u) == u
         assert extract_host(u) == hosts[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(xs=st.lists(st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+                   min_size=1, max_size=400),
+       frac=st.floats(min_value=0.0, max_value=1.0))
+def test_multi_kth_property_matches_sorted(xs, frac):
+    """multi_kth_smallest == sorted()[k] for any int list and any rank,
+    regardless of block structure (the algorithm never sees row order)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from paperchase_crawler_ray.ops.relational import multi_kth_smallest
+    k = min(int(frac * len(xs)), len(xs) - 1)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(xs, pa.int64())}))
+    if len(xs) > 3:
+        ds = ds.repartition(3)
+    got = multi_kth_smallest(ds, "x", [0, k, len(xs) - 1], collect_limit=8)
+    s = sorted(xs)
+    assert got == [s[0], s[k], s[-1]]
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=st.text(alphabet="abcXYZ 0", min_size=0, max_size=24),
+       b=st.text(alphabet="abcXYZ 0", min_size=0, max_size=24),
+       d=st.integers(min_value=0, max_value=4))
+def test_lev_banded_properties(a, b, d):
+    """Banded distance is symmetric, respects the length-difference
+    lower bound, and equals the true distance whenever it is <= d."""
+    from paperchase_crawler_ray.ops.linkage import lev_banded
+    ab = lev_banded(a, b, d)
+    ba = lev_banded(b, a, d)
+    assert ab == ba
+    assert ab >= min(abs(len(a) - len(b)), d + 1)
+    if a == b:
+        assert ab == 0
+    # triangle-ish sanity: distance to itself via one substitution
+    if a and d >= 1:
+        mutated = ("z" if a[0] != "z" else "q") + a[1:]
+        assert lev_banded(a, mutated, d) == 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=(1 << 16) - 1),
+                          st.integers(min_value=0, max_value=(1 << 16) - 1)),
+                min_size=1, max_size=200))
+def test_morton_key_order_preserving_within_axis(pts):
+    """Fixing one axis, the Morton key is strictly monotonic in the
+    other (bit interleave preserves per-axis order)."""
+    import numpy as np
+    from paperchase_crawler_ray.ops.layout import morton_key2
+    xs = np.array([p[0] for p in pts], np.int64)
+    ys = np.array([p[1] for p in pts], np.int64)
+    keys = morton_key2(xs, ys)
+    # same y, larger x -> larger key (and same for x/y swapped)
+    for i in range(len(pts)):
+        for j in range(len(pts)):
+            if ys[i] == ys[j] and xs[i] < xs[j]:
+                assert keys[i] < keys[j]
+            if xs[i] == xs[j] and ys[i] < ys[j]:
+                assert keys[i] < keys[j]
