@@ -1530,6 +1530,43 @@ def _q_hopping(sf: str):
     return agg.map_batches(to_ts, batch_format="pyarrow")
 
 
+def _q_bucket_join(sf: str):
+    """Shuffle-free co-partitioned join: orders and customer are
+    hash-sharded by custkey ONCE (the resumable sink's deterministic
+    shard function), then the join runs as independent per-shard tasks
+    with zero query-time exchange — the pay-the-partitioning-once
+    pattern every 100-TB star schema uses."""
+    import tempfile
+    from paperchase_crawler_ray.ops.sink import bucket_join, write_resumable
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    c = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    base = tempfile.mkdtemp(prefix="pc_bucket_")
+    write_resumable(o, f"{base}/orders", "o_custkey", 8)
+    write_resumable(c, f"{base}/customer", "c_custkey", 8)
+    j = bucket_join(f"{base}/orders", f"{base}/customer",
+                    "o_custkey", "c_custkey", 8)
+    return j.select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
+
+
+def _q_pruned_scan(sf: str):
+    """The layout loop closed: z-order rewrite of lineitem -> parquet
+    files with tight 2-D zone maps -> statistics-pruned range scan
+    (skipped files' data pages are never opened). Result == a plain
+    range predicate, verified by the SQL twin; the pruning itself is
+    asserted in pytest."""
+    import tempfile
+    from paperchase_crawler_ray.ops.layout import (pruned_read,
+                                                   write_sorted_by_zorder)
+    li = _rp(sf, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_partkey",
+                      "l_suppkey"])
+    out = tempfile.mkdtemp(prefix="pc_zorder_")
+    write_sorted_by_zorder(li, out, "l_partkey", "l_suppkey",
+                           rows_per_file=4096)
+    ds, _stats = pruned_read(out, "zkey", 0, 16383)
+    return ds.select_columns(["l_orderkey", "l_linenumber", "zkey"])
+
+
 def _q_group_max_rows(sf: str):
     """All rows equal to their group's max (RANK() = 1 — TIES KEPT,
     unlike exact_dedup's ROW_NUMBER winner): one hash aggregate to the
@@ -1864,6 +1901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalize": _q_normalize,
         "q_rolling_7d": _q_rolling_7d,
         "q_group_max_rows": _q_group_max_rows,
+        "q_pruned_scan": _q_pruned_scan,
+        "q_bucket_join": _q_bucket_join,
         "q_running_sum": _q_running_sum,
         "q_moving_sum": _q_moving_sum,
         "q_pagerank": _q_pagerank,
@@ -2484,6 +2523,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity "
             "FROM lineitem QUALIFY RANK() OVER (PARTITION BY l_suppkey "
             "ORDER BY l_quantity DESC) = 1",
+        "q_bucket_join":
+            "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+            "JOIN customer ON o_custkey = c_custkey",
+        "q_pruned_scan":
+            "SELECT l_orderkey, l_linenumber, zkey FROM ("
+            "SELECT l_orderkey, l_linenumber, CAST("
+            + zorder_sql("(l_partkey & 65535)", "(l_suppkey & 65535)")
+            + " AS BIGINT) AS zkey FROM lineitem) "
+            "WHERE zkey BETWEEN 0 AND 16383",
         "q_rolling_7d":
             "WITH d AS (SELECT date_trunc('day', ts) AS day, "
             "COUNT(*) AS c FROM events GROUP BY day), "

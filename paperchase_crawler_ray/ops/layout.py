@@ -59,3 +59,73 @@ def zorder_sql(x_expr: str, y_expr: str) -> str:
         terms.append(f"((({x_expr} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y_expr} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+def write_sorted_by_zorder(ds: ray.data.Dataset, out_dir: str,
+                           x_col: str, y_col: str,
+                           rows_per_file: int = 8192) -> int:
+    """Layout rewrite: append the Morton key, globally sort by it, and
+    land fixed-size parquet files (one per block). After this, rows
+    close in BOTH dimensions are close in file order, so per-file
+    min/max statistics become tight 2-D zone maps. Returns the number
+    of files written."""
+    import os
+    keyed = zorder_keys(ds, x_col, y_col)
+    srt = keyed.sort("zkey")
+    n = srt.count()
+    num_blocks = max(1, (n + rows_per_file - 1) // rows_per_file)
+    srt.repartition(num_blocks).write_parquet(out_dir)
+    return len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+
+
+def pruned_read(in_dir: str, col: str, lo: int, hi: int
+                ) -> tuple[ray.data.Dataset, dict]:
+    """Statistics-pruned scan: read ONLY the parquet files whose
+    row-group [min, max] range on ``col`` overlaps [lo, hi] (metadata
+    footers only — no data pages touched for skipped files), then apply
+    the exact residual filter to the survivors.
+
+    This is the 100-TB read path the Z-order rewrite exists for: a 2-D
+    selective predicate over a z-ordered table touches O(matching
+    zone) files instead of all of them. Returns (dataset, stats) where
+    stats reports files_total / files_read so callers (and tests) can
+    assert real pruning happened."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(in_dir, "*.parquet")))
+    keep = []
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        overlaps = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                overlaps = True  # no stats -> cannot prune, must read
+                break
+            if st.min <= hi and st.max >= lo:
+                overlaps = True
+                break
+        if overlaps:
+            keep.append(f)
+    if not keep:
+        # preserve schema with an emptied read of one pruned file
+        ds = (ray.data.read_parquet(files[:1])
+              .map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
+              if files else ray.data.from_items([]))
+        return ds, {"files_total": len(files), "files_read": 0}
+
+    ds = ray.data.read_parquet(keep)
+
+    def residual(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        m = pc.and_(pc.greater_equal(batch.column(col), pa.scalar(lo)),
+                    pc.less_equal(batch.column(col), pa.scalar(hi)))
+        return batch.filter(m)
+
+    return (ds.map_batches(residual, batch_format="pyarrow"),
+            {"files_total": len(files), "files_read": len(keep)})

@@ -110,3 +110,72 @@ def read_resumable(out_dir: str, num_shards: int = 16,
     if not files:
         raise FileNotFoundError(f"no committed shards under {out_dir}")
     return ray.data.read_parquet(files, columns=columns)
+
+
+def bucket_join(dir_a: str, dir_b: str, key_a: str, key_b: str,
+                num_shards: int, join_type: str = "inner",
+                right_suffix: str = "_r") -> ray.data.Dataset:
+    """SHUFFLE-FREE equi join over two co-partitioned `write_resumable`
+    outputs: both tables were hash-sharded by their join key with the
+    SAME `_hash_shard` function and shard count, so matching keys are
+    guaranteed to live in the same ``shard=K`` pair — the join runs as
+    ``num_shards`` independent per-shard tasks (pyarrow hash join in
+    each), with NO network exchange at query time.
+
+    This is the "pick ONE partitioning key and reuse it" payoff at
+    100 TB: pay the partitioning once at write time, then every
+    subsequent join on that key is embarrassingly parallel. Both inputs
+    must be fully sealed (raises otherwise); per-shard volume must fit
+    a task's heap — that is the shard-count sizing rule at write time.
+    Right-side non-key columns that collide with left names get
+    ``right_suffix``."""
+    import pyarrow.parquet as pq
+
+    for d in (dir_a, dir_b):
+        missing = set(range(num_shards)) - committed_shards(d, num_shards)
+        if missing:
+            raise ValueError(f"{d} has unsealed shards {sorted(missing)}; "
+                             "bucket_join requires fully-committed inputs")
+
+    def _files(d: str, s: int) -> list[str]:
+        sd = _shard_dir(d, s)
+        return [os.path.join(sd, f) for f in sorted(os.listdir(sd))
+                if f.endswith(".parquet")]
+
+    def _load(d: str, s: int, empty_ok: bool) -> pa.Table | None:
+        fs = _files(d, s)
+        if not fs:
+            if not empty_ok:
+                return None
+            # recover the schema from ANY sealed file of this table
+            for s2 in range(num_shards):
+                f2 = _files(d, s2)
+                if f2:
+                    return pq.read_table(f2[0]).slice(0, 0)
+            return None
+        t = pa.concat_tables([pq.read_table(f) for f in fs])
+        return t.drop_columns([_SHARD_COL]) \
+            if _SHARD_COL in t.column_names else t
+
+    def join_shard(batch: pa.Table) -> pa.Table:
+        outs = []
+        for s in batch.column("shard").to_pylist():
+            # always produce a (possibly empty) joined table with the
+            # real output schema — Ray 2.49 chokes on schema-less
+            # empty blocks downstream
+            ta = _load(dir_a, s, empty_ok=True)
+            tb = _load(dir_b, s, empty_ok=True)
+            if ta is None or tb is None:
+                continue
+            outs.append(ta.join(tb, keys=[key_a], right_keys=[key_b],
+                                join_type=join_type,
+                                right_suffix=right_suffix))
+        if not outs:
+            raise ValueError("bucket_join: an input table has no data "
+                             "files in any shard — nothing to join")
+        return pa.concat_tables(outs, promote_options="default")
+
+    ids = ray.data.from_arrow(pa.table({
+        "shard": pa.array(list(range(num_shards)), pa.int64())}))
+    return ids.repartition(num_shards).map_batches(
+        join_shard, batch_format="pyarrow", batch_size=None)

@@ -2172,3 +2172,58 @@ def test_prep_images_end_to_end_resumable(tmp_path):
                        min_entropy=1.0)
     assert res2["written"] == [] and \
         sorted(res2["skipped"]) == sorted(res["written"] + res["skipped"])
+
+
+def test_zorder_write_and_pruned_read(tmp_path):
+    from paperchase_crawler_ray.ops.layout import (morton_key2, pruned_read,
+                                                   write_sorted_by_zorder)
+    rng = np.random.default_rng(47)
+    n = 20000
+    t = pa.table({
+        "x": pa.array(rng.integers(0, 1 << 16, n), pa.int64()),
+        "y": pa.array(rng.integers(0, 1 << 16, n), pa.int64()),
+        "payload": pa.array(rng.integers(0, 10**9, n), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = str(tmp_path / "z")
+    nfiles = write_sorted_by_zorder(ds, out, "x", "y", rows_per_file=2048)
+    assert nfiles >= 8
+    # a selective zkey range: the bottom-left quadrant's key space
+    lo, hi = 0, int(morton_key2(np.array([(1 << 14) - 1]),
+                                np.array([(1 << 14) - 1]))[0])
+    got, stats = pruned_read(out, "zkey", lo, hi)
+    gdf = got.to_pandas()
+    keys = morton_key2(t.column("x").to_numpy(), t.column("y").to_numpy())
+    want = np.flatnonzero((keys >= lo) & (keys <= hi))
+    assert len(gdf) == len(want)
+    assert sorted(gdf["payload"]) == sorted(
+        t.column("payload").to_numpy()[want].tolist())
+    # the point of the layout: most files were never opened
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["files_read"] <= max(2, stats["files_total"] // 4)
+    # empty range still returns the schema and reads nothing
+    empty, st2 = pruned_read(out, "zkey", -100, -50)
+    assert empty.count() == 0 and st2["files_read"] == 0
+
+
+def test_bucket_join_equals_plain_join(tmp_path):
+    from paperchase_crawler_ray.ops.sink import bucket_join, write_resumable
+    rng = np.random.default_rng(53)
+    a = pa.table({
+        "k": pa.array(rng.integers(0, 300, 2000), pa.int64()),
+        "va": pa.array(rng.integers(0, 10**6, 2000), pa.int64())})
+    b = pa.table({
+        "k2": pa.array(rng.integers(0, 300, 500), pa.int64()),
+        "vb": pa.array(rng.integers(0, 10**6, 500), pa.int64())})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_resumable(ray.data.from_arrow(a).repartition(4), da, "k", 8)
+    write_resumable(ray.data.from_arrow(b).repartition(3), db, "k2", 8)
+    got = bucket_join(da, db, "k", "k2", 8).to_pandas()
+    want = a.to_pandas().merge(b.to_pandas(), left_on="k", right_on="k2") \
+        .drop(columns=["k2"])
+    key = lambda df: sorted(map(tuple, df[["k", "va", "vb"]].values))
+    assert key(got) == key(want) and len(got) > 0
+    # unsealed input refused
+    import os
+    os.remove(os.path.join(db, "shard=3", "_COMMITTED"))
+    with pytest.raises(ValueError):
+        bucket_join(da, db, "k", "k2", 8)
