@@ -179,3 +179,34 @@ def bucket_join(dir_a: str, dir_b: str, key_a: str, key_b: str,
         "shard": pa.array(list(range(num_shards)), pa.int64())}))
     return ids.repartition(num_shards).map_batches(
         join_shard, batch_format="pyarrow", batch_size=None)
+
+
+def write_clustered(ds: ray.data.Dataset, out_dir: str, key_col: str,
+                    order_col: str, num_shards: int = 16) -> dict:
+    """Clustered + secondary-sorted resumable write: rows are
+    hash-sharded by ``key_col`` (every key lives in exactly one
+    ``shard=K``) and each shard's files are sorted by (key, order)
+    INSIDE the shard — so per-key scans touch one shard and read rows
+    already in order (the layout merge joins, as-of probes and
+    time-series reads want).
+
+    Implementation rides `write_resumable` unchanged: the sort is a
+    block-local kernel applied after an explicit keyed repartition, and
+    the sink's shard filter/commit machinery provides resume. The only
+    all-to-all is the clustering repartition itself — the price of the
+    layout, paid once."""
+    from .dedup import _hash_shuffle
+
+    width = max(1, min(num_shards, 64))
+    with _hash_shuffle(ds):
+        clustered = ds.repartition(num_blocks=width, keys=[key_col])
+
+        def sort_block(b: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(b, sort_keys=[(key_col, "ascending"),
+                                                (order_col, "ascending")])
+            return b.take(idx)
+
+        ordered = clustered.map_batches(sort_block, batch_format="pyarrow",
+                                        batch_size=None)
+        out = write_resumable(ordered, out_dir, key_col, num_shards)
+    return out

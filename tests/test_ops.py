@@ -2227,3 +2227,33 @@ def test_bucket_join_equals_plain_join(tmp_path):
     os.remove(os.path.join(db, "shard=3", "_COMMITTED"))
     with pytest.raises(ValueError):
         bucket_join(da, db, "k", "k2", 8)
+
+
+def test_write_clustered_key_locality_and_order(tmp_path):
+    import glob
+    from paperchase_crawler_ray.ops.sink import (read_resumable,
+                                                 write_clustered)
+    rng = np.random.default_rng(61)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 120, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 10**6, n), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = str(tmp_path / "clustered")
+    res = write_clustered(ds, out, "k", "ts", num_shards=6)
+    assert sorted(res["written"]) == list(range(6))
+    # every key lives in exactly ONE file, contiguous and ts-sorted
+    key_file: dict = {}
+    for f in glob.glob(f"{out}/shard=*/**/*.parquet", recursive=True):
+        ft = pq.read_table(f)
+        ks = ft.column("k").to_numpy()
+        ts = ft.column("ts").to_numpy()
+        for k in np.unique(ks):
+            assert key_file.setdefault(int(k), f) == f
+            kt = ts[ks == k]
+            assert (np.diff(kt) >= 0).all()
+            # contiguity: the key's rows form one run
+            pos = np.flatnonzero(ks == k)
+            assert pos[-1] - pos[0] + 1 == len(pos)
+    assert read_resumable(out, 6).count() == n
