@@ -1536,11 +1536,14 @@ def _q_bucket_join(sf: str):
     shard function), then the join runs as independent per-shard tasks
     with zero query-time exchange — the pay-the-partitioning-once
     pattern every 100-TB star schema uses."""
-    import tempfile
+    import hashlib as _hl
     from paperchase_crawler_ray.ops.sink import bucket_join, write_resumable
     o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
     c = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"])
-    base = tempfile.mkdtemp(prefix="pc_bucket_")
+    # fixed per-sf cache dir: write_resumable makes reruns no-ops via
+    # the _COMMITTED markers instead of leaking a new tempdir per call
+    tag = _hl.blake2b(sf.encode(), digest_size=6).hexdigest()
+    base = f"/tmp/pc_q_cache/{tag}/bucket"
     write_resumable(o, f"{base}/orders", "o_custkey", 8)
     write_resumable(c, f"{base}/customer", "c_custkey", 8)
     j = bucket_join(f"{base}/orders", f"{base}/customer",
@@ -1554,15 +1557,23 @@ def _q_pruned_scan(sf: str):
     (skipped files' data pages are never opened). Result == a plain
     range predicate, verified by the SQL twin; the pruning itself is
     asserted in pytest."""
-    import tempfile
+    import hashlib as _hl
+    import os
     from paperchase_crawler_ray.ops.layout import (pruned_read,
                                                    write_sorted_by_zorder)
     li = _rp(sf, "lineitem",
              columns=["l_orderkey", "l_linenumber", "l_partkey",
                       "l_suppkey"])
-    out = tempfile.mkdtemp(prefix="pc_zorder_")
-    write_sorted_by_zorder(li, out, "l_partkey", "l_suppkey",
-                           rows_per_file=4096)
+    # fixed per-sf cache dir with a completion marker: reruns reuse
+    # the layout instead of leaking a fresh tempdir each invocation
+    tag = _hl.blake2b(sf.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/pc_q_cache/{tag}/zorder"
+    marker = f"{out}_DONE"
+    if not os.path.exists(marker):
+        write_sorted_by_zorder(li, out, "l_partkey", "l_suppkey",
+                               rows_per_file=4096)
+        with open(marker, "w") as f:
+            f.write("ok\n")
     ds, _stats = pruned_read(out, "zkey", 0, 16383)
     return ds.select_columns(["l_orderkey", "l_linenumber", "zkey"])
 

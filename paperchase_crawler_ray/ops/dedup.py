@@ -268,15 +268,17 @@ def _broadcast_texts(ds: ray.data.Dataset, id_col: str, text_col: str):
     return ray.put(lookup)
 
 
-def _verify_pairs_join(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
-                       text_col: str, shingle_k: int,
-                       char_ngram: int | None = None,
-                       num_partitions: int = 16) -> ray.data.Dataset:
-    """Scale path for pair verification: attach both texts to each
-    candidate pair via TWO keyed hash joins on doc id — no corpus
-    materialization on the driver, no broadcast of all texts. Pairs are
-    small by LSH construction, texts shuffle only for ids that actually
-    appear in a pair (the pair side is the left/probe side)."""
+def attach_pair_texts(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
+                      text_col: str,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Scale path for pair verification (shared by every similarity
+    join that carries candidate (id_a, id_b) pairs): attach both texts
+    via TWO keyed hash joins on doc id — no corpus materialization on
+    the driver, no broadcast of all texts. Pairs are small by
+    candidate-generation construction; texts shuffle only for ids that
+    actually appear in a pair (the pair side is the left/probe side).
+    Resolve the attached column names per batch with
+    `pair_text_cols` (Ray only suffixes the right side on collision)."""
     from .relational import cap_join_partitions
     num_partitions = cap_join_partitions(num_partitions)
     texts = ds.select_columns([id_col, text_col])
@@ -284,13 +286,26 @@ def _verify_pairs_join(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
     j1 = pairs_ds.join(texts, join_type="inner",
                        num_partitions=num_partitions,
                        on=("id_a",), right_on=(id_col,), right_suffix="_ta")
-    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
-                 on=("id_b",), right_on=(id_col,), right_suffix="_tb")
+    return j1.join(texts, join_type="inner", num_partitions=num_partitions,
+                   on=("id_b",), right_on=(id_col,), right_suffix="_tb")
+
+
+def pair_text_cols(batch: pa.Table, text_col: str) -> tuple[str, str]:
+    """The (text_a, text_b) column names `attach_pair_texts` produced
+    for this batch."""
+    names = batch.column_names
+    ta = text_col if text_col in names else text_col + "_ta"
+    return ta, text_col + "_tb"
+
+
+def _verify_pairs_join(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
+                       text_col: str, shingle_k: int,
+                       char_ngram: int | None = None,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    j2 = attach_pair_texts(pairs, ds, id_col, text_col, num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
-        names = batch.column_names
-        ta_col = text_col if text_col in names else text_col + "_ta"
-        tb_col = text_col + "_tb"
+        ta_col, tb_col = pair_text_cols(batch, text_col)
         ta = batch.column(ta_col).to_pylist()
         tb = batch.column(tb_col).to_pylist()
         sims = np.array(
@@ -782,22 +797,14 @@ def jaccard_similarity_join(ds: ray.data.Dataset, id_col: str,
 def _verify_token_pairs_join(pairs: pa.Table, ds: ray.data.Dataset,
                              id_col: str, text_col: str,
                              num_partitions: int = 16) -> ray.data.Dataset:
-    """Scale path: attach both texts via two keyed joins (no driver
-    corpus materialization), then exact token-set overlap per pair."""
-    from .relational import cap_join_partitions
-    num_partitions = cap_join_partitions(num_partitions)
-    texts = ds.select_columns([id_col, text_col])
-    j1 = ray.data.from_arrow(pairs).join(
-        texts, join_type="inner", num_partitions=num_partitions,
-        on=("id_a",), right_on=(id_col,), right_suffix="_ta")
-    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
-                 on=("id_b",), right_on=(id_col,), right_suffix="_tb")
+    """Scale path: attach both texts via the shared two-keyed-join
+    helper, then exact token-set overlap per pair."""
+    j2 = attach_pair_texts(pairs, ds, id_col, text_col, num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
-        names = batch.column_names
-        ta_col = text_col if text_col in names else text_col + "_ta"
+        ta_col, tb_col = pair_text_cols(batch, text_col)
         ta = batch.column(ta_col).to_pylist()
-        tb = batch.column(text_col + "_tb").to_pylist()
+        tb = batch.column(tb_col).to_pylist()
         inter = np.empty(len(ta), np.int64)
         uni = np.empty(len(ta), np.int64)
         for i, (a, b) in enumerate(zip(ta, tb)):

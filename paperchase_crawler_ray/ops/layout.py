@@ -68,8 +68,13 @@ def write_sorted_by_zorder(ds: ray.data.Dataset, out_dir: str,
     land fixed-size parquet files (one per block). After this, rows
     close in BOTH dimensions are close in file order, so per-file
     min/max statistics become tight 2-D zone maps. Returns the number
-    of files written."""
+    of files written. An existing ``out_dir`` is WIPED first — parquet
+    writes append uniquely-named files, so rerunning into a stale dir
+    would silently double every row a later scan reads."""
     import os
+    import shutil
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
     keyed = zorder_keys(ds, x_col, y_col)
     srt = keyed.sort("zkey")
     n = srt.count()

@@ -145,7 +145,8 @@ class _VerifyLev:
         ib = batch.column("id_b").to_numpy(zero_copy_only=False)
         rows = []
         for a, b in zip(ia, ib):
-            ta, tb = self.texts[a], self.texts[b]
+            # null texts were keyed as "" in _row_keys; verify the same
+            ta, tb = self.texts[a] or "", self.texts[b] or ""
             dist = lev_banded(ta, tb, self.d)
             if dist <= self.d:
                 rows.append((a, b, dist, ta, tb))
@@ -162,27 +163,21 @@ class _VerifyLev:
 def _verify_lev_join(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
                      text_col: str, max_dist: int, with_texts: bool,
                      num_partitions: int = 16) -> ray.data.Dataset:
-    """Scale path: attach both texts with two keyed joins (pairs are the
-    small probe side), then the same banded-DP verify per batch."""
-    from .relational import cap_join_partitions
-    num_partitions = cap_join_partitions(num_partitions)
-    texts = ds.select_columns([id_col, text_col])
-    pairs_ds = ray.data.from_arrow(pairs)
-    j1 = pairs_ds.join(texts, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("id_a",), right_on=(id_col,), right_suffix="_ta")
-    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
-                 on=("id_b",), right_on=(id_col,), right_suffix="_tb")
+    """Scale path: attach both texts with the shared two-keyed-join
+    helper (pairs are the small probe side), then the banded-DP verify
+    per batch."""
+    from .dedup import attach_pair_texts, pair_text_cols
+    j2 = attach_pair_texts(pairs, ds, id_col, text_col, num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
-        names = batch.column_names
-        ta_col = text_col if text_col in names else text_col + "_ta"
+        ta_col, tb_col = pair_text_cols(batch, text_col)
         ta = batch.column(ta_col).to_pylist()
-        tb = batch.column(text_col + "_tb").to_pylist()
+        tb = batch.column(tb_col).to_pylist()
         ia = batch.column("id_a").to_numpy(zero_copy_only=False)
         ib = batch.column("id_b").to_numpy(zero_copy_only=False)
         rows = [(a, b, dist, sa, sb)
-                for a, b, sa, sb in zip(ia, ib, ta, tb)
+                for a, b, sa, sb in ((a, b, x or "", y or "")
+                                     for a, b, x, y in zip(ia, ib, ta, tb))
                 if (dist := lev_banded(sa, sb, max_dist)) <= max_dist]
         cols = {
             "id_a": pa.array([r[0] for r in rows], pa.int64()),

@@ -732,6 +732,7 @@ def aspect_buckets_block(batch: pa.Table, w_col: str = "w", h_col: str = "h",
 
 def shard_by_aspect(ds: ray.data.Dataset, w_col: str = "w", h_col: str = "h",
                     num_shards: int = 16, colocate: bool = True,
+                    out_dir: str | None = None,
                     **bucket_kw) -> ray.data.Dataset:
     """Training-batch locality pass: tag every image row with
     (aspect_bucket, res_tier) from metadata columns (zero decode, zero
@@ -744,7 +745,14 @@ def shard_by_aspect(ds: ray.data.Dataset, w_col: str = "w", h_col: str = "h",
     single payload all-to-all any bucketed-batching pipeline pays, and
     `num_shards` should be ~2x cluster CPUs, NOT the bucket count
     (buckets are only the shuffle key). With `colocate=False` the op is
-    shuffle-free and callers bucket at iteration time instead."""
+    shuffle-free and callers bucket at iteration time instead.
+
+    Draining: the keyed repartition must execute inside the scoped
+    HASH_SHUFFLE strategy, so co-location either STREAMS to ``out_dir``
+    parquet (pass it for payload-bearing tables — nothing materializes
+    in the object store; the returned dataset lazily re-reads it) or,
+    when ``out_dir`` is None, materializes — acceptable for narrow /
+    test-sized inputs only, and the reason the parameter exists."""
     tagged = ds.map_batches(
         lambda b: aspect_buckets_block(b, w_col, h_col, **bucket_kw),
         batch_format="pyarrow")
@@ -753,7 +761,13 @@ def shard_by_aspect(ds: ray.data.Dataset, w_col: str = "w", h_col: str = "h",
     from .dedup import _hash_shuffle
     from .relational import cap_join_partitions
     with _hash_shuffle(tagged):
-        out = tagged.repartition(
+        placed = tagged.repartition(
             num_blocks=cap_join_partitions(num_shards),
-            keys=["aspect_bucket", "res_tier"]).materialize()
-    return out
+            keys=["aspect_bucket", "res_tier"])
+        if out_dir is not None:
+            placed.write_parquet(out_dir)
+        else:
+            placed = placed.materialize()
+    if out_dir is not None:
+        return ray.data.read_parquet(out_dir)
+    return placed

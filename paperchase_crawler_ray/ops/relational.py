@@ -496,86 +496,28 @@ def rollup_agg(ds: ray.data.Dataset, keys: list[str], value_col: str,
                count_name: str = "n_rows") -> ray.data.Dataset:
     """Multi-level aggregate — SQL ``GROUP BY ROLLUP(keys...)`` with the
     grouping-set NULLs coalesced to ``fill``: one row per finest group,
-    plus subtotal rows per key prefix, plus a grand total.
-
-    Scale shape: the ONE pass over the big input is the finest-level
-    hash aggregate; every coarser level re-aggregates the finest RESULT
-    (cardinality = #groups, not #rows) with further distributed
-    groupbys, so nothing wider than the group count is ever shuffled and
-    the driver never materializes row data (the grand total is a scalar
-    ``Dataset.aggregate`` collect)."""
-    from ray.data.aggregate import Count, Sum
-    finest = ds.groupby(keys).aggregate(
-        Sum(value_col, alias_name=sum_name), Count(alias_name=count_name))
-
-    def fill_cols(missing: list[str]):
-        def f(b: pa.Table) -> pa.Table:
-            for c in missing:
-                b = b.append_column(
-                    c, pa.array([fill] * b.num_rows, pa.string()))
-            return b.select(keys + [sum_name, count_name])
-        return f
-
-    levels = [finest.map_batches(fill_cols([]), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, 0, -1):
-        lvl = finest.groupby(keys[:i]).aggregate(
-            Sum(sum_name, alias_name=sum_name),
-            Sum(count_name, alias_name=count_name))
-        levels.append(lvl.map_batches(fill_cols(keys[i:]),
-                                      batch_format="pyarrow"))
-    total = finest.aggregate(Sum(sum_name, alias_name=sum_name),
-                             Sum(count_name, alias_name=count_name))
-    grand = pa.table({**{c: pa.array([fill], pa.string()) for c in keys},
-                      sum_name: pa.array([total[sum_name]], pa.float64()),
-                      count_name: pa.array([total[count_name]], pa.int64())})
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out.union(ray.data.from_arrow(grand))
+    plus subtotal rows per key prefix, plus a grand total. Delegates to
+    `grouping_sets_agg` with the prefix sets (see it for the scale
+    shape: ONE big-table pass, coarser levels re-aggregate the
+    RESULT)."""
+    sets = [keys[:i] for i in range(len(keys), 0, -1)] + [[]]
+    return grouping_sets_agg(ds, keys, sets, value_col, fill,
+                             sum_name, count_name)
 
 
 def cube_agg(ds: ray.data.Dataset, keys: list[str], value_col: str,
              fill: str = "ALL", sum_name: str = "sum_val",
              count_name: str = "n_rows") -> ray.data.Dataset:
     """SQL ``GROUP BY CUBE(keys...)``: every subset of ``keys`` as a
-    grouping set, grouping-set NULLs coalesced to ``fill``.
-
-    Same scale shape as `rollup_agg`: ONE pass over the big input builds
-    the finest-level hash aggregate; the other 2^k - 1 grouping sets all
-    re-aggregate that RESULT (cardinality = #groups), so nothing wider
-    than the group count is ever shuffled again."""
+    grouping set — `grouping_sets_agg` over the powerset (descending
+    size; see it for the one-big-pass scale shape)."""
     from itertools import combinations
-
-    from ray.data.aggregate import Count, Sum
-    finest = ds.groupby(keys).aggregate(
-        Sum(value_col, alias_name=sum_name), Count(alias_name=count_name))
-
-    def fill_cols(missing: list[str]):
-        def f(b: pa.Table) -> pa.Table:
-            for c in missing:
-                b = b.append_column(
-                    c, pa.array([fill] * b.num_rows, pa.string()))
-            return b.select(keys + [sum_name, count_name])
-        return f
-
-    levels = [finest.map_batches(fill_cols([]), batch_format="pyarrow")]
+    sets: list[list[str]] = [list(keys)]
     for r in range(len(keys) - 1, 0, -1):
-        for kept in combinations(keys, r):
-            lvl = finest.groupby(list(kept)).aggregate(
-                Sum(sum_name, alias_name=sum_name),
-                Sum(count_name, alias_name=count_name))
-            missing = [c for c in keys if c not in kept]
-            levels.append(lvl.map_batches(fill_cols(missing),
-                                          batch_format="pyarrow"))
-    total = finest.aggregate(Sum(sum_name, alias_name=sum_name),
-                             Sum(count_name, alias_name=count_name))
-    grand = pa.table({**{c: pa.array([fill], pa.string()) for c in keys},
-                      sum_name: pa.array([total[sum_name]], pa.float64()),
-                      count_name: pa.array([total[count_name]], pa.int64())})
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out.union(ray.data.from_arrow(grand))
+        sets.extend(list(kept) for kept in combinations(keys, r))
+    sets.append([])
+    return grouping_sets_agg(ds, keys, sets, value_col, fill,
+                             sum_name, count_name)
 
 
 def salted_equi_join(left: ray.data.Dataset, key: str,
@@ -1438,38 +1380,50 @@ def multi_kth_smallest(ds: ray.data.Dataset, col: str, ks: list[int],
     tag_of = {c: t for t, c in enumerate(uniq_conds)}
 
     def collect(batch: pa.Table, _conds=uniq_conds) -> pa.Table:
+        # ship (value, count) pairs, not raw rows: a digit full of one
+        # tied value (the level-3 degenerate case) still costs one pair
+        # per block, so the driver reduce is bounded by distinct
+        # values within collect_limit — never by row count
         a = batch.column(col)
         a = a.drop_null() if a.null_count else a
         typ = batch.column(col).type
+        empty = pa.table({"tag": pa.array([], pa.int32()),
+                          col: pa.array([], typ),
+                          "cnt": pa.array([], pa.int64())})
         if len(a) == 0:
-            return pa.table({"tag": pa.array([], pa.int32()),
-                             col: pa.array([], typ)})
+            return empty
         keys = _order_key_u64(a)
-        tags, vals = [], []
+        parts = []
         for t, (p, m) in enumerate(_conds):
             sel = (keys & m) == p
             if sel.any():
                 picked = a.filter(pa.array(sel))
-                tags.append(np.full(len(picked), t, np.int32))
-                vals.append(picked)
-        if not tags:
-            return pa.table({"tag": pa.array([], pa.int32()),
-                             col: pa.array([], typ)})
-        return pa.table({
-            "tag": pa.array(np.concatenate(tags)),
-            col: pa.concat_arrays([v.combine_chunks()
-                                   if isinstance(v, pa.ChunkedArray) else v
-                                   for v in vals])})
+                if isinstance(picked, pa.ChunkedArray):
+                    picked = picked.combine_chunks()
+                vc = pc.value_counts(picked)
+                parts.append(pa.table({
+                    "tag": pa.array(np.full(len(vc), t, np.int32)),
+                    col: vc.field("values"),
+                    "cnt": pc.cast(vc.field("counts"), pa.int64())}))
+        return pa.concat_tables(parts) if parts else empty
 
-    buckets: dict[int, list] = {t: [] for t in range(len(uniq_conds))}
+    buckets: dict[int, dict] = {t: {} for t in range(len(uniq_conds))}
     for b in narrowed.map_batches(collect, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow", batch_size=None):
-        for t, v in zip(b.column("tag").to_pylist(),
-                        b.column(col).to_pylist()):
-            buckets[t].append(v)
-    for t in buckets:
-        buckets[t].sort()
-    return [buckets[tag_of[c]][s["k"]] for c, s in zip(conds, st)]
+        for t, v, c in zip(b.column("tag").to_pylist(),
+                           b.column(col).to_pylist(),
+                           b.column("cnt").to_pylist()):
+            buckets[t][v] = buckets[t].get(v, 0) + c
+
+    def _select(t: int, k: int):
+        run = 0
+        for v in sorted(buckets[t]):
+            run += buckets[t][v]
+            if k < run:
+                return v
+        raise AssertionError("rank fell outside collected digit")
+
+    return [_select(tag_of[c], s["k"]) for c, s in zip(conds, st)]
 
 
 def kth_smallest(ds: ray.data.Dataset, col: str, k: int,
@@ -1588,11 +1542,13 @@ def winsorize(ds: ray.data.Dataset, col: str, p_lo: float = 0.01,
               out_col: str | None = None) -> ray.data.Dataset:
     """Percentile capping (outlier clipping before training): clip
     ``col`` to its exact [p_lo, p_hi] discrete quantiles. The quantiles
-    come from ``kth_smallest`` — <= 4 zero-shuffle counting passes each
-    — then the clip is one stateless vectorized map. quantile_disc
-    semantics (``sorted[ceil(p*n)-1]``), so the clip bounds are actual
-    data values and the whole op is exact at any scale."""
-    n = ds.count()
+    come from the shared radix descent (<= 5 zero-shuffle passes for
+    both bounds) — then the clip is one stateless vectorized map.
+    quantile_disc semantics (``sorted[ceil(p*n)-1]`` over the NON-NULL
+    values, like SQL — ranks must index the same non-null order the
+    selection walks), so the clip bounds are actual data values and the
+    whole op is exact at any scale. Null values pass through null."""
+    n = count_non_null(ds, col)
     if n == 0:
         return ds
     def _k(p: float) -> int:
@@ -1601,14 +1557,32 @@ def winsorize(ds: ray.data.Dataset, col: str, p_lo: float = 0.01,
     dst = out_col or col
 
     def clip(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).to_numpy(zero_copy_only=False)
-        c = np.clip(v, lo, hi)
-        arr = pa.array(c, batch.column(col).type)
+        src = batch.column(col)
+        # Arrow min/max kernels: type-stable and null-propagating
+        arr = pc.min_element_wise(
+            pc.max_element_wise(src, pa.scalar(lo, src.type),
+                                skip_nulls=False),
+            pa.scalar(hi, src.type), skip_nulls=False)
         if dst in batch.column_names:
             return batch.set_column(batch.column_names.index(dst), dst, arr)
         return batch.append_column(dst, arr)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def count_non_null(ds: ray.data.Dataset, col: str) -> int:
+    """Streaming non-null count of one column (one narrow pass,
+    O(blocks) scalars to the driver) — the `n` SQL aggregates rank
+    against."""
+    total = 0
+    def _valid(b: pa.Table) -> pa.Table:
+        c = b.column(col)
+        return pa.table({"n": pa.array([len(c) - c.null_count], pa.int64())})
+    for b in ds.select_columns([col]) \
+            .map_batches(_valid, batch_format="pyarrow", batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        total += int(b.column("n")[0].as_py())
+    return total
 
 
 def grouping_sets_agg(ds: ray.data.Dataset, keys: list[str],

@@ -257,10 +257,14 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
     with an ``isin`` filter on that small set and counts exactly — a
     groupby whose key space is bounded by capacity, not by the column's
     cardinality. Requires threshold > n/(capacity+1) to be exact (else
-    raises): pick capacity >= n/threshold."""
+    raises): pick capacity >= n/threshold. Null keys are excluded
+    (fill beforehand to count them as a group)."""
     item_type = ds.schema().base_schema.field(col).type
 
     def partial(batch: pa.Table) -> pa.Table:
+        a = batch.column(col)
+        if a.null_count:
+            batch = batch.filter(pc.is_valid(a))
         v = batch.column(col).to_numpy(zero_copy_only=False)
         ids, counts = np.unique(v, return_counts=True)
         ids, counts = _mg_truncate(ids, counts.astype(np.int64), capacity)
@@ -296,6 +300,9 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
 
     def keep_cand(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
+        a = batch.column(col)
+        if a.null_count:
+            batch = batch.filter(pc.is_valid(a))
         v = batch.column(col).to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(np.isin(v, c)))
 
@@ -334,7 +341,12 @@ def table_checksum(ds: ray.data.Dataset, cols: list[str],
         if n == 0:
             return pa.table({"s": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
-        parts = [pc.cast(batch.column(c), pa.string()) for c in cols]
+        # null cells take a sentinel string form so the checksum is
+        # total (never crashes) and null != empty-string; the DuckDB
+        # twin for null-bearing columns is
+        # COALESCE(CAST(col AS VARCHAR), chr(0) || 'null')
+        parts = [pc.fill_null(pc.cast(batch.column(c), pa.string()),
+                              "\x00null") for c in cols]
         joined = parts[0]
         for p in parts[1:]:
             joined = pc.binary_join_element_wise(joined, p, sep)

@@ -2257,3 +2257,65 @@ def test_write_clustered_key_locality_and_order(tmp_path):
             pos = np.flatnonzero(ks == k)
             assert pos[-1] - pos[0] + 1 == len(pos)
     assert read_resumable(out, 6).count() == n
+
+
+# ---------------------------------------------------------------------------
+# null-handling regressions (code-review findings)
+# ---------------------------------------------------------------------------
+
+def test_winsorize_ignores_nulls_in_ranks():
+    from paperchase_crawler_ray.ops.relational import winsorize
+    v = list(np.linspace(0, 99, 100)) + [None] * 50
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v)})).repartition(4)
+    out = winsorize(ds, "x", 0.05, 0.95).to_pandas()["x"]
+    non_null = out.dropna().to_numpy()
+    # quantiles over the 100 non-null values: ceil(.05*100)-1=4 -> 4.0
+    s = np.sort(np.linspace(0, 99, 100))
+    lo, hi = s[4], s[94]
+    assert non_null.min() == lo and non_null.max() == hi
+    assert out.isna().sum() == 50  # nulls pass through
+
+
+def test_heavy_hitters_skips_nulls():
+    from paperchase_crawler_ray.ops.sketch import heavy_hitters
+    vals = ["a"] * 100 + ["b"] * 5 + [None] * 3
+    ds = ray.data.from_arrow(pa.table({"s": pa.array(vals)})).repartition(3)
+    got = heavy_hitters(ds, "s", threshold=50, capacity=64).to_pandas()
+    assert dict(zip(got["item"], got["n_occurrences"])) == {"a": 100}
+
+
+def test_edit_distance_join_null_texts():
+    from paperchase_crawler_ray.ops.linkage import edit_distance_join
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+        "t": pa.array([None, "", "a", "zzzzzz"])}))
+    got = edit_distance_join(ds, "id", "t", 1).to_pandas()
+    pairs = {(int(r.id_a), int(r.id_b)): int(r.dist)
+             for _, r in got.iterrows()}
+    # null ~ "": dist("", "")=0, dist("", "a")=1 both ways
+    assert pairs == {(0, 1): 0, (0, 2): 1, (1, 2): 1}
+
+
+def test_table_checksum_null_cells():
+    from paperchase_crawler_ray.ops.sketch import table_checksum
+    t1 = pa.table({"a": pa.array([1, None, 3], pa.int64()),
+                   "b": pa.array(["x", "y", None])})
+    c1 = table_checksum(ray.data.from_arrow(t1), ["a", "b"]).to_pandas()
+    assert c1["n_rows"][0] == 3
+    # null is distinguishable from empty string
+    t2 = pa.table({"a": pa.array([1, None, 3], pa.int64()),
+                   "b": pa.array(["x", "y", ""])})
+    c2 = table_checksum(ray.data.from_arrow(t2), ["a", "b"]).to_pandas()
+    assert c1["checksum"][0] != c2["checksum"][0]
+
+
+def test_multi_kth_bounded_collect_on_massive_ties():
+    from paperchase_crawler_ray.ops.relational import multi_kth_smallest
+    # one dominant tied value: the collect pass must ship (value, count)
+    # pairs, never the raw tied population
+    v = np.concatenate([np.full(50000, 7), np.arange(100)])
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v, pa.int64())})) \
+        .repartition(6)
+    s = np.sort(v)
+    got = multi_kth_smallest(ds, "x", [0, 25000, 50099], collect_limit=4)
+    assert got == [s[0], s[25000], s[50099]]
