@@ -250,52 +250,57 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
     restricted to the sketch's candidates.
 
     Pass 1 folds every block into <= ``capacity`` (value, count)
-    counters (np.unique — vectorized), merged on the driver with the
-    mergeable-MG rule: the merged summary retains every item with true
-    count > n/(capacity+1), so candidates = {count + n/(cap+1) >
-    threshold} is a SUPERSET of the true heavy hitters. Pass 2 re-scans
-    with an ``isin`` filter on that small set and counts exactly — a
-    groupby whose key space is bounded by capacity, not by the column's
-    cardinality. Requires threshold > n/(capacity+1) to be exact (else
-    raises): pick capacity >= n/threshold. Null keys are excluded
+    counters (np.unique — vectorized, MG-truncated), then the partial
+    counters are summed with a DISTRIBUTED groupby (the exchange is
+    <= capacity rows per block, never the column's cardinality) and the
+    candidate filter runs inside map_batches — only survivors reach the
+    driver. Soundness: MG truncation undercounts any item by at most
+    floor(n_block/(capacity+1)) per block, and the floors sum to at
+    most floor(n/(capacity+1)) = slack, so every item with true count >
+    threshold keeps summed count > threshold - slack; filtering
+    ``sum + slack > threshold`` is therefore a SUPERSET of the true
+    heavy hitters (#candidates <= n/(threshold - slack), small by the
+    precondition). Pass 2 re-scans with an ``isin`` filter on that set
+    and counts exactly. Requires threshold > n/(capacity+1) to be exact
+    (else raises): pick capacity >= n/threshold. Null keys are excluded
     (fill beforehand to count them as a group)."""
-    item_type = ds.schema().base_schema.field(col).type
+    from .relational import count_non_null
 
     def partial(batch: pa.Table) -> pa.Table:
         a = batch.column(col)
         if a.null_count:
             batch = batch.filter(pc.is_valid(a))
+        item_type = batch.column(col).type
         v = batch.column(col).to_numpy(zero_copy_only=False)
         ids, counts = np.unique(v, return_counts=True)
         ids, counts = _mg_truncate(ids, counts.astype(np.int64), capacity)
         items = (pa.array(ids).cast(item_type) if len(ids)
                  else pa.nulls(0, item_type))
-        # the block row count rides in a typed-null SENTINEL row so it
-        # survives even when truncation empties the summary (all-equal
-        # counts legally truncate to zero counters)
-        return pa.table({
-            "item": pa.concat_arrays([items, pa.nulls(1, item_type)]),
-            "c": pa.array(np.concatenate([counts, [0]]), pa.int64()),
-            "n": pa.array([0] * len(ids) + [batch.num_rows], pa.int64())})
+        return pa.table({"item": items,
+                         "c": pa.array(counts, pa.int64())})
 
-    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow",
-                                       batch_size=None)
-             .iter_batches(batch_format="pyarrow", batch_size=None)]
-    merged = pa.concat_tables(parts) if parts else \
-        pa.table({"item": pa.nulls(0, item_type),
-                  "c": pa.array([], pa.int64()),
-                  "n": pa.array([], pa.int64())})
-    total_n = int(pc.sum(merged.column("n")).as_py() or 0)
-    valid = merged.filter(pc.is_valid(merged.column("item")))
-    summ = valid.to_pandas().groupby("item", sort=True)["c"].sum()
-    ids = summ.index.to_numpy()
-    counts = summ.to_numpy().astype(np.int64)
-    ids, counts = _mg_truncate(ids, counts, capacity)
+    total_n = count_non_null(ds, col)
     slack = total_n // (capacity + 1)
     if threshold <= slack:
         raise ValueError(
             f"threshold {threshold} <= MG slack {slack}; raise capacity")
-    cand = ids[counts + slack > threshold]
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("item").sum("c"))
+
+    def keep_possible(batch: pa.Table) -> pa.Table:
+        cname = "sum(c)" if "sum(c)" in batch.column_names else "c"
+        m = pc.greater(pc.add(batch.column(cname),
+                              pa.scalar(slack, pa.int64())),
+                       pa.scalar(threshold, pa.int64()))
+        return batch.filter(m)
+
+    cand_items = []
+    for b in summed.map_batches(keep_possible, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        cand_items.extend(b.column("item").to_pylist())
+    cand = np.array(sorted(cand_items))
     ref = ray.put(cand)
 
     def keep_cand(batch: pa.Table) -> pa.Table:
