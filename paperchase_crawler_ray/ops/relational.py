@@ -1345,9 +1345,31 @@ def multi_kth_smallest(ds: ray.data.Dataset, col: str, ks: list[int],
                 "digit": pa.array((uniq % 65536).astype(np.int32)),
                 "c": pa.array(counts.astype(np.int64), pa.int64())})
 
+        def merge_hist(batch: pa.Table) -> pa.Table:
+            # sum (p, digit) counter rows from many block partials —
+            # integer adds commute, so grouping is deterministic
+            if batch.num_rows == 0:
+                return batch
+            combo = batch.column("p").to_numpy() * 65536 \
+                + batch.column("digit").to_numpy()
+            uniq, inv = np.unique(combo, return_inverse=True)
+            sums = np.bincount(inv, weights=batch.column("c").to_numpy()
+                               ).astype(np.int64)
+            return pa.table({
+                "p": pa.array(uniq // 65536, pa.int64()),
+                "digit": pa.array((uniq % 65536).astype(np.int32)),
+                "c": pa.array(sums, pa.int64())})
+
+        # two distributed 16x-row-merge rounds keep the driver's fan-in
+        # at O(prefixes x 65536), not O(blocks x 65536)
+        hist_ds = narrowed.map_batches(hist, batch_format="pyarrow")
+        for _ in range(2):
+            hist_ds = hist_ds.map_batches(merge_hist,
+                                          batch_format="pyarrow",
+                                          batch_size=1 << 20)
         totals = {p: np.zeros(65536, np.int64) for p in active}
-        for b in narrowed.map_batches(hist, batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow", batch_size=None):
+        for b in hist_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
             ps = b.column("p").to_numpy()
             ds_ = b.column("digit").to_numpy()
             cs = b.column("c").to_numpy()
@@ -1407,9 +1429,22 @@ def multi_kth_smallest(ds: ray.data.Dataset, col: str, ks: list[int],
                     "cnt": pc.cast(vc.field("counts"), pa.int64())}))
         return pa.concat_tables(parts) if parts else empty
 
+    def merge_collect(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        g = df.groupby(["tag", col], as_index=False, sort=False)["cnt"] \
+            .sum()
+        return pa.Table.from_pandas(g[["tag", col, "cnt"]],
+                                    preserve_index=False) \
+            .cast(batch.schema)
+
+    collected = narrowed.map_batches(collect, batch_format="pyarrow") \
+        .map_batches(merge_collect, batch_format="pyarrow",
+                     batch_size=1 << 20)
     buckets: dict[int, dict] = {t: {} for t in range(len(uniq_conds))}
-    for b in narrowed.map_batches(collect, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow", batch_size=None):
+    for b in collected.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
         for t, v, c in zip(b.column("tag").to_pylist(),
                            b.column(col).to_pylist(),
                            b.column("cnt").to_pylist()):

@@ -483,9 +483,13 @@ def embedding_moments(ds: ray.data.Dataset, vec_col: str = "embedding"
     """One streaming pass -> (n, sum, X^T X): the sufficient statistics
     for mean/covariance. Each block emits a (dim + dim^2)-float partial
     regardless of its row count, so the driver reduce is O(blocks *
-    dim^2) — at dim=128 that is 132 KB per block, fine at 100 TB.
-    Partials are reduced in sorted-block order to keep the float sum
-    deterministic for a given partitioning."""
+    dim^2) — 132 KB per block at dim=128. Partials are reduced in
+    sorted order to keep the float sum deterministic for a given
+    partitioning; a distributed tree-merge would break that determinism
+    (float addition does not commute bit-wise), so for very large block
+    counts coarsen FIRST with ``ds.repartition(num_blocks=...)`` (one
+    unkeyed rebalance) to keep blocks x dim^2 driver-feasible — e.g.
+    <= 10^4 blocks at dim 512."""
     def partial(batch: pa.Table) -> pa.Table:
         E = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)
                      ).astype(np.float64)

@@ -179,8 +179,22 @@ def bloom_build(ds: ray.data.Dataset, col: str, n_bits: int = 1 << 23,
                              np.uint64(1) << (idx & 63).astype(np.uint64))
         return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
 
-    out = np.zeros(n_words, np.uint64)
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def or_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, np.uint64)
+        for w in batch.column("words").to_pylist():
+            np.bitwise_or(acc, np.frombuffer(w, np.uint64), out=acc)
+        return pa.table({"words": pa.array([acc.tobytes()], pa.binary())})
+
+    # tree-reduce the per-block masks DISTRIBUTED (OR is commutative and
+    # idempotent, so any grouping is deterministic): two 64-way rounds
+    # cut blocks -> blocks/4096 before the driver's final OR — a 100-TB
+    # input's ~1e6 x 1 MB partials never funnel into one process
+    for _ in range(2):
+        parts = parts.map_batches(or_merge, batch_format="pyarrow",
+                                  batch_size=64)
+    out = np.zeros(n_words, np.uint64)
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for w in b.column("words").to_pylist():
             np.bitwise_or(out, np.frombuffer(w, np.uint64), out=out)
