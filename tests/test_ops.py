@@ -2319,3 +2319,33 @@ def test_multi_kth_bounded_collect_on_massive_ties():
     s = np.sort(v)
     got = multi_kth_smallest(ds, "x", [0, 25000, 50099], collect_limit=4)
     assert got == [s[0], s[25000], s[50099]]
+
+
+def test_zorder_rewrite_is_idempotent(tmp_path):
+    from paperchase_crawler_ray.ops.layout import (pruned_read,
+                                                   write_sorted_by_zorder)
+    rng = np.random.default_rng(67)
+    t = pa.table({"x": pa.array(rng.integers(0, 1 << 16, 3000), pa.int64()),
+                  "y": pa.array(rng.integers(0, 1 << 16, 3000), pa.int64())})
+    out = str(tmp_path / "z")
+    n1 = write_sorted_by_zorder(ray.data.from_arrow(t), out, "x", "y",
+                                rows_per_file=1024)
+    got1, _ = pruned_read(out, "zkey", 0, 1 << 62)
+    c1 = got1.count()  # drain before the rewrite wipes the dir
+    # rerun into the SAME dir: stale files must be wiped, not doubled
+    n2 = write_sorted_by_zorder(ray.data.from_arrow(t), out, "x", "y",
+                                rows_per_file=1024)
+    got2, _ = pruned_read(out, "zkey", 0, 1 << 62)
+    assert n1 == n2 and c1 == got2.count() == 3000
+
+
+def test_shard_by_aspect_streams_to_out_dir(tmp_path):
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops.multimodal import shard_by_aspect
+    rows = make_image_rows(32)
+    ds = ray.data.from_arrow(rows).repartition(4)
+    out = shard_by_aspect(ds, num_shards=4,
+                          out_dir=str(tmp_path / "shards"))
+    df = out.to_pandas()
+    assert len(df) == 32 and "aspect_bucket" in df.columns
+    assert set(df["image_id"]) == set(rows.column("image_id").to_pylist())
