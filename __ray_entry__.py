@@ -1578,6 +1578,28 @@ def _q_pruned_scan(sf: str):
     return ds.select_columns(["l_orderkey", "l_linenumber", "zkey"])
 
 
+def _q_hash_split(sf: str):
+    """Deterministic train/val/test split assignment (md5-bucketed,
+    seedless, partitioning-independent) — reproducible in SQL so
+    held-out contamination is auditable."""
+    from paperchase_crawler_ray.ops.relational import hash_split
+    c = _rp(sf, "customer", columns=["c_custkey"])
+    return hash_split(c, "c_custkey",
+                      {"train": 80, "val": 10, "test": 10})
+
+
+def _q_expectations(sf: str):
+    """Data-quality expectations audit: per-rule violation counts
+    (null / range / composite-key uniqueness) — the pre-consumption
+    validation gate."""
+    from paperchase_crawler_ray.ops.relational import expect
+    li = _rp(sf, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return expect(li, not_null=["l_orderkey"],
+                  between={"l_quantity": (1.0, 25.0)},
+                  unique=[["l_orderkey", "l_linenumber"]])
+
+
 def _q_group_max_rows(sf: str):
     """All rows equal to their group's max (RANK() = 1 — TIES KEPT,
     unlike exact_dedup's ROW_NUMBER winner): one hash aggregate to the
@@ -1912,6 +1934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalize": _q_normalize,
         "q_rolling_7d": _q_rolling_7d,
         "q_group_max_rows": _q_group_max_rows,
+        "q_hash_split": _q_hash_split,
+        "q_expectations": _q_expectations,
         "q_pruned_scan": _q_pruned_scan,
         "q_bucket_join": _q_bucket_join,
         "q_running_sum": _q_running_sum,
@@ -2537,6 +2561,21 @@ def oracle_sql() -> dict[str, str]:
         "q_bucket_join":
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey",
+        "q_hash_split":
+            "SELECT c_custkey, CASE WHEN b < 80 THEN 'train' "
+            "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT c_custkey, CAST(('0x' || substr(md5(CAST(c_custkey "
+            "AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b FROM customer)",
+        "q_expectations":
+            "SELECT 'null:l_orderkey' AS rule, CAST(SUM(CASE WHEN "
+            "l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "n_violations FROM lineitem UNION ALL "
+            "SELECT 'range:l_quantity', CAST(SUM(CASE WHEN "
+            "l_quantity < 1 OR l_quantity > 25 THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM lineitem UNION ALL "
+            "SELECT 'unique:l_orderkey,l_linenumber', "
+            "CAST(SUM(c - 1) AS BIGINT) FROM (SELECT COUNT(*) AS c "
+            "FROM lineitem GROUP BY l_orderkey, l_linenumber)",
         "q_pruned_scan":
             "SELECT l_orderkey, l_linenumber, zkey FROM ("
             "SELECT l_orderkey, l_linenumber, CAST("

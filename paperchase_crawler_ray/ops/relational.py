@@ -1674,3 +1674,98 @@ def grouping_sets_agg(ds: ray.data.Dataset, keys: list[str],
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def hash_split(ds: ray.data.Dataset, key_col: str,
+               fractions: dict[str, int],
+               split_col: str = "split") -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: split = which cumulative
+    percentile band md5(key) % 100 falls in. Row-local and seedless —
+    the same key lands in the same split on any cluster, any run, any
+    partitioning, and the assignment is reproducible in SQL
+    (``CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS UBIGINT)
+    % 100``), so held-out contamination is auditable downstream.
+
+    ``fractions`` maps split name -> integer percent, summing to 100,
+    e.g. ``{"train": 80, "val": 10, "test": 10}``; band order follows
+    dict order."""
+    import hashlib
+    if sum(fractions.values()) != 100:
+        raise ValueError("fractions must sum to 100")
+    names = list(fractions)
+    edges = np.cumsum([fractions[n] for n in names])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ks = pc.cast(batch.column(key_col), pa.string()).to_pylist()
+        h = np.array([int.from_bytes(
+            hashlib.md5(k.encode()).digest()[:4], "big") % 100
+            for k in ks], np.int64)
+        idx = np.searchsorted(edges, h, side="right")
+        labels = np.array(names, object)[idx]
+        return batch.append_column(split_col,
+                                   pa.array(labels.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def expect(ds: ray.data.Dataset, not_null: list[str] | None = None,
+           between: dict[str, tuple[float, float]] | None = None,
+           unique: list[list[str]] | None = None) -> ray.data.Dataset:
+    """Data-quality expectations audit: count violations per rule —
+    the validation gate a training pipeline runs before consuming a
+    new drop. Returns one (rule, n_violations) row per rule.
+
+    Scale shape: null/range rules are per-block integer counts summed
+    through one tiny aggregate; each uniqueness rule is one keyed hash
+    aggregate over the RESULT cardinality (duplicate keys counted as
+    extra rows beyond the first). Nothing row-sized reaches the
+    driver."""
+    from ray.data.aggregate import Sum
+    not_null = not_null or []
+    between = between or {}
+    unique = unique or []
+    rules: list[tuple[str, int]] = []
+
+    cols = sorted({*not_null, *between})
+    if cols:
+        def counts(b: pa.Table) -> pa.Table:
+            out = {}
+            for c in not_null:
+                out[f"null:{c}"] = pa.array(
+                    [b.column(c).null_count], pa.int64())
+            for c, (lo, hi) in between.items():
+                col = b.column(c)
+                bad = pc.or_(pc.less(col, pa.scalar(lo)),
+                             pc.greater(col, pa.scalar(hi)))
+                n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+                # nulls are range-neutral (counted by null: rules)
+                out[f"range:{c}"] = pa.array([int(n_bad)], pa.int64())
+            return pa.table(out)
+
+        agg = ds.select_columns(cols) \
+            .map_batches(counts, batch_format="pyarrow") \
+            .aggregate(*[Sum(f"null:{c}", alias_name=f"null:{c}")
+                         for c in not_null],
+                       *[Sum(f"range:{c}", alias_name=f"range:{c}")
+                         for c in between])
+        for c in not_null:
+            rules.append((f"null:{c}", int(agg[f"null:{c}"] or 0)))
+        for c in between:
+            rules.append((f"range:{c}", int(agg[f"range:{c}"] or 0)))
+
+    for keys in unique:
+        name = "unique:" + ",".join(keys)
+        grouped = ds.groupby(keys).count()
+
+        def extras(b: pa.Table) -> pa.Table:
+            c = b.column("count()")
+            over = pc.subtract(c, pa.scalar(1, c.type))
+            return pa.table({"x": pc.cast(over, pa.int64())})
+
+        tot = grouped.map_batches(extras, batch_format="pyarrow") \
+            .aggregate(Sum("x", alias_name="x"))
+        rules.append((name, int(tot["x"] or 0)))
+
+    return ray.data.from_arrow(pa.table({
+        "rule": pa.array([r[0] for r in rules], pa.string()),
+        "n_violations": pa.array([r[1] for r in rules], pa.int64())}))

@@ -2349,3 +2349,35 @@ def test_shard_by_aspect_streams_to_out_dir(tmp_path):
     df = out.to_pandas()
     assert len(df) == 32 and "aspect_bucket" in df.columns
     assert set(df["image_id"]) == set(rows.column("image_id").to_pylist())
+
+
+def test_hash_split_deterministic_and_proportional():
+    from paperchase_crawler_ray.ops.relational import hash_split
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(5000), pa.int64())}))
+    a = hash_split(ds, "k", {"train": 80, "val": 10, "test": 10}) \
+        .to_pandas().set_index("k")["split"]
+    b = hash_split(ds.repartition(7), "k",
+                   {"train": 80, "val": 10, "test": 10}) \
+        .to_pandas().set_index("k")["split"]
+    assert (a.sort_index() == b.sort_index()).all()  # partition-invariant
+    frac = a.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    with pytest.raises(ValueError):
+        hash_split(ds, "k", {"train": 70, "val": 10})
+
+
+def test_expect_counts_violations():
+    from paperchase_crawler_ray.ops.relational import expect
+    t = pa.table({
+        "id": pa.array([1, 1, 2, 3, None], pa.int64()),
+        "v": pa.array([5.0, 50.0, -2.0, 10.0, 7.0])})
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = expect(ds, not_null=["id"], between={"v": (0.0, 20.0)},
+                 unique=[["id"]]).to_pandas().set_index("rule")
+    assert got.loc["null:id", "n_violations"] == 1
+    assert got.loc["range:v", "n_violations"] == 2  # 50.0 and -2.0
+    # duplicate id=1 contributes one extra row (null key groups too,
+    # but the single null row is not a duplicate)
+    assert got.loc["unique:id", "n_violations"] == 1
