@@ -105,7 +105,8 @@ class MinHashSignatures:
         texts = batch.column(self.text_col).to_pylist()
         out_id, out_band = [], []
         for i, t in enumerate(texts):
-            sig = minhash_sig32(word_shingles(t, self.k), self.a, self.b)
+            sig = minhash_sig32(word_shingles(t or '', self.k),
+                                self.a, self.b)
             for bk in band_keys(sig, self.bands):
                 out_id.append(ids[i])
                 out_band.append(bk)
@@ -222,7 +223,8 @@ class VerifyJaccard:
         s = self._sets.get(doc_id)
         if s is not None:
             return s
-        s = _shingle_set(self._texts[doc_id], self.k, self.char_ngram)
+        s = _shingle_set(self._texts[doc_id] or '', self.k,
+                         self.char_ngram)
         if len(self._sets) < 1_000_000:
             self._sets[doc_id] = s
         return s
@@ -309,8 +311,8 @@ def _verify_pairs_join(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
         ta = batch.column(ta_col).to_pylist()
         tb = batch.column(tb_col).to_pylist()
         sims = np.array(
-            [jaccard(_shingle_set(a, shingle_k, char_ngram),
-                     _shingle_set(b, shingle_k, char_ngram))
+            [jaccard(_shingle_set(a or '', shingle_k, char_ngram),
+                     _shingle_set(b or '', shingle_k, char_ngram))
              for a, b in zip(ta, tb)], np.float64)
         return pa.table({"id_a": batch.column("id_a"),
                          "id_b": batch.column("id_b"),
@@ -360,7 +362,8 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
             texts = batch.column(self.text_col).to_pylist()
             out_id, out_band = [], []
             for i, t in enumerate(texts):
-                sig = minhash_sig32(_ngram_hashes(t, char_ngram), self.a, self.b)
+                sig = minhash_sig32(_ngram_hashes(t or '', char_ngram),
+                                    self.a, self.b)
                 for bk in band_keys(sig, self.bands):
                     out_id.append(ids[i])
                     out_band.append(bk)
@@ -486,7 +489,7 @@ class SimHashBuckets:
         texts = batch.column(self.text_col).to_pylist()
         out_id, out_band, out_sig = [], [], []
         for i, t in enumerate(texts):
-            s = simhash64(t)
+            s = simhash64(t or '')
             u = np.int64(s).view(np.uint64)
             for bi in range(4):
                 band_val = int((u >> np.uint64(16 * bi)) & np.uint64(0xFFFF))

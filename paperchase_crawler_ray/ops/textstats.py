@@ -18,6 +18,14 @@ import ray.data
 from ..functions.texthash import rolling_fingerprint, simhash64, stable_hash64
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+def _texts(batch: pa.Table, col: str) -> list[str]:
+    """Null-safe text column accessor: null -> '' (every textual op in
+    this module treats missing text as empty, matching the SQL twins'
+    COALESCE-free behavior on the null-free driver tables while never
+    crashing on real-world nulls)."""
+    return [t or "" for t in batch.column(col).to_pylist()]
+
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 
 # Small stopword list — part of the op's spec (mirrored in the SQL oracle).
@@ -35,7 +43,7 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     n = np.array([len(_WORD_RE.findall(t)) for t in texts], np.int64)
     return batch.append_column("n_tokens", pa.array(n, pa.int64()))
 
@@ -43,7 +51,7 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality components (ints so the SQL oracle compares
     exactly): token count, distinct tokens, stopword hits, punct chars."""
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     n_tok = np.empty(len(texts), np.int64)
     n_uniq = np.empty(len(texts), np.int64)
     n_stop = np.empty(len(texts), np.int64)
@@ -83,7 +91,7 @@ def language_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     CJK codepoint ratio decides zh; otherwise the marker-n-gram density
     argmax (ties broken by language name for determinism).
     """
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     preds = []
     for t in texts:
         low = t.lower()
@@ -108,7 +116,7 @@ def language_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Winnowing rolling-hash fingerprint + simhash + exact text hash."""
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     fp = np.array([rolling_fingerprint(t) for t in texts], np.int64)
     sh = np.array([simhash64(t) for t in texts], np.int64)
     xh = np.array([stable_hash64(t) for t in texts], np.int64)
@@ -124,7 +132,7 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     the count of the single most frequent token. ``kept`` applies the
     integer-ratio filter rule (distinct/total >= 0.25 AND top/total <=
     0.5) with cross-multiplied thresholds — no float division."""
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     n = np.empty(len(texts), np.int64)
     nd = np.empty(len(texts), np.int64)
     top = np.empty(len(texts), np.int64)
@@ -208,7 +216,7 @@ def unigram_logprob_score(ds: ray.data.Dataset, text_col: str = "text",
 
     def score(b: pa.Table) -> pa.Table:
         lp = ray.get(ref)
-        texts = b.column(text_col).to_pylist()
+        texts = _texts(b, text_col)
         out = np.zeros(len(texts), np.float64)
         for i, t in enumerate(texts):
             toks = _WORD_RE.findall(t.lower())
@@ -326,7 +334,7 @@ def bpe_token_count(ds: ray.data.Dataset, merges: list[tuple[str, str]],
 
     def apply(b: pa.Table) -> pa.Table:
         ms = ray.get(ref)
-        texts = b.column(text_col).to_pylist()
+        texts = _texts(b, text_col)
         out = np.zeros(len(texts), np.int64)
         cache: dict = {}
         for i, t in enumerate(texts):
@@ -367,7 +375,7 @@ def tfidf(ds: ray.data.Dataset, id_col: str = "doc_id",
     def doc_term_tf(batch: pa.Table) -> pa.Table:
         ids_out, terms_out, tf_out = [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
+                        _texts(batch, text_col)):
             for term, k in Counter(
                     w.lower() for w in _WORD_RE.findall(t)).items():
                 ids_out.append(i)
@@ -484,7 +492,7 @@ def chunk_documents(ds: ray.data.Dataset, id_col: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         ids_out, cid_out, text_out, ntok_out = [], [], [], []
         ids = batch.column(id_col).to_pylist()
-        for did, text in zip(ids, batch.column(text_col).to_pylist()):
+        for did, text in zip(ids, _texts(batch, text_col)):
             toks = _WORD_RE.findall((text or "").lower())
             n = len(toks)
             if n == 0:
@@ -517,7 +525,7 @@ class _ContaminationFlag:
         from ..functions.texthash import word_shingles, tokens
         ids = batch.column(self.id_col).to_pylist()
         hit_ids = []
-        for did, text in zip(ids, batch.column(self.text_col).to_pylist()):
+        for did, text in zip(ids, _texts(batch, self.text_col)):
             toks = tokens(text or "")
             if len(toks) < self.n:
                 continue
@@ -543,7 +551,7 @@ def ngram_contamination(corpus: ray.data.Dataset, bench: ray.data.Dataset,
 
     def bench_hashes(batch: pa.Table) -> pa.Table:
         hs = [word_shingles(t, n)
-              for t in batch.column(text_col).to_pylist()
+              for t in _texts(batch, text_col)
               if t and len(tokens(t)) >= n]
         out = (np.unique(np.concatenate(hs)) if hs
                else np.empty(0, np.uint64))
@@ -601,7 +609,7 @@ def dup_ngram_stats_batch(batch: pa.Table, text_col: str = "text",
     "fraction of duplicate n-grams" filter is then a downstream
     cross-multiplied integer comparison, same pattern as
     ``repetition_stats_batch``."""
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     n2 = np.empty(len(texts), np.int64)
     d2 = np.empty(len(texts), np.int64)
     n3 = np.empty(len(texts), np.int64)

@@ -2381,3 +2381,25 @@ def test_expect_counts_violations():
     # duplicate id=1 contributes one extra row (null key groups too,
     # but the single null row is not a duplicate)
     assert got.loc["unique:id", "n_violations"] == 1
+
+
+def test_text_ops_tolerate_null_text():
+    """Null text == empty text across the text-op library (the
+    production corpus always has some)."""
+    from paperchase_crawler_ray.ops.dedup import (minhash_lsh_dedup,
+                                                  simhash_dedup)
+    from paperchase_crawler_ray.ops.textstats import (fingerprint_batch,
+                                                      language_id_batch,
+                                                      quality_score_batch,
+                                                      quality_stats_batch,
+                                                      token_count)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["hello world", None, ""])})
+    ds = ray.data.from_arrow(t)
+    assert token_count(ds).to_pandas()["n_tokens"].tolist() == [2, 0, 0]
+    for fn in (quality_stats_batch, quality_score_batch,
+               language_id_batch, fingerprint_batch):
+        out = fn(t)
+        assert out.num_rows == 3
+    assert minhash_lsh_dedup(ds, "doc_id", "text").count() >= 1
+    assert simhash_dedup(ds, "doc_id", "text").count() >= 1
