@@ -63,7 +63,9 @@ def prep_documents(in_path: str, out_dir: str, num_shards: int = 16,
 
 
 def image_prep_chain(imgs: ray.data.Dataset, hamming_max: int = 6,
-                     min_entropy: float = 1.0) -> ray.data.Dataset:
+                     min_entropy: float = 1.0,
+                     split_fractions: dict[str, int] | None = None
+                     ) -> ray.data.Dataset:
     """Image-side flagship prep: phash near-dup collapse -> decoded
     quality filter -> aspect/resolution bucket tags, as one chain that
     touches the WIDE (bytes) table exactly once.
@@ -73,7 +75,12 @@ def image_prep_chain(imgs: ray.data.Dataset, hamming_max: int = 6,
     time — no decode, no payload shuffle), producing a representative
     set; the single wide pass then semi-join-filters to representatives,
     decodes once for the quality signals, and tags buckets. Payload
-    bytes never cross an all-to-all."""
+    bytes never cross an all-to-all.
+
+    ``split_fractions`` (e.g. {"train": 90, "val": 5, "test": 5})
+    additionally stamps a deterministic md5-bucketed ``split`` column
+    on image_id — held-out membership fixed at prep time, auditable in
+    SQL (see `ops.relational.hash_split`)."""
     from ..ops.multimodal import (aspect_buckets_block, image_neardup_clusters,
                                   image_quality)
     from ..ops.relational import semi_join
@@ -96,8 +103,12 @@ def image_prep_chain(imgs: ray.data.Dataset, hamming_max: int = 6,
         return aspect_buckets_block(kept.select(
             ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]))
 
-    return scored.map_batches(quality_gate, batch_format="pyarrow",
-                              batch_size=32)
+    out = scored.map_batches(quality_gate, batch_format="pyarrow",
+                             batch_size=32)
+    if split_fractions:
+        from ..ops.relational import hash_split
+        out = hash_split(out, "image_id", split_fractions)
+    return out
 
 
 def prep_images(in_path: str, out_dir: str, num_shards: int = 8,

@@ -2403,3 +2403,20 @@ def test_text_ops_tolerate_null_text():
         assert out.num_rows == 3
     assert minhash_lsh_dedup(ds, "doc_id", "text").count() >= 1
     assert simhash_dedup(ds, "doc_id", "text").count() >= 1
+
+
+def test_image_prep_chain_split_assignment():
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.pipelines.prep import image_prep_chain
+    rows = make_image_rows(48)
+    out = image_prep_chain(ray.data.from_arrow(rows),
+                           split_fractions={"train": 80, "val": 10,
+                                            "test": 10}).to_pandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # deterministic: same ids -> same splits on a rerun
+    out2 = image_prep_chain(ray.data.from_arrow(rows),
+                            split_fractions={"train": 80, "val": 10,
+                                             "test": 10}).to_pandas()
+    a = out.set_index("image_id")["split"].sort_index()
+    b = out2.set_index("image_id")["split"].sort_index()
+    assert (a == b).all()
