@@ -1578,6 +1578,18 @@ def _q_pruned_scan(sf: str):
     return ds.select_columns(["l_orderkey", "l_linenumber", "zkey"])
 
 
+def _q_sample_hash(sf: str):
+    """Deterministic 8% Bernoulli sample via md5(key) % 100 — the
+    SQL-auditable sampling twin to seeded random_sample (q_sample):
+    membership is a pure function of the key, so re-runs, resumes and
+    replicas agree exactly."""
+    from paperchase_crawler_ray.ops.relational import hash_split
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "value"])
+    tagged = hash_split(ev, "event_id", {"in": 8, "out": 92})
+    return tagged.filter(expr="split == 'in'") \
+        .select_columns(["event_id", "user_id", "value"])
+
+
 def _q_hash_split(sf: str):
     """Deterministic train/val/test split assignment (md5-bucketed,
     seedless, partitioning-independent) — reproducible in SQL so
@@ -1935,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_7d": _q_rolling_7d,
         "q_group_max_rows": _q_group_max_rows,
         "q_hash_split": _q_hash_split,
+        "q_sample_hash": _q_sample_hash,
         "q_expectations": _q_expectations,
         "q_pruned_scan": _q_pruned_scan,
         "q_bucket_join": _q_bucket_join,
@@ -2561,6 +2574,10 @@ def oracle_sql() -> dict[str, str]:
         "q_bucket_join":
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey",
+        "q_sample_hash":
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), "
+            "1, 8)) AS UBIGINT) % 100 < 8",
         "q_hash_split":
             "SELECT c_custkey, CASE WHEN b < 80 THEN 'train' "
             "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
