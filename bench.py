@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q_left_join", "q_prep_pipeline",
     "q_kth_value", "q_heavy_hitters", "q_bloom_semi", "q_lev_join",
     "q_snapshot_diff", "q_zorder",
+    "q_bucket_join", "q_pruned_scan", "q_hash_split", "q_expectations",
 ]
 
 
