@@ -1578,6 +1578,64 @@ def _q_pruned_scan(sf: str):
     return ds.select_columns(["l_orderkey", "l_linenumber", "zkey"])
 
 
+def _q_cohort_retention(sf: str):
+    """Cohort retention: users grouped by first-event day (cohort),
+    counted distinct-active per (cohort, activity day) — the classic
+    events-table product-analytics matrix. One hash aggregate to the
+    tiny per-user cohort map (broadcast), then one keyed
+    distinct-count aggregate; the big table is scanned twice, shuffled
+    never (cohort attach is map-side)."""
+    from ray.data.aggregate import Min
+    ev = _rp(sf, "events", columns=["user_id", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": pc.cast(
+                             pc.floor_temporal(b.column("ts"), unit="day"),
+                             pa.timestamp("us"))})
+
+    days = ev.map_batches(day, batch_format="pyarrow")
+    firsts = days.groupby("user_id").aggregate(
+        Min("day", alias_name="cohort"))
+    cmap = {}
+    for b in firsts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        # pin to us BEFORE the int64 hop: the hash aggregate may have
+        # round-tripped the timestamp through SECOND precision
+        cmap.update(zip(t.column("user_id").to_pylist(),
+                        pc.cast(pc.cast(t.column("cohort"),
+                                        pa.timestamp("us")),
+                                pa.int64()).to_pylist()))
+    ref = ray.put(cmap)
+
+    def attach(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        users = b.column("user_id").to_pylist()
+        co = pa.array([m[u] for u in users], pa.int64())
+        return pa.table({"user_id": b.column("user_id"),
+                         "cohort": pc.cast(co, pa.timestamp("us")),
+                         "day": b.column("day")})
+
+    # distinct users per (cohort, day): two-level hash aggregate
+    pairs = days.map_batches(attach, batch_format="pyarrow") \
+        .groupby(["cohort", "day", "user_id"]).count()
+
+    def drop_cnt(b: pa.Table) -> pa.Table:
+        return b.select(["cohort", "day"])
+
+    agg = _rename(pairs.map_batches(drop_cnt, batch_format="pyarrow")
+                  .groupby(["cohort", "day"]).count(),
+                  {"count()": "active_users"})
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": pc.cast(b.column("cohort"), pa.timestamp("us")),
+            "day": pc.cast(b.column("day"), pa.timestamp("us")),
+            "active_users": pc.cast(b.column("active_users"), pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_sample_hash(sf: str):
     """Deterministic 8% Bernoulli sample via md5(key) % 100 — the
     SQL-auditable sampling twin to seeded random_sample (q_sample):
@@ -1948,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_max_rows": _q_group_max_rows,
         "q_hash_split": _q_hash_split,
         "q_sample_hash": _q_sample_hash,
+        "q_cohort_retention": _q_cohort_retention,
         "q_expectations": _q_expectations,
         "q_pruned_scan": _q_pruned_scan,
         "q_bucket_join": _q_bucket_join,
@@ -2574,6 +2633,13 @@ def oracle_sql() -> dict[str, str]:
         "q_bucket_join":
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey",
+        "q_cohort_retention":
+            "WITH d AS (SELECT user_id, date_trunc('day', ts) AS day "
+            "FROM events), f AS (SELECT user_id, MIN(day) AS cohort "
+            "FROM d GROUP BY user_id) "
+            "SELECT f.cohort, d.day, CAST(COUNT(DISTINCT d.user_id) "
+            "AS BIGINT) AS active_users FROM d JOIN f USING (user_id) "
+            "GROUP BY f.cohort, d.day",
         "q_sample_hash":
             "SELECT event_id, user_id, value FROM events "
             "WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), "
