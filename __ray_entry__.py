@@ -1578,6 +1578,48 @@ def _q_pruned_scan(sf: str):
     return ds.select_columns(["l_orderkey", "l_linenumber", "zkey"])
 
 
+def _q_top_orders(sf: str):
+    """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered
+    orders ⋈ lineitem -> per-order quantity totals -> global top 10.
+    Two keyed joins (small side first), one hash aggregate, pruned
+    top-k — the canonical multi-stage analytical plan. Quantity (not
+    revenue) keeps the aggregate integer-exact per the float policy."""
+    from ray.data.aggregate import Sum
+    from paperchase_crawler_ray.ops.relational import (global_topk,
+                                                       semi_join)
+    cust = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'")
+    orders = _rp(sf, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_cut(b: pa.Table) -> pa.Table:
+        lim_us = pd.Timestamp("2024-06-01").value // 1000
+        d = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64())
+        return b.filter(pc.less(d, pa.scalar(lim_us, pa.int64())))
+
+    o = semi_join(orders.map_batches(date_cut, batch_format="pyarrow"),
+                  "o_custkey", cust, "c_custkey")
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    j = semi_join(li, "l_orderkey", o, "o_orderkey")
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "q": pc.cast(b.column("l_quantity"),
+                                      pa.int64())})
+
+    agg = j.map_batches(to_int, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("q", alias_name="total_qty"))
+
+    def pin(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "total_qty": pc.cast(b.column("total_qty"),
+                                              pa.int64())})
+
+    return global_topk(agg.map_batches(pin, batch_format="pyarrow"),
+                       [("total_qty", True), ("l_orderkey", False)], 10)
+
+
 def _q_cohort_retention(sf: str):
     """Cohort retention: users grouped by first-event day (cohort),
     counted distinct-active per (cohort, activity day) — the classic
@@ -2007,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_split": _q_hash_split,
         "q_sample_hash": _q_sample_hash,
         "q_cohort_retention": _q_cohort_retention,
+        "q_top_orders": _q_top_orders,
         "q_expectations": _q_expectations,
         "q_pruned_scan": _q_pruned_scan,
         "q_bucket_join": _q_bucket_join,
@@ -2633,6 +2676,14 @@ def oracle_sql() -> dict[str, str]:
         "q_bucket_join":
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey",
+        "q_top_orders":
+            "SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) "
+            "AS BIGINT) AS total_qty FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderdate < "
+            "TIMESTAMP '2024-06-01' AND o_custkey IN (SELECT c_custkey "
+            "FROM customer WHERE c_mktsegment = 'BUILDING')) "
+            "GROUP BY l_orderkey ORDER BY total_qty DESC, l_orderkey "
+            "LIMIT 10",
         "q_cohort_retention":
             "WITH d AS (SELECT user_id, date_trunc('day', ts) AS day "
             "FROM events), f AS (SELECT user_id, MIN(day) AS cohort "
