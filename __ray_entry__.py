@@ -1816,7 +1816,11 @@ def _q_heavy_hitters(sf: str):
     hitter that never groupbys the full key space."""
     from paperchase_crawler_ray.ops.sketch import heavy_hitters
     li = _rp(sf, "lineitem", columns=["l_partkey"])
-    return heavy_hitters(li, "l_partkey", threshold=40, capacity=32768)
+    # capacity must scale with n to keep the exactness precondition
+    # threshold > n/(capacity+1): fixed 32768 breaks above sf ~0.22
+    n = li.count()
+    cap = max(32768, (4 * n) // 40)
+    return heavy_hitters(li, "l_partkey", threshold=40, capacity=cap)
 
 
 def _q_corr_stats(sf: str):
@@ -2351,14 +2355,21 @@ def oracle_sql() -> dict[str, str]:
             "orders JOIN customer ON o_custkey = c_custkey JOIN nation "
             "ON c_nationkey = n_nationkey GROUP BY n_name",
         "q_repetition":
-            "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
-            "CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS "
-            "BIGINT) AS top_count, CAST(CASE WHEN COUNT(*) * 4 >= SUM(c)"
-            " AND MAX(c) * 2 <= SUM(c) AND SUM(c) > 0 THEN 1 ELSE 0 END "
-            "AS BIGINT) AS kept FROM (SELECT doc_id, word, COUNT(*) AS c"
-            " FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
-            " '\\w+')) AS word FROM documents) GROUP BY doc_id, word) "
-            "GROUP BY doc_id",
+            # anchored on documents via LEFT JOIN so token-free docs
+            # still emit their (0,0,0,0) row like the Ray op does
+            "SELECT d.doc_id, CAST(COALESCE(g.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, CAST(COALESCE(g.n_distinct, 0) AS BIGINT) AS "
+            "n_distinct, CAST(COALESCE(g.top_count, 0) AS BIGINT) AS "
+            "top_count, CAST(CASE WHEN COALESCE(g.n_distinct, 0) * 4 >="
+            " COALESCE(g.n_tokens, 0) AND COALESCE(g.top_count, 0) * 2 "
+            "<= COALESCE(g.n_tokens, 0) AND COALESCE(g.n_tokens, 0) > 0"
+            " THEN 1 ELSE 0 END AS BIGINT) AS kept FROM documents d "
+            "LEFT JOIN (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS "
+            "n_distinct, MAX(c) AS top_count FROM (SELECT doc_id, word,"
+            " COUNT(*) AS c FROM (SELECT doc_id, unnest("
+            "regexp_extract_all(lower(text), '\\w+')) AS word FROM "
+            "documents) GROUP BY doc_id, word) GROUP BY doc_id) g "
+            "ON d.doc_id = g.doc_id",
         "q_mixture":
             "SELECT doc_id, source, CAST(UNNEST(range(CAST(substr("
             "source, 4) AS BIGINT) % 4)) AS BIGINT) AS copy "

@@ -44,6 +44,18 @@ from .relational import scrub_empty_blocks as _scrub
 __all__ = ["connected_components", "pagerank"]
 
 
+def _damped(sc: "np.ndarray", damping_ppm: int) -> "np.ndarray":
+    """floor(sc * damping_ppm / 1e6) WITHOUT int64 overflow: splitting
+    sc = a*1e6 + b gives the exact identity a*d + (b*d)//1e6 (the first
+    term's product was divisible by 1e6), so hub scores can hold the
+    whole graph's mass (~9e18 micro-units) before wrapping — a plain
+    sc*d would wrap at ~1e13 (found in review; silently corrupted
+    scores on >1e7-node mass concentrations)."""
+    a, b = np.divmod(sc, np.int64(1_000_000))
+    return a * np.int64(damping_ppm) + (b * np.int64(damping_ppm)) \
+        // np.int64(1_000_000)
+
+
 def _undirect(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Dataset:
     """(a,b) -> both directions, columns (src, dst)."""
     fwd = edges.map_batches(
@@ -232,7 +244,7 @@ def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
             srcs = b.column("src").to_pandas()
             sc = srcs.map(s).to_numpy(np.int64)
             dg = srcs.map(dgs).to_numpy(np.int64)
-            out = (sc * damping_ppm // 1_000_000) // dg
+            out = _damped(sc, damping_ppm) // dg
             part = pd.DataFrame({"node": b.column("dst").to_pandas(),
                                  "g": out}).groupby("node", sort=False)[
                                      "g"].sum()
@@ -290,7 +302,7 @@ def _pagerank_join(edges: ray.data.Dataset, src: str, dst: str, iters: int,
         def share(b: pa.Table) -> pa.Table:
             s = b.column("score").to_numpy(zero_copy_only=False)
             d = b.column("outdeg").to_numpy(zero_copy_only=False)
-            out = (s * damping_ppm // 1_000_000) // d
+            out = _damped(s, damping_ppm) // d
             return pa.table({"node": b.column("dst"),
                              "in_share": pa.array(out, pa.int64())})
 

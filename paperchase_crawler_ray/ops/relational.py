@@ -164,10 +164,14 @@ def anti_join(ds: ray.data.Dataset, key: str, right: ray.data.Dataset,
     """J1 general form: size-based switch. A right side small enough to
     broadcast uses the ``ray.put`` filter (no shuffle); a larger one uses
     Ray's native hash ``left_anti`` join — the path for a seen table
-    bigger than driver memory (VERDICT.md round 1, missing #3)."""
-    if right.count() <= broadcast_max:
-        return broadcast_anti_join(ds, key, right, right_key)
-    rk = right.select_columns([right_key])
+    bigger than driver memory (VERDICT.md round 1, missing #3).
+
+    The narrow key projection is materialized ONCE before the size
+    probe — count() would otherwise execute the right side's upstream
+    lineage a second time when the join consumes it again."""
+    rk = right.select_columns([right_key]).materialize()
+    if rk.count() <= broadcast_max:
+        return broadcast_anti_join(ds, key, rk, right_key)
     return ds.join(rk, join_type="left_anti",
                    num_partitions=cap_join_partitions(num_partitions),
                    on=(key,), right_on=(right_key,))
@@ -177,10 +181,11 @@ def semi_join(ds: ray.data.Dataset, key: str, right: ray.data.Dataset,
               right_key: str, broadcast_max: int = 2_000_000,
               num_partitions: int = 16) -> ray.data.Dataset:
     """J3 general form: broadcast filter below ``broadcast_max`` right
-    rows, native hash ``left_semi`` join above it."""
-    if right.count() <= broadcast_max:
-        return broadcast_semi_join(ds, key, right, right_key)
-    rk = right.select_columns([right_key])
+    rows, native hash ``left_semi`` join above it. Right key projection
+    materialized once (see `anti_join`)."""
+    rk = right.select_columns([right_key]).materialize()
+    if rk.count() <= broadcast_max:
+        return broadcast_semi_join(ds, key, rk, right_key)
     return ds.join(rk, join_type="left_semi",
                    num_partitions=cap_join_partitions(num_partitions),
                    on=(key,), right_on=(right_key,))
@@ -1656,9 +1661,16 @@ def grouping_sets_agg(ds: ray.data.Dataset, keys: list[str],
             total = finest.aggregate(
                 Sum(sum_name, alias_name=sum_name),
                 Sum(count_name, alias_name=count_name))
+            # the grand-total sum must carry the SAME arrow type as the
+            # finest level's Sum output (int value columns sum to
+            # int64) — a hard-coded float64 produced mixed-schema
+            # blocks in the union and lost exactness past 2^53
+            tv = total[sum_name]
+            sum_type = pa.int64() if isinstance(tv, (int, np.integer)) \
+                else pa.float64()
             grand = pa.table({
                 **{c: pa.array([fill], pa.string()) for c in keys},
-                sum_name: pa.array([total[sum_name]], pa.float64()),
+                sum_name: pa.array([tv], sum_type),
                 count_name: pa.array([total[count_name]], pa.int64())})
             levels.append(ray.data.from_arrow(grand))
         elif not missing:

@@ -18,6 +18,10 @@ import ray.data
 from ..functions.texthash import rolling_fingerprint, simhash64, stable_hash64
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII twin of Arrow RE2's \W+ split (RE2 word classes are ASCII):
+# ops whose VOCABULARY is built with Arrow kernels must tokenize their
+# apply/score side with THIS, not _WORD_RE, or non-ASCII words diverge
+_ASCII_WORD_RE = re.compile(r"\w+", re.ASCII)
 
 def _texts(batch: pa.Table, col: str) -> list[str]:
     """Null-safe text column accessor: null -> '' (every textual op in
@@ -218,11 +222,14 @@ def unigram_logprob_score(ds: ray.data.Dataset, text_col: str = "text",
         lp = ray.get(ref)
         texts = _texts(b, text_col)
         out = np.zeros(len(texts), np.float64)
+        oov = float(np.log(1.0) - np.log(total + 1))
         for i, t in enumerate(texts):
-            toks = _WORD_RE.findall(t.lower())
+            # ASCII tokenizer: must match the Arrow-RE2-built vocab
+            toks = _ASCII_WORD_RE.findall(t.lower())
             if toks:
                 out[i] = np.float64(
-                    np.sum(np.array([lp[w] for w in toks], np.float64))
+                    np.sum(np.array([lp.get(w, oov) for w in toks],
+                                    np.float64))
                 ) / len(toks)
         return b.append_column(out_col, pa.array(out, pa.float64()))
 
@@ -339,7 +346,8 @@ def bpe_token_count(ds: ray.data.Dataset, merges: list[tuple[str, str]],
         cache: dict = {}
         for i, t in enumerate(texts):
             n = 0
-            for w in _WORD_RE.findall(t.lower()):
+            # ASCII tokenizer: must match the Arrow-RE2 train side
+            for w in _ASCII_WORD_RE.findall(t.lower()):
                 if w not in cache:
                     syms = tuple(w) + ("</w>",)
                     for m in ms:

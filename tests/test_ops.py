@@ -2420,3 +2420,24 @@ def test_image_prep_chain_split_assignment():
     a = out.set_index("image_id")["split"].sort_index()
     b = out2.set_index("image_id")["split"].sort_index()
     assert (a == b).all()
+
+
+def test_pagerank_damped_no_overflow():
+    from paperchase_crawler_ray.ops.graph import _damped
+    sc = np.array([10**18, 1_000_000, 0, 123_456_789_012_345], np.int64)
+    got = _damped(sc, 850_000)
+    want = [s * 850_000 // 1_000_000 for s in sc.tolist()]  # python ints
+    assert got.tolist() == want
+    # the naive form overflows on the first element; ours must not
+    assert got[0] == 850_000_000_000_000_000
+
+
+def test_grouping_sets_int_column_keeps_int64():
+    from paperchase_crawler_ray.ops.relational import rollup_agg
+    t = pa.table({"a": pa.array(["x", "y", "x"]),
+                  "b": pa.array(["p", "p", "q"]),
+                  "v": pa.array([2**53 + 1, 1, 1], pa.int64())})
+    got = rollup_agg(ray.data.from_arrow(t), ["a", "b"], "v").to_pandas()
+    assert str(got["sum_val"].dtype) == "int64"
+    grand = got[(got.a == "ALL") & (got.b == "ALL")]
+    assert int(grand["sum_val"].iloc[0]) == 2**53 + 3  # exact past 2^53
