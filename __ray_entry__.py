@@ -34,6 +34,19 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.D
                                  columns=columns)
 
 
+def _cache_tag(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Cache key for derived-layout queries: the sf path PLUS each
+    source parquet's (mtime, size) identity — a regenerated testdata
+    tree must never hit a stale /tmp layout from a previous run."""
+    import hashlib
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=8)
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        h.update(f"{t}:{st.st_mtime_ns}:{st.st_size}".encode())
+    return h.hexdigest()
+
+
 def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
     def r(b: pa.Table) -> pa.Table:
         return b.rename_columns([mapping.get(c, c) for c in b.column_names])
@@ -1536,13 +1549,12 @@ def _q_bucket_join(sf: str):
     shard function), then the join runs as independent per-shard tasks
     with zero query-time exchange — the pay-the-partitioning-once
     pattern every 100-TB star schema uses."""
-    import hashlib as _hl
     from paperchase_crawler_ray.ops.sink import bucket_join, write_resumable
     o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
     c = _rp(sf, "customer", columns=["c_custkey", "c_mktsegment"])
     # fixed per-sf cache dir: write_resumable makes reruns no-ops via
     # the _COMMITTED markers instead of leaking a new tempdir per call
-    tag = _hl.blake2b(sf.encode(), digest_size=6).hexdigest()
+    tag = _cache_tag(sf, ("orders", "customer"))
     base = f"/tmp/pc_q_cache/{tag}/bucket"
     write_resumable(o, f"{base}/orders", "o_custkey", 8)
     write_resumable(c, f"{base}/customer", "c_custkey", 8)
@@ -1557,8 +1569,6 @@ def _q_pruned_scan(sf: str):
     (skipped files' data pages are never opened). Result == a plain
     range predicate, verified by the SQL twin; the pruning itself is
     asserted in pytest."""
-    import hashlib as _hl
-    import os
     from paperchase_crawler_ray.ops.layout import (pruned_read,
                                                    write_sorted_by_zorder)
     li = _rp(sf, "lineitem",
@@ -1566,7 +1576,7 @@ def _q_pruned_scan(sf: str):
                       "l_suppkey"])
     # fixed per-sf cache dir with a completion marker: reruns reuse
     # the layout instead of leaking a fresh tempdir each invocation
-    tag = _hl.blake2b(sf.encode(), digest_size=6).hexdigest()
+    tag = _cache_tag(sf, ("lineitem",))
     out = f"/tmp/pc_q_cache/{tag}/zorder"
     marker = f"{out}_DONE"
     if not os.path.exists(marker):
