@@ -1630,6 +1630,37 @@ def _q_top_orders(sf: str):
                        [("total_qty", True), ("l_orderkey", False)], 10)
 
 
+def _q_returned_qty(sf: str):
+    """TPC-H Q10 shape: quantity returned per customer (lineitem
+    R-flag filter -> orderkey->custkey broadcast-scale lookup join ->
+    hash aggregate -> top 20). Quantity keeps the aggregate
+    integer-exact per the float policy."""
+    from ray.data.aggregate import Sum
+    from paperchase_crawler_ray.ops.relational import global_topk
+    li = _rp(sf, "lineitem",
+             columns=["l_orderkey", "l_quantity", "l_returnflag"]) \
+        .filter(expr="l_returnflag == 'R'")
+    orders = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner",
+                num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "q": pc.cast(b.column("l_quantity"), pa.int64())})
+
+    agg = j.map_batches(to_int, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("q", alias_name="ret_qty"))
+
+    def pin(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "ret_qty": pc.cast(b.column("ret_qty"),
+                                            pa.int64())})
+
+    return global_topk(agg.map_batches(pin, batch_format="pyarrow"),
+                       [("ret_qty", True), ("o_custkey", False)], 20)
+
+
 def _q_cohort_retention(sf: str):
     """Cohort retention: users grouped by first-event day (cohort),
     counted distinct-active per (cohort, activity day) — the classic
@@ -2064,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_hash": _q_sample_hash,
         "q_cohort_retention": _q_cohort_retention,
         "q_top_orders": _q_top_orders,
+        "q_returned_qty": _q_returned_qty,
         "q_expectations": _q_expectations,
         "q_pruned_scan": _q_pruned_scan,
         "q_bucket_join": _q_bucket_join,
@@ -2705,6 +2737,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer WHERE c_mktsegment = 'BUILDING')) "
             "GROUP BY l_orderkey ORDER BY total_qty DESC, l_orderkey "
             "LIMIT 10",
+        "q_returned_qty":
+            "SELECT o_custkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS "
+            "BIGINT) AS ret_qty FROM lineitem JOIN orders ON "
+            "l_orderkey = o_orderkey WHERE l_returnflag = 'R' "
+            "GROUP BY o_custkey ORDER BY ret_qty DESC, o_custkey "
+            "LIMIT 20",
         "q_cohort_retention":
             "WITH d AS (SELECT user_id, date_trunc('day', ts) AS day "
             "FROM events), f AS (SELECT user_id, MIN(day) AS cohort "
