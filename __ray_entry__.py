@@ -1891,10 +1891,20 @@ def _q_kth_value(sf: str):
     all-to-all. Returns one row of (n, p10, p50, p90) over
     events.value; values are raw data elements (float pass-through,
     no float aggregation)."""
-    from paperchase_crawler_ray.ops.relational import multi_kth_smallest
+    from paperchase_crawler_ray.ops.relational import (count_non_null,
+                                                        multi_kth_smallest)
     ev = _rp(sf, "events", columns=["value"])
     n = ev.count()
-    ks = [min(max(int(np.ceil(p * n)) - 1, 0), n - 1)
+    # ranks index the NON-NULL sorted order (quantile_disc ignores
+    # nulls; multi_kth_smallest ranks only non-null values) — n itself
+    # stays COUNT(*) to match the oracle's reported row count
+    nn = count_non_null(ev, "value")
+    if nn == 0:
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "p10": pa.array([None], pa.float64()),
+                         "p50": pa.array([None], pa.float64()),
+                         "p90": pa.array([None], pa.float64())})
+    ks = [min(max(int(np.ceil(p * nn)) - 1, 0), nn - 1)
           for p in (0.10, 0.50, 0.90)]
     p10, p50, p90 = multi_kth_smallest(ev, "value", ks)
     return pa.table({"n": pa.array([n], pa.int64()),
@@ -1907,11 +1917,20 @@ def _q_equidepth(sf: str):
     """Equi-depth histogram boundaries (9 deciles of o_totalprice) in
     ONE shared radix-selection descent — <= 4 counting passes + 1
     collect for all 9 quantiles together, zero shuffle."""
-    from paperchase_crawler_ray.ops.relational import multi_kth_smallest
+    from paperchase_crawler_ray.ops.relational import (count_non_null,
+                                                        multi_kth_smallest)
     o = _rp(sf, "orders", columns=["o_totalprice"])
     n = o.count()
+    # rank against the non-null count (quantile_disc semantics) — see
+    # _q_kth_value
+    nn = count_non_null(o, "o_totalprice")
     ps = [i / 10 for i in range(1, 10)]
-    ks = [min(max(int(np.ceil(p * n)) - 1, 0), n - 1) for p in ps]
+    if nn == 0:
+        cols = {"n": pa.array([n], pa.int64())}
+        for p in ps:
+            cols[f"b{int(p * 100):02d}"] = pa.array([None], pa.float64())
+        return pa.table(cols)
+    ks = [min(max(int(np.ceil(p * nn)) - 1, 0), nn - 1) for p in ps]
     vals = multi_kth_smallest(o, "o_totalprice", ks)
     cols = {"n": pa.array([n], pa.int64())}
     for p, v in zip(ps, vals):

@@ -30,10 +30,19 @@ import ray.data
 __all__ = ["write_resumable", "read_resumable", "committed_shards"]
 
 _SHARD_COL = "__shard"
+_SCHEMA_FILE = "_SCHEMA.parquet"
 
 
 def _shard_dir(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"shard={shard}")
+
+
+def _data_files(out_dir: str, shard: int) -> list[str]:
+    sd = _shard_dir(out_dir, shard)
+    if not os.path.isdir(sd):
+        return []
+    return [os.path.join(sd, f) for f in sorted(os.listdir(sd))
+            if f.endswith(".parquet")]
 
 
 def committed_shards(out_dir: str, num_shards: int) -> set[int]:
@@ -94,6 +103,17 @@ def write_resumable(ds: ray.data.Dataset, out_dir: str, key_col: str,
             os.makedirs(dst, exist_ok=True)  # empty shard still seals
         with open(os.path.join(dst, "_COMMITTED"), "w") as f:
             f.write("ok\n")
+    # A legitimately-empty table seals with zero data files; persist the
+    # schema in a zero-row sidecar so readers (read_resumable,
+    # bucket_join) can still produce typed empty results instead of
+    # failing. Only needed when NO shard anywhere holds a data file.
+    if not any(_data_files(out_dir, s) for s in range(num_shards)):
+        sch = ds.schema(fetch_if_missing=True)
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if isinstance(base, pa.Schema):
+            import pyarrow.parquet as pq
+            pq.write_table(base.empty_table(),
+                           os.path.join(out_dir, _SCHEMA_FILE))
     return {"written": missing, "skipped": sorted(done)}
 
 
@@ -104,11 +124,14 @@ def read_resumable(out_dir: str, num_shards: int = 16,
     done = committed_shards(out_dir, num_shards)
     files = []
     for s in sorted(done):
-        d = _shard_dir(out_dir, s)
-        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                     if f.endswith(".parquet"))
+        files.extend(_data_files(out_dir, s))
     if not files:
-        raise FileNotFoundError(f"no committed shards under {out_dir}")
+        # a fully-sealed EMPTY table reads back as a typed empty dataset
+        sidecar = os.path.join(out_dir, _SCHEMA_FILE)
+        if done and os.path.exists(sidecar):
+            files = [sidecar]
+        else:
+            raise FileNotFoundError(f"no committed shards under {out_dir}")
     return ray.data.read_parquet(files, columns=columns)
 
 
@@ -137,22 +160,33 @@ def bucket_join(dir_a: str, dir_b: str, key_a: str, key_b: str,
             raise ValueError(f"{d} has unsealed shards {sorted(missing)}; "
                              "bucket_join requires fully-committed inputs")
 
-    def _files(d: str, s: int) -> list[str]:
-        sd = _shard_dir(d, s)
-        return [os.path.join(sd, f) for f in sorted(os.listdir(sd))
-                if f.endswith(".parquet")]
+    def _any_empty(d: str) -> pa.Table:
+        """A zero-row table carrying this sealed table's schema —
+        recovered from any shard's data file, else the `_SCHEMA.parquet`
+        sidecar write_resumable leaves for legitimately-empty tables."""
+        for s2 in range(num_shards):
+            f2 = _data_files(d, s2)
+            if f2:
+                t = pq.read_table(f2[0]).slice(0, 0)
+                return t.drop_columns([_SHARD_COL]) \
+                    if _SHARD_COL in t.column_names else t
+        sidecar = os.path.join(d, _SCHEMA_FILE)
+        if os.path.exists(sidecar):
+            return pq.read_table(sidecar)
+        raise ValueError(
+            f"bucket_join: {d} is sealed but holds no data files and no "
+            f"{_SCHEMA_FILE} sidecar — cannot infer its schema (was it "
+            "written by an older write_resumable?)")
 
-    def _load(d: str, s: int, empty_ok: bool) -> pa.Table | None:
-        fs = _files(d, s)
+    empty_a, empty_b = _any_empty(dir_a), _any_empty(dir_b)
+
+    def _load(d: str, s: int, empty: pa.Table) -> pa.Table:
+        fs = _data_files(d, s)
         if not fs:
-            if not empty_ok:
-                return None
-            # recover the schema from ANY sealed file of this table
-            for s2 in range(num_shards):
-                f2 = _files(d, s2)
-                if f2:
-                    return pq.read_table(f2[0]).slice(0, 0)
-            return None
+            # empty shard (or legitimately-empty table): a typed empty
+            # table joins to the correct output schema — Ray 2.49
+            # chokes on schema-less empty blocks downstream
+            return empty
         t = pa.concat_tables([pq.read_table(f) for f in fs])
         return t.drop_columns([_SHARD_COL]) \
             if _SHARD_COL in t.column_names else t
@@ -160,19 +194,11 @@ def bucket_join(dir_a: str, dir_b: str, key_a: str, key_b: str,
     def join_shard(batch: pa.Table) -> pa.Table:
         outs = []
         for s in batch.column("shard").to_pylist():
-            # always produce a (possibly empty) joined table with the
-            # real output schema — Ray 2.49 chokes on schema-less
-            # empty blocks downstream
-            ta = _load(dir_a, s, empty_ok=True)
-            tb = _load(dir_b, s, empty_ok=True)
-            if ta is None or tb is None:
-                continue
+            ta = _load(dir_a, s, empty_a)
+            tb = _load(dir_b, s, empty_b)
             outs.append(ta.join(tb, keys=[key_a], right_keys=[key_b],
                                 join_type=join_type,
                                 right_suffix=right_suffix))
-        if not outs:
-            raise ValueError("bucket_join: an input table has no data "
-                             "files in any shard — nothing to join")
         return pa.concat_tables(outs, promote_options="default")
 
     ids = ray.data.from_arrow(pa.table({

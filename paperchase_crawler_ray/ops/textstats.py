@@ -17,11 +17,14 @@ import ray.data
 
 from ..functions.texthash import rolling_fingerprint, simhash64, stable_hash64
 
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
-# ASCII twin of Arrow RE2's \W+ split (RE2 word classes are ASCII):
-# ops whose VOCABULARY is built with Arrow kernels must tokenize their
-# apply/score side with THIS, not _WORD_RE, or non-ASCII words diverge
-_ASCII_WORD_RE = re.compile(r"\w+", re.ASCII)
+# RE2 (DuckDB regexp_* and Arrow kernels) treats \w as ASCII-only; every
+# SQL oracle in __ray_entry__ tokenizes with RE2 '\w+', so the module
+# tokenizer is ASCII to agree with the oracles BEYOND the ASCII fixture
+# corpus (unicode \w+ diverges on any accented/CJK word).
+_WORD_RE = re.compile(r"\w+", re.ASCII)
+# kept as an explicit alias for ops documented against Arrow-built
+# vocabularies (BPE/LM score-apply parity)
+_ASCII_WORD_RE = _WORD_RE
 
 def _texts(batch: pa.Table, col: str) -> list[str]:
     """Null-safe text column accessor: null -> '' (every textual op in
@@ -30,7 +33,8 @@ def _texts(batch: pa.Table, col: str) -> list[str]:
     crashing on real-world nulls)."""
     return [t or "" for t in batch.column(col).to_pylist()]
 
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# ASCII for the same RE2-parity reason as _WORD_RE (oracle: '[^\w\s]')
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
 
 # Small stopword list — part of the op's spec (mirrored in the SQL oracle).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")

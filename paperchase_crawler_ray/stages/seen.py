@@ -42,12 +42,14 @@ class SeenShardActor:
     def __init__(self, capacity: int = 1 << 20, promote_at: int = 4096, seed: int = 42):
         self._filter = ShardFilter(capacity=capacity, promote_at=promote_at, seed=seed)
         self._winners: dict = {}
+        self._claimed: dict = {}
 
     def begin_wave(self) -> None:
-        """Reset per-wave state (the winner map). Idempotent; called at
-        the start of each wave's image pass so a partial-wave rerun
-        re-offers from scratch."""
+        """Reset per-wave state (the winner + claimed maps). Idempotent;
+        called at the start of each wave's image pass so a partial-wave
+        rerun re-offers from scratch."""
         self._winners = {}
+        self._claimed = {}
 
     def offer_winners(self, h: np.ndarray, prio: np.ndarray,
                       depth: np.ndarray, page_hash: np.ndarray,
@@ -70,15 +72,38 @@ class SeenShardActor:
         """Pass 2: keep a row iff it IS the recorded per-wave winner for
         its url_hash AND the hash is novel across waves (cuckoo
         check-and-insert). The key is unique per ref (page_hash+img_pos
-        identify it), so at most one row per url_hash survives."""
+        identify it), so at most one row per url_hash survives.
+
+        RETRY-SAFE: Ray Data re-runs map tasks on worker failure, and a
+        retried batch would re-probe hashes its first attempt already
+        inserted into the cross-wave filter — consulting only the
+        cuckoo would then return 'seen' and silently drop the winning
+        ref. The per-wave ``_claimed`` map records which exact
+        (url_hash -> key) won the cuckoo insert this wave; a re-probe by
+        the SAME key is re-granted, while any other key stays denied.
+        Actor methods execute atomically, so claim + insert can't be
+        observed half-done."""
         d = self._winners
-        keys = zip((-prio).tolist(), depth.tolist(),
-                   page_hash.tolist(), pos.tolist())
-        is_winner = np.fromiter((d.get(hh) == k for hh, k in
-                                 zip(h.tolist(), keys)), bool, count=len(h))
+        claimed = self._claimed
+        keys = list(zip((-prio).tolist(), depth.tolist(),
+                        page_hash.tolist(), pos.tolist()))
+        hs = h.tolist()
         out = np.zeros(len(h), bool)
-        if is_winner.any():
-            out[is_winner] = self._filter.check_and_insert(h[is_winner])
+        probe_idx = []
+        for i, (hh, k) in enumerate(zip(hs, keys)):
+            if d.get(hh) != k:
+                continue
+            if claimed.get(hh) == k:  # retried task: re-grant
+                out[i] = True
+            else:
+                probe_idx.append(i)
+        if probe_idx:
+            idx = np.asarray(probe_idx, np.int64)
+            novel = self._filter.check_and_insert(h[idx])
+            out[idx] = novel
+            for i, nv in zip(probe_idx, novel.tolist()):
+                if nv:
+                    claimed[hs[i]] = keys[i]
         return out
 
     def contains_many(self, h: np.ndarray) -> np.ndarray:

@@ -2441,3 +2441,75 @@ def test_grouping_sets_int_column_keeps_int64():
     assert str(got["sum_val"].dtype) == "int64"
     grand = got[(got.a == "ALL") & (got.b == "ALL")]
     assert int(grand["sum_val"].iloc[0]) == 2**53 + 3  # exact past 2^53
+
+
+# -- round-3 ADVICE regressions ----------------------------------------------
+
+def test_bucket_join_empty_sealed_table(tmp_path):
+    """A fully-sealed but EMPTY write_resumable output is a legitimate
+    input: bucket_join must return an empty result with the joined
+    schema, not raise (ADVICE r2)."""
+    from paperchase_crawler_ray.ops.sink import (bucket_join,
+                                                 read_resumable,
+                                                 write_resumable)
+    a = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "va": pa.array([10, 20, 30], pa.int64())})
+    b_empty = pa.table({"k2": pa.array([], pa.int64()),
+                        "vb": pa.array([], pa.int64())})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_resumable(ray.data.from_arrow(a), da, "k", 4)
+    write_resumable(ray.data.from_arrow(b_empty), db, "k2", 4)
+    res = bucket_join(da, db, "k", "k2", 4)
+    # schema asserted on the Dataset (Ray 2.49 to_pandas() drops
+    # columns for all-empty datasets)
+    assert set(res.schema().names) == {"k", "va", "vb"}
+    assert res.count() == 0
+    # and the empty sealed table reads back typed, not as an error
+    rb = read_resumable(db, 4)
+    assert rb.count() == 0
+    assert set(rb.schema().names) >= {"k2", "vb"}
+
+
+def test_winner_check_insert_retry_regrant(ray_session):
+    """Ray Data retries map tasks: a re-probed winner batch must get the
+    SAME grants as its first attempt (per-wave claimed map), not be
+    silently dropped by the cross-wave cuckoo (ADVICE r2, medium)."""
+    import ray as _ray
+    from paperchase_crawler_ray.stages.seen import SeenShardActor
+    actor = SeenShardActor.remote(capacity=1 << 12)
+    h = np.array([111, 111, 222], np.int64)
+    prio = np.array([5, 3, 1], np.int64)      # row0 wins hash 111
+    depth = np.array([0, 0, 0], np.int64)
+    ph = np.array([7, 8, 9], np.int64)
+    pos = np.array([0, 1, 0], np.int64)
+    _ray.get(actor.begin_wave.remote())
+    _ray.get(actor.offer_winners.remote(h, prio, depth, ph, pos))
+    first = _ray.get(actor.winner_check_insert.remote(h, prio, depth, ph, pos))
+    assert first.tolist() == [True, False, True]
+    # simulated task retry: identical probe must re-grant identically
+    retry = _ray.get(actor.winner_check_insert.remote(h, prio, depth, ph, pos))
+    assert retry.tolist() == first.tolist()
+    # next wave: hashes are now cross-wave seen -> denied
+    _ray.get(actor.begin_wave.remote())
+    _ray.get(actor.offer_winners.remote(h, prio, depth, ph, pos))
+    nxt = _ray.get(actor.winner_check_insert.remote(h, prio, depth, ph, pos))
+    assert nxt.tolist() == [False, False, False]
+
+
+def test_multi_kth_null_aware_ranks(ray_session):
+    """Quantile ranks must index the NON-NULL sorted order (DuckDB
+    quantile_disc ignores nulls) — the _q_kth_value/_q_equidepth shape
+    on a null-bearing column (ADVICE r2)."""
+    from paperchase_crawler_ray.ops.relational import (count_non_null,
+                                                       multi_kth_smallest)
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0, 100, 401).round(3).tolist()
+    vals = [None if i % 5 == 0 else v for i, v in enumerate(vals)]
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    nn = count_non_null(ds, "value")
+    nonnull = sorted(v for v in vals if v is not None)
+    assert nn == len(nonnull)
+    ps = (0.10, 0.50, 0.90)
+    ks = [min(max(int(np.ceil(p * nn)) - 1, 0), nn - 1) for p in ps]
+    got = multi_kth_smallest(ds, "value", ks)
+    assert got == [nonnull[k] for k in ks]
