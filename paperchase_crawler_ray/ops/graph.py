@@ -9,16 +9,22 @@ ever leave a block.  The node-side table (labels / scores, O(V)) is the
 small side and rides the standard size-based switch the dedup and
 anti-join ops use:
 
-- ``mode="broadcast"`` (default): the node table lives in a ``ray.put``
-  object; per-block partials are collected and merged on the driver
-  (O(V) driver memory — the broadcast-side assumption).  One distributed
+- ``mode="broadcast"``: the node table lives in a ``ray.put`` object;
+  per-block partials are collected and merged on the driver with
+  VECTORIZED numpy/pd.Index kernels (O(V) driver memory — the
+  broadcast-side assumption; no per-node Python loops).  One distributed
   edge scan + one tiny merge per superstep; no shuffle, no join.
 - ``mode="join"``: the node table stays a Dataset and each superstep is
   a keyed ``Dataset.join`` + hash aggregate — the path for a node table
   beyond driver memory (V ~ 10^9 at the 10^10-edge scale target).  Same
   results, bit-for-bit, at ~10x the per-superstep cost on a small
   cluster (aggregator-actor spin-up dominates), which is why it is not
-  the default below the threshold.
+  used below the threshold.
+- ``mode="auto"`` (default): picks by materialized edge-row count.
+  V ≤ 2·E for edge-defined node universes, so an edge count under
+  ``_JOIN_MODE_EDGE_ROWS`` proves the node table is broadcast-safe;
+  above it the join path runs.  Every caller (including
+  ``pipelines.analyze.host_pagerank``) inherits the switch.
 
 Determinism: PageRank runs in integer micro-units (int64 scores, floor
 division for share splitting) so results are bit-identical across block
@@ -42,6 +48,27 @@ from .relational import cap_join_partitions
 from .relational import scrub_empty_blocks as _scrub
 
 __all__ = ["connected_components", "pagerank"]
+
+# mode="auto" switches to the distributed-node-table join path above
+# this many (undirected/projected) edge rows: V <= 2E, so below it the
+# O(V) driver arrays are provably bounded. Same 2M knee as the
+# anti-join/dedup broadcast switches.
+_JOIN_MODE_EDGE_ROWS = 2_000_000
+
+
+def _resolve_mode(mode: str, edge_rows: int) -> str:
+    if mode != "auto":
+        return mode
+    return "join" if edge_rows > _JOIN_MODE_EDGE_ROWS else "broadcast"
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    """Drain a (small, pre-aggregated) dataset to one driver table."""
+    parts = [b if isinstance(b, pa.Table) else pa.table(b)
+             for b in ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else None
 
 
 def _damped(sc: "np.ndarray", damping_ppm: int) -> "np.ndarray":
@@ -67,41 +94,39 @@ def _undirect(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Dataset:
     return fwd.union(rev)
 
 
-def _labels_table(labels: dict) -> ray.data.Dataset:
-    nodes = sorted(labels)
-    return ray.data.from_arrow(pa.table({
-        "node": pa.array(nodes),
-        "component": pa.array([labels[n] for n in nodes])}))
-
-
 def connected_components(edges: ray.data.Dataset, src: str = "a",
                          dst: str = "b", max_iters: int = 50,
-                         mode: str = "broadcast") -> ray.data.Dataset:
+                         mode: str = "auto") -> ray.data.Dataset:
     """Undirected connected components by min-label propagation.
 
     Returns (node, component) where component is the smallest node id in
     the node's component.  Each superstep proposes
     ``min(own label, neighbors' labels)`` for every node; broadcast mode
     additionally applies full path compression on the driver's O(V)
-    label map each round (the pointer-jumping analog), so convergence is
-    O(log diameter) supersteps.  Join mode applies one pointer-jumping
+    label arrays each round (the pointer-jumping analog), so convergence
+    is O(log diameter) supersteps.  Join mode applies one pointer-jumping
     shortcut per round (label <- label(label)) via a self-join.
     """
-    if mode == "join":
-        return _components_join(edges, src, dst, max_iters)
     und = _undirect(edges, src, dst).materialize()
+    if _resolve_mode(mode, und.count()) == "join":
+        return _components_join(und, max_iters)
 
     def block_nodes(b: pa.Table) -> pa.Table:
         return pa.table({"node": pc.unique(b.column("src"))})
 
-    labels: dict = {}
-    for t in und.map_batches(block_nodes, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow", batch_size=None):
-        for n in t.column("node").to_pylist():
-            labels[n] = n
+    # node universe + labels as parallel driver arrays (pd.Index for
+    # O(1) hash positions — works for int AND string node ids)
+    nt = _collect(und.map_batches(block_nodes, batch_format="pyarrow"))
+    if nt is None:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}))
+    node_arr = np.unique(nt.column("node").to_numpy(zero_copy_only=False))
+    node_idx = pd.Index(node_arr)
+    lab = node_arr.copy()
 
     for _ in range(max_iters):
-        ref = ray.put(labels)
+        ref = ray.put(dict(zip(node_arr.tolist(), lab.tolist())))
 
         def propose(b: pa.Table) -> pa.Table:
             m = ray.get(ref)
@@ -112,30 +137,31 @@ def connected_components(edges: ray.data.Dataset, src: str = "a",
             return pa.table({"node": pa.array(part.index),
                              "lab": pa.array(part.values)})
 
-        changed = False
-        for t in und.map_batches(propose, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow", batch_size=None):
-            for n, lab in zip(t.column("node").to_pylist(),
-                              t.column("lab").to_pylist()):
-                if lab < labels[n]:
-                    labels[n] = lab
-                    changed = True
-        if not changed:
+        pt = _collect(und.map_batches(propose, batch_format="pyarrow"))
+        prev = lab.copy()
+        if pt is not None:
+            pos = node_idx.get_indexer(
+                pt.column("node").to_numpy(zero_copy_only=False))
+            np.minimum.at(lab, pos,
+                          pt.column("lab").to_numpy(zero_copy_only=False))
+        if np.array_equal(lab, prev):
             break
-        # full path compression on the driver map (pointer jumping):
-        # chains collapse to their round-min root before the next scan
-        for n in labels:
-            r = labels[n]
-            while labels[r] != r:
-                r = labels[r]
-            labels[n] = r
-    return _labels_table(labels)
+        # full path compression (pointer jumping), vectorized: labels
+        # are node ids, so label-of-label is one positional gather;
+        # each pass halves chain depth
+        while True:
+            jumped = lab[node_idx.get_indexer(lab)]
+            if np.array_equal(jumped, lab):
+                break
+            lab = jumped
+    return ray.data.from_arrow(pa.table({"node": pa.array(node_arr),
+                                         "component": pa.array(lab)}))
 
 
-def _components_join(edges: ray.data.Dataset, src: str, dst: str,
+def _components_join(und: ray.data.Dataset,
                      max_iters: int) -> ray.data.Dataset:
-    """Keyed-join scale path: node table stays distributed end to end."""
-    und = _undirect(edges, src, dst).materialize()
+    """Keyed-join scale path: node table stays distributed end to end.
+    ``und`` is the materialized undirected edge list."""
     labels = und.map_batches(
         lambda b: pa.table({"node": b.column("src")}), batch_format="pyarrow"
     ).groupby("node").aggregate(Min("node", alias_name="label"))
@@ -191,7 +217,7 @@ def _components_join(edges: ray.data.Dataset, src: str, dst: str,
 
 def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
              iters: int = 10, damping_ppm: int = 850_000,
-             scale: int = 1_000_000, mode: str = "broadcast"
+             scale: int = 1_000_000, mode: str = "auto"
              ) -> ray.data.Dataset:
     """Directed PageRank in fixed-point integer arithmetic.
 
@@ -207,11 +233,11 @@ def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
 
     Returns (node, score) with score in micro-units.
     """
-    if mode == "join":
-        return _pagerank_join(edges, src, dst, iters, damping_ppm, scale)
     e = edges.map_batches(
         lambda b: pa.table({"src": b.column(src), "dst": b.column(dst)}),
         batch_format="pyarrow").materialize()
+    if _resolve_mode(mode, e.count()) == "join":
+        return _pagerank_join(e, iters, damping_ppm, scale)
 
     def block_deg(b: pa.Table) -> pa.Table:
         part = pd.Series(b.column("src").to_pylist()) \
@@ -219,25 +245,33 @@ def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
         return pa.table({"node": pa.array(part.index),
                          "n": pa.array(part.values, pa.int64())})
 
-    outdeg: dict = {}
-    nodes: set = set()
-    for t in e.map_batches(block_deg, batch_format="pyarrow") \
-             .iter_batches(batch_format="pyarrow", batch_size=None):
-        for n, c in zip(t.column("node").to_pylist(),
-                        t.column("n").to_pylist()):
-            outdeg[n] = outdeg.get(n, 0) + c
-    for t in e.map_batches(
-            lambda b: pa.table({"node": pc.unique(b.column("dst"))}),
-            batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow", batch_size=None):
-        nodes.update(t.column("node").to_pylist())
-    nodes.update(outdeg)
+    # out-degrees + node universe: vectorized driver merges over the
+    # pre-aggregated per-block partials (no per-node Python loops)
+    dt = _collect(e.map_batches(block_deg, batch_format="pyarrow"))
+    ut = _collect(e.map_batches(
+        lambda b: pa.table({"node": pc.unique(b.column("dst"))}),
+        batch_format="pyarrow"))
+    if dt is None:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "score": pa.array([], pa.int64())}))
+    deg_nodes = dt.column("node").to_numpy(zero_copy_only=False)
+    node_arr = np.unique(np.concatenate([
+        deg_nodes,
+        ut.column("node").to_numpy(zero_copy_only=False)
+        if ut is not None else deg_nodes[:0]]))
+    node_idx = pd.Index(node_arr)
+    outdeg_vec = np.zeros(len(node_arr), np.int64)
+    np.add.at(outdeg_vec, node_idx.get_indexer(deg_nodes),
+              dt.column("n").to_numpy(zero_copy_only=False))
+    has_out = outdeg_vec > 0
     base = scale - scale * damping_ppm // 1_000_000
-    deg_ref = ray.put(outdeg)
-    scores = {n: scale for n in nodes}
+    deg_ref = ray.put(dict(zip(node_arr[has_out].tolist(),
+                               outdeg_vec[has_out].tolist())))
+    scores = np.full(len(node_arr), scale, np.int64)
 
     for _ in range(iters):
-        sref = ray.put(scores)
+        sref = ray.put(dict(zip(node_arr.tolist(), scores.tolist())))
 
         def share(b: pa.Table) -> pa.Table:
             s, dgs = ray.get(sref), ray.get(deg_ref)
@@ -251,25 +285,23 @@ def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
             return pa.table({"node": pa.array(part.index),
                              "g": pa.array(part.values, pa.int64())})
 
-        gain: dict = {}
-        for t in e.map_batches(share, batch_format="pyarrow") \
-                 .iter_batches(batch_format="pyarrow", batch_size=None):
-            for n, g in zip(t.column("node").to_pylist(),
-                            t.column("g").to_pylist()):
-                gain[n] = gain.get(n, 0) + g
-        scores = {n: gain.get(n, 0) + base for n in nodes}
-    srt = sorted(scores)
+        gt = _collect(e.map_batches(share, batch_format="pyarrow"))
+        scores = np.full(len(node_arr), base, np.int64)
+        if gt is not None:
+            np.add.at(scores,
+                      node_idx.get_indexer(
+                          gt.column("node").to_numpy(zero_copy_only=False)),
+                      gt.column("g").to_numpy(zero_copy_only=False))
+    order = np.argsort(node_arr, kind="stable")
     return ray.data.from_arrow(pa.table({
-        "node": pa.array(srt),
-        "score": pa.array([scores[n] for n in srt], pa.int64())}))
+        "node": pa.array(node_arr[order]),
+        "score": pa.array(scores[order], pa.int64())}))
 
 
-def _pagerank_join(edges: ray.data.Dataset, src: str, dst: str, iters: int,
+def _pagerank_join(e: ray.data.Dataset, iters: int,
                    damping_ppm: int, scale: int) -> ray.data.Dataset:
-    """Keyed-join scale path: scores stay a distributed Dataset."""
-    e = edges.map_batches(
-        lambda b: pa.table({"src": b.column(src), "dst": b.column(dst)}),
-        batch_format="pyarrow").materialize()
+    """Keyed-join scale path: scores stay a distributed Dataset.
+    ``e`` is the materialized (src, dst) projection."""
     # out-degrees ride along every superstep join (computed once)
     deg = e.map_batches(
         lambda b: pa.table({"src": b.column("src"),

@@ -2513,3 +2513,54 @@ def test_multi_kth_null_aware_ranks(ray_session):
     ks = [min(max(int(np.ceil(p * nn)) - 1, 0), nn - 1) for p in ps]
     got = multi_kth_smallest(ds, "value", ks)
     assert got == [nonnull[k] for k in ks]
+
+
+def test_dedup_drop_antijoin_path_equivalent(docs_table, ray_session,
+                                             monkeypatch):
+    """Forcing _DROP_BROADCAST_MAX=0 routes duplicate-id removal through
+    the native left_anti join (the 100 TB path) — results must be
+    identical to the broadcast np.isin path (VERDICT r2 next-round #1)."""
+    from paperchase_crawler_ray.ops import dedup as D
+    ds = ray.data.from_arrow(docs_table)
+    base_mh = sorted(D.minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.6)
+                     .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    base_sh = sorted(D.simhash_dedup(ds, "doc_id", "text")
+                     .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    monkeypatch.setattr(D, "_DROP_BROADCAST_MAX", 0)
+    forced_mh = sorted(D.minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.6)
+                       .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    forced_sh = sorted(D.simhash_dedup(ds, "doc_id", "text")
+                       .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert forced_mh == base_mh and len(base_mh) > 0
+    assert forced_sh == base_sh and len(base_sh) > 0
+
+
+def test_graph_auto_mode_switches_to_join(ray_session, monkeypatch):
+    """mode='auto' (the default every caller inherits) must route to the
+    distributed join path above the edge threshold and produce identical
+    results (VERDICT r2 next-round #2)."""
+    from paperchase_crawler_ray.ops import graph as G
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 20), (3, 21)]
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64())}))
+    cc_b = G.connected_components(edges).to_pandas().sort_values("node")
+    pr_b = G.pagerank(edges, iters=3).to_pandas().sort_values("node")
+    monkeypatch.setattr(G, "_JOIN_MODE_EDGE_ROWS", 0)
+    cc_j = G.connected_components(edges).to_pandas().sort_values("node")
+    pr_j = G.pagerank(edges, iters=3).to_pandas().sort_values("node")
+    assert cc_b.values.tolist() == cc_j.values.tolist()
+    assert pr_b.values.tolist() == pr_j.values.tolist()
+
+
+def test_components_string_nodes_vectorized_driver(ray_session):
+    """The vectorized driver merge must handle STRING node ids (the
+    host-graph case: pipelines.analyze feeds host names)."""
+    from paperchase_crawler_ray.ops.graph import connected_components
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(["h1", "h2", "h4", "h5"], pa.string()),
+        "b": pa.array(["h2", "h3", "h5", "h6"], pa.string())}))
+    got = connected_components(edges).to_pandas()
+    comp = dict(zip(got["node"], got["component"]))
+    assert comp == {"h1": "h1", "h2": "h1", "h3": "h1",
+                    "h4": "h4", "h5": "h4", "h6": "h4"}
