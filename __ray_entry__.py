@@ -2128,6 +2128,28 @@ def _q_video_frames(sf: str):
               .sort(["media_id", "frame_idx"])
 
 
+def _q_dup_spans(sf: str):
+    """Substring-level dedup diagnostic (Lee et al. shape): per-doc
+    count of token positions whose 5-gram occurs >= 2 times anywhere in
+    the CORPUS — block-combined ngram-hash counts through one keyed
+    aggregate, duplicated set broadcast (keyed semi-join path above the
+    size switch)."""
+    from paperchase_crawler_ray.ops.textstats import corpus_dup_spans
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return corpus_dup_spans(docs, "doc_id", "text", n=5)
+
+
+def _q_clean_spans(sf: str):
+    """Substring-dedup REMOVAL: duplicated-5-gram token spans dropped
+    corpus-wide, clean token stream re-emitted (rows-only — the
+    diagnostic twin q_dup_spans is the SQL-oracled surface; pytest
+    carries the exact naive twin on both size-switch paths)."""
+    from paperchase_crawler_ray.ops.textstats import remove_dup_spans
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    out = remove_dup_spans(docs, "doc_id", "text", n=5)
+    return out.select_columns(["doc_id", "clean_text", "n_removed"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -2249,6 +2271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_prep": _q_image_prep,
         "q_audio_features": _q_audio_features,
         "q_video_frames": _q_video_frames,
+        "q_dup_spans": _q_dup_spans,
+        "q_clean_spans": _q_clean_spans,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
         "q_table_checksum": _q_table_checksum,
@@ -2767,6 +2791,17 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_2grams, CAST(len(g3) AS BIGINT) AS n_3grams, "
             "CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) "
             "AS dup_3grams FROM G",
+        "q_dup_spans":
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'\\w+') AS t FROM documents), "
+            "pos AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g "
+            "FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) "
+            "WHERE len(t) >= 5), "
+            "cnt AS (SELECT g, COUNT(*) AS c FROM pos GROUP BY g) "
+            "SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos, "
+            "CAST(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_pos FROM pos p JOIN cnt ON p.g = cnt.g "
+            "GROUP BY p.doc_id",
         "q_bloom_semi":
             "SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem "
             "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier "

@@ -1989,16 +1989,14 @@ def expect(ds: ray.data.Dataset, not_null: list[str] | None = None,
 
     for keys in unique:
         name = "unique:" + ",".join(keys)
-        grouped = ds.groupby(keys).count()
-
-        def extras(b: pa.Table) -> pa.Table:
-            c = b.column("count()")
-            over = pc.subtract(c, pa.scalar(1, c.type))
-            return pa.table({"x": pc.cast(over, pa.int64())})
-
-        tot = grouped.map_batches(extras, batch_format="pyarrow") \
-            .aggregate(Sum("x", alias_name="x"))
-        rules.append((name, int(tot["x"] or 0)))
+        # violations = total rows - distinct keys; project to the key
+        # columns BEFORE the hash aggregate so non-key columns never
+        # ride the all-to-all, and count groups instead of summing
+        # per-group counts (one fewer pass over the aggregate output)
+        sub = ds.select_columns(list(keys))
+        n_total = sub.count()
+        n_groups = sub.groupby(list(keys)).count().count()
+        rules.append((name, int(n_total - n_groups)))
 
     return ray.data.from_arrow(pa.table({
         "rule": pa.array([r[0] for r in rules], pa.string()),

@@ -646,3 +646,228 @@ def dup_ngram_stats(ds: ray.data.Dataset, text_col: str = "text",
                     ) -> ray.data.Dataset:
     return ds.map_batches(lambda b: dup_ngram_stats_batch(b, text_col),
                           batch_format="pyarrow")
+
+
+def _ngram_hash_fn(n: int):
+    """Per-doc positional n-gram hashes (ASCII tokens, RE2 parity)."""
+    def doc_hashes(text: str) -> np.ndarray:
+        toks = _ASCII_WORD_RE.findall((text or "").lower())
+        k = len(toks) - n + 1
+        if k <= 0:
+            return np.empty(0, np.int64)
+        return np.fromiter(
+            (stable_hash64(" ".join(toks[i:i + n])) for i in range(k)),
+            np.int64, count=k)
+    return doc_hashes
+
+
+def _dup_ngram_hashes(ds: "ray.data.Dataset", text_col: str,
+                      n: int) -> "ray.data.Dataset":
+    """Hashes of n-grams occurring >= 2 times corpus-wide: per-block
+    Counter combiner (pre-shrinks within-block repeats) -> ONE keyed
+    hash aggregate -> filter, scrubbed for join-side safety."""
+    from collections import Counter
+    from ray.data.aggregate import Sum
+    from .relational import scrub_empty_blocks
+
+    doc_hashes = _ngram_hash_fn(n)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in _texts(batch, text_col):
+            c.update(doc_hashes(t).tolist())
+        gh = np.fromiter(c.keys(), np.int64, count=len(c))
+        cnt = np.fromiter(c.values(), np.int64, count=len(c))
+        return pa.table({"gh": pa.array(gh, pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    counts = ds.map_batches(partial_counts, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("gh").aggregate(Sum("c", alias_name="total"))
+    dups = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("total"),
+                                            pa.scalar(2))).select(["gh"]),
+        batch_format="pyarrow")
+    return scrub_empty_blocks(dups)
+
+
+def corpus_dup_spans(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 5,
+                     broadcast_max: int = 2_000_000) -> "ray.data.Dataset":
+    """CORPUS-wide duplicated-n-gram coverage per document — the
+    substring-dedup diagnostic (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): a token position is
+    "duplicated" when its n-gram occurs >= 2 times anywhere in the
+    corpus (including within the same document). Returns one row per
+    document with >= 1 n-gram position: (id, n_pos, n_dup_pos).
+
+    Scale shape: pass 1 explodes (ngram-hash, block-partial count) rows
+    — the per-block Counter combiner pre-shrinks within-block repeats —
+    into ONE keyed hash aggregate; the duplicated-hash set is then
+    broadcast below ``broadcast_max`` rows (sorted int64 array +
+    np.isin per batch) or, above it, the position rows route through
+    the size-switched keyed `semi_join` + per-doc count (nothing
+    corpus-sized on the driver). 64-bit ngram hashes make the count
+    table 8 bytes/gram regardless of n.
+    """
+    _doc_hashes = _ngram_hash_fn(n)
+    dups = _dup_ngram_hashes(ds, text_col, n)
+    if dups.count() <= broadcast_max:
+        arr = np.sort(np.concatenate(
+            [b.column("gh").to_numpy(zero_copy_only=False) for b in
+             dups.iter_batches(batch_format="pyarrow", batch_size=None)]
+            or [np.empty(0, np.int64)]))
+        ref = ray.put(arr)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            ids, npos, ndup = [], [], []
+            for did, t in zip(batch.column(id_col).to_pylist(),
+                              _texts(batch, text_col)):
+                h = _doc_hashes(t)
+                if len(h) == 0:
+                    continue
+                ids.append(did)
+                npos.append(len(h))
+                ndup.append(int(np.isin(h, d).sum()))
+            return pa.table({
+                id_col: pa.array(ids,
+                                 batch.schema.field(id_col).type),
+                "n_pos": pa.array(npos, pa.int64()),
+                "n_dup_pos": pa.array(ndup, pa.int64())})
+
+        return ds.map_batches(stats, batch_format="pyarrow")
+
+    # scale path: explode (id, gh) position rows, keyed semi join against
+    # the duplicated set, per-doc counts via two narrow hash aggregates
+    from .relational import semi_join
+
+    def explode_pos(batch: pa.Table) -> pa.Table:
+        ids, ghs = [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          _texts(batch, text_col)):
+            h = _doc_hashes(t)
+            ids.extend([did] * len(h))
+            ghs.extend(h.tolist())
+        return pa.table({id_col: pa.array(ids, batch.schema.field(id_col).type),
+                         "gh": pa.array(ghs, pa.int64())})
+
+    pos = ds.map_batches(explode_pos, batch_format="pyarrow")
+    totals = pos.groupby(id_col).count()
+    dup_counts = semi_join(pos, "gh", dups, "gh", broadcast_max=0) \
+        .groupby(id_col).count()
+    from .relational import scrub_empty_blocks as _scrub2
+    j = _scrub2(totals).join(
+        _scrub2(dup_counts), join_type="left_outer", num_partitions=8,
+        on=(id_col,), right_on=(id_col,), right_suffix="_d")
+
+    def fin(b: pa.Table) -> pa.Table:
+        names = b.column_names
+        dcol = "count()_d" if "count()_d" in names else "count()"
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_pos": pc.cast(b.column("count()"), pa.int64()),
+            "n_dup_pos": pc.cast(pc.fill_null(b.column(dcol), 0),
+                                 pa.int64())})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 5,
+                     broadcast_max: int = 2_000_000) -> "ray.data.Dataset":
+    """Substring-level dedup REMOVAL (the cleaning half of
+    `corpus_dup_spans`): drop every token covered by an n-gram that
+    occurs >= 2 times corpus-wide, emit the surviving tokens re-joined
+    with single spaces as ``clean_text`` (+ ``n_removed`` tokens).
+    Token-stream rewrite — original inter-token whitespace/punctuation
+    is not preserved, the standard contract for token-level dedup.
+
+    Scale shape: duplicated-hash set broadcast below ``broadcast_max``;
+    above it the duplicate POSITIONS route through the keyed
+    `semi_join`, aggregate to a per-doc position list via the stitched
+    `grouped_string_agg`, and re-attach to the docs with one keyed join
+    — the duplicated set never touches the driver."""
+    doc_hashes = _ngram_hash_fn(n)
+    dups = _dup_ngram_hashes(ds, text_col, n)
+
+    def rewrite(text: str, dup_pos: np.ndarray) -> tuple[str, int]:
+        toks = _ASCII_WORD_RE.findall((text or "").lower())
+        covered = np.zeros(len(toks), bool)
+        for i in dup_pos:
+            covered[i:i + n] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        return " ".join(kept), int(covered.sum())
+
+    if dups.count() <= broadcast_max:
+        arr = np.sort(np.concatenate(
+            [b.column("gh").to_numpy(zero_copy_only=False) for b in
+             dups.iter_batches(batch_format="pyarrow", batch_size=None)]
+            or [np.empty(0, np.int64)]))
+        ref = ray.put(arr)
+
+        def clean(batch: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            texts_out, removed = [], []
+            for t in _texts(batch, text_col):
+                h = doc_hashes(t)
+                pos = np.flatnonzero(np.isin(h, d))
+                ct, nr = rewrite(t, pos)
+                texts_out.append(ct)
+                removed.append(nr)
+            out = batch.append_column("clean_text",
+                                      pa.array(texts_out, pa.string()))
+            return out.append_column("n_removed",
+                                     pa.array(removed, pa.int64()))
+
+        return ds.map_batches(clean, batch_format="pyarrow")
+
+    # keyed scale path
+    from .relational import (grouped_string_agg, scrub_empty_blocks,
+                             semi_join)
+
+    def explode_pos(batch: pa.Table) -> pa.Table:
+        ids, iis, ghs = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          _texts(batch, text_col)):
+            h = doc_hashes(t)
+            ids.extend([did] * len(h))
+            iis.extend(range(len(h)))
+            ghs.extend(h.tolist())
+        return pa.table({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            "i": pa.array(iis, pa.int64()),
+            "gh": pa.array(ghs, pa.int64())})
+
+    pos = ds.map_batches(explode_pos, batch_format="pyarrow")
+    dup_pos = semi_join(pos, "gh", dups, "gh", broadcast_max=0)
+
+    def as_str(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b.column(id_col),
+                         "i": b.column("i"),
+                         "istr": pc.cast(b.column("i"), pa.string())})
+
+    pos_csv = grouped_string_agg(
+        dup_pos.map_batches(as_str, batch_format="pyarrow"),
+        id_col, [("i", False)], "istr", sep=",", out_col="dup_csv")
+    j = scrub_empty_blocks(ds).join(
+        scrub_empty_blocks(pos_csv), join_type="left_outer",
+        num_partitions=8, on=(id_col,), right_on=(id_col,),
+        right_suffix="_p")
+
+    def clean_joined(batch: pa.Table) -> pa.Table:
+        texts_out, removed = [], []
+        for t, csv in zip(_texts(batch, text_col),
+                          batch.column("dup_csv").to_pylist()):
+            pos_arr = np.array([int(x) for x in csv.split(",")],
+                               np.int64) if csv else np.empty(0, np.int64)
+            ct, nr = rewrite(t, pos_arr)
+            texts_out.append(ct)
+            removed.append(nr)
+        out = batch.drop_columns(["dup_csv"])
+        out = out.append_column("clean_text",
+                                pa.array(texts_out, pa.string()))
+        return out.append_column("n_removed",
+                                 pa.array(removed, pa.int64()))
+
+    return j.map_batches(clean_joined, batch_format="pyarrow")

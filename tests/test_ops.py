@@ -2615,3 +2615,58 @@ def test_components_string_nodes_vectorized_driver(ray_session):
     comp = dict(zip(got["node"], got["component"]))
     assert comp == {"h1": "h1", "h2": "h1", "h3": "h1",
                     "h4": "h4", "h5": "h4", "h6": "h4"}
+
+
+def test_corpus_dup_spans_matches_naive(docs_table, ray_session):
+    """Corpus-wide duplicated-5-gram position coverage == pure-Python
+    twin on real driver docs, on BOTH the broadcast and keyed-semi-join
+    paths."""
+    from collections import Counter
+    from paperchase_crawler_ray.ops.textstats import corpus_dup_spans
+    n = 5
+    toks = {r["doc_id"]: re.findall(r"\w+", (r["text"] or "").lower(),
+                                    re.ASCII)
+            for r in docs_table.to_pylist()}
+    grams = {d: [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+             for d, t in toks.items()}
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    want = {d: (len(gs), sum(1 for g in gs if cnt[g] >= 2))
+            for d, gs in grams.items() if gs}
+    ds = ray.data.from_arrow(docs_table)
+    for bmax in (2_000_000, 0):   # broadcast path, then keyed semi-join
+        got = corpus_dup_spans(ds, "doc_id", "text", n=n,
+                               broadcast_max=bmax).to_pandas()
+        got_map = {r.doc_id: (r.n_pos, r.n_dup_pos)
+                   for r in got.itertuples()}
+        assert got_map == want, f"broadcast_max={bmax}"
+    assert sum(v[1] for v in want.values()) > 0  # non-degenerate corpus
+
+
+def test_remove_dup_spans_matches_naive(docs_table, ray_session):
+    """Token-level duplicated-span removal == pure-Python twin on both
+    the broadcast and keyed (semi-join + string-agg + re-attach) paths."""
+    from collections import Counter
+    from paperchase_crawler_ray.ops.textstats import remove_dup_spans
+    n = 5
+    toks = {r["doc_id"]: re.findall(r"\w+", (r["text"] or "").lower(),
+                                    re.ASCII)
+            for r in docs_table.to_pylist()}
+    grams = {d: [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+             for d, t in toks.items()}
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    want = {}
+    for d, t in toks.items():
+        covered = [False] * len(t)
+        for i, g in enumerate(grams[d]):
+            if cnt[g] >= 2:
+                for j in range(i, min(i + n, len(t))):
+                    covered[j] = True
+        want[d] = (" ".join(w for w, c in zip(t, covered) if not c),
+                   sum(covered))
+    ds = ray.data.from_arrow(docs_table)
+    for bmax in (2_000_000, 0):
+        got = remove_dup_spans(ds, "doc_id", "text", n=n,
+                               broadcast_max=bmax).to_pandas()
+        gm = {r.doc_id: (r.clean_text, r.n_removed) for r in got.itertuples()}
+        assert gm == want, f"broadcast_max={bmax}"
+    assert any(v[1] > 0 for v in want.values())
