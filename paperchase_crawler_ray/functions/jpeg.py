@@ -18,7 +18,7 @@ Scope (documented, checked, raised on violation):
     so PSNR is identical to the Annex K optimized tables.
 
 Everything block-parallel is vectorized (color transform, level shift,
-DCT/IDCT as two einsum contractions against the orthonormal basis,
+DCT/IDCT as batched matmul contractions against the orthonormal basis,
 quantization, zigzag). The entropy coder is vectorized too: the encoder
 derives every (codeword, bitlength) field of the scan as numpy arrays
 (DC diffs by component stride, AC run-lengths from np.nonzero gaps,
@@ -222,7 +222,7 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
 
 def _encode_plane_coeffs(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     blocks = _to_blocks(plane) - 128.0
-    coeffs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    coeffs = _C @ blocks @ _C.T   # batched BLAS matmul, same contraction
     quant = np.round(coeffs.reshape(-1, 64) / qtab[None, :]).astype(np.int64)
     return quant[:, _ZIGZAG]
 
@@ -473,9 +473,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     # Sequential Huffman walk: O(1) LUT lookups per symbol; coefficient
     # writes are buffered flat and scattered into the planes in one
-    # vectorized pass afterwards.
+    # vectorized pass afterwards. Hot-loop locals (bound appends,
+    # flattened table tuples, local half/full) measurably matter here —
+    # this is the single hottest kernel in the crawl's image branch.
     flat_idx: list[int] = []
     flat_val: list[int] = []
+    fi_app, fv_app = flat_idx.append, flat_val.append
+    half, full = _HALF, _FULL
+    tabs_flat = [(d[0], d[1], a[0], a[1]) for d, a in tabs]
+    rng_ncomp = range(ncomp)
     b = 0
     for seg in _entropy_segments(data, pos):
         win = _windows16(seg)
@@ -483,8 +489,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         p = 0
         prev = [0] * ncomp
         while b < nb and p < nbits:
-            for ci in range(ncomp):
-                (dsym, dlen), (asym, alen) = tabs[ci]
+            for ci in rng_ncomp:
+                dsym, dlen, asym, alen = tabs_flat[ci]
                 t = win[p]
                 s = dsym[t]
                 L = dlen[t]
@@ -496,11 +502,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                         break
                     a = win[p] >> (16 - s)
                     p += s
-                    if a < _HALF[s]:
-                        a -= _FULL[s]
+                    if a < half[s]:
+                        a -= full[s]
                     prev[ci] += a
-                flat_idx.append((b * ncomp + ci) << 6)
-                flat_val.append(prev[ci])
+                base = (b * ncomp + ci) << 6
+                fi_app(base)
+                fv_app(prev[ci])
                 k = 1
                 while k < 64:
                     if p >= nbits:
@@ -522,10 +529,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                         raise JpegFormatError("AC run overflow")
                     a = win[p] >> (16 - s)
                     p += s
-                    if a < _HALF[s]:
-                        a -= _FULL[s]
-                    flat_idx.append(((b * ncomp + ci) << 6) | k)
-                    flat_val.append(a)
+                    if a < half[s]:
+                        a -= full[s]
+                    fi_app(base | k)
+                    fv_app(a)
                     k += 1
             b += 1
 
@@ -539,7 +546,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         q = qtabs[tq]          # DQT is zigzag-serialized, like the coeffs
         deq = (planes[ci] * q[None, :])[:, _UNZIGZAG].reshape(-1, 8, 8) \
             .astype(np.float64)
-        spatial = np.einsum("xu,nuv,yv->nxy", _C.T, deq, _C.T) + 128.0
+        # batched BLAS matmul (C.T @ X @ C) beats einsum on 8x8 tiles
+        spatial = _C.T @ deq @ _C + 128.0
         plane = spatial.reshape(ph // 8, pw // 8, 8, 8) \
             .transpose(0, 2, 1, 3).reshape(ph, pw)
         out_planes.append(plane)
