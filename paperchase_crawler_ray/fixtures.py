@@ -10,6 +10,8 @@ regenerated independently of generation order.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 import pyarrow as pa
 
@@ -45,14 +47,24 @@ def make_caption(k: int, rng: np.random.Generator) -> str:
     return f"Figure {k}: {_WORDS[a]} {_WORDS[b]} under {_WORDS[c]}."
 
 
-def make_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
-    """Deterministic gradient + noise RGB image so PSNR is meaningful."""
-    rng = _rng_for(seed, image_id)
+@_lru_cache(maxsize=16)
+def _grad_base(w: int, h: int) -> np.ndarray:
+    """The (h, w, 3) gradient plane — pure function of the dims, cached
+    (the fixture cycles over 4 size classes, and recomputing it per
+    image dominated synthesis cost for the big classes)."""
     yy, xx = np.mgrid[0:h, 0:w]
     grad = ((xx * 255) // max(1, w - 1) + (yy * 255) // max(1, h - 1)) // 2
-    img = np.stack([grad, 255 - grad, (grad * 2) % 256], axis=2).astype(np.int64)
+    return np.stack([grad, 255 - grad, (grad * 2) % 256],
+                    axis=2).astype(np.int64)
+
+
+def make_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Deterministic gradient + noise RGB image so PSNR is meaningful.
+    The rng.integers call is byte-identical to the original per-call
+    form — pixel values (and every phash/PSNR golden) are unchanged."""
+    rng = _rng_for(seed, image_id)
     noise = rng.integers(-24, 25, size=(h, w, 3))
-    return np.clip(img + noise, 0, 255).astype(np.uint8)
+    return np.clip(_grad_base(w, h) + noise, 0, 255).astype(np.uint8)
 
 
 def make_image_rows(n: int, seed: int = 42, seed_id: int = 0) -> pa.Table:
