@@ -11,9 +11,12 @@ oracle crawler so one implementation defines the spec.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 
 _N = 32
+_LUMA = np.array([0.299, 0.587, 0.114])
 
 
 def _dct_matrix(n: int) -> np.ndarray:
@@ -33,18 +36,28 @@ def area_resample(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
     ``np.add.at`` accumulate in flat element order, so sums are
     bit-identical, ~5-10x faster on large images)."""
     h, w = gray.shape
+    idx, cnt = _bin_geometry(h, w, oh, ow)
+    out = np.bincount(idx, weights=gray.ravel(), minlength=oh * ow)
+    return (out / cnt).reshape(oh, ow)
+
+
+@_lru_cache(maxsize=64)
+def _bin_geometry(h: int, w: int, oh: int, ow: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(flat bin index, per-bin count) — pure function of the
+    geometry; cached because the crawl hashes millions of images from
+    a handful of size classes."""
     ys = (np.arange(h) * oh) // h
     xs = (np.arange(w) * ow) // w
     idx = (ys[:, None] * ow + xs[None, :]).ravel()
-    out = np.bincount(idx, weights=gray.ravel(), minlength=oh * ow)
     cnt = np.bincount(idx, minlength=oh * ow).astype(np.float64)
     cnt[cnt == 0] = 1.0
-    return (out / cnt).reshape(oh, ow)
+    return idx, cnt
 
 
 def phash64(img: np.ndarray) -> int:
     """Perceptual hash of an RGB uint8 (h, w, 3) image -> signed int64."""
-    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    gray = img.astype(np.float64) @ _LUMA
     g = area_resample(gray, _N, _N)
     d = _DCT @ g @ _DCT.T
     block = d[:8, :8].ravel()
