@@ -2150,6 +2150,87 @@ def _q_clean_spans(sf: str):
     return out.select_columns(["doc_id", "clean_text", "n_removed"])
 
 
+def _q_grouped_distinct(sf: str):
+    """Exact COUNT(DISTINCT) per group without any driver state: one
+    keyed aggregate to the distinct (group, value) pairs, then a second
+    tiny aggregate over the pair table — the standard two-level
+    expansion that keeps both exchanges pre-shrunk."""
+    from ray.data.aggregate import Count
+    ev = _rp(sf, "events", columns=["event_type", "user_id"])
+    pairs = ev.groupby(["event_type", "user_id"]).count() \
+        .select_columns(["event_type", "user_id"])
+    out = pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda b: b.set_column(b.column_names.index("n_users"), "n_users",
+                               pc.cast(b.column("n_users"), pa.int64())),
+        batch_format="pyarrow")
+
+
+def _q_local_supplier_qty(sf: str):
+    """TPC-H Q5 distinctive shape: revenue-from-LOCAL-suppliers — the
+    5-way chain region|>nation|>customer|>orders(date range)|>lineitem
+    |>supplier with the c_nationkey = s_nationkey locality predicate.
+    Fact rows shuffle ONCE (lineitem |><| filtered orders); every
+    dimension attaches via the map-side broadcast lookup, and the ASIA
+    region filter rides the nation lookup (inner semantics drop
+    non-ASIA rows for free). Quantity sum keeps the measure
+    integer-exact per the float policy."""
+    from ray.data.aggregate import Sum
+    from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
+                                                       cap_join_partitions)
+    r = _rp(sf, "region", columns=["r_regionkey", "r_name"])
+    n = _rp(sf, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    asia_keys = {row["r_regionkey"] for row in r.take_all()
+                 if row["r_name"] == "ASIA"}
+    asia_n = n.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b.column("n_regionkey").to_numpy(zero_copy_only=False),
+            np.array(sorted(asia_keys), np.int64)))),
+        batch_format="pyarrow")
+
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_cut(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64())
+        lo = pd.Timestamp("1996-01-01").value // 1000
+        hi = pd.Timestamp("1998-01-01").value // 1000
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo, pa.int64())),
+                       pc.less(d, pa.scalar(hi, pa.int64())))
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey")}).filter(keep)
+
+    o = o.map_batches(date_cut, batch_format="pyarrow")
+    li = _rp(sf, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_quantity"])
+    j = li.join(o, join_type="inner",
+                num_partitions=cap_join_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    c = _rp(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    s = _rp(sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_lookup_join(j, "o_custkey", c, "c_custkey",
+                              ["c_nationkey"])
+    j = broadcast_lookup_join(j, "l_suppkey", s, "s_suppkey",
+                              ["s_nationkey"])
+
+    def local_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("c_nationkey"),
+                                 b.column("s_nationkey")))
+
+    j = j.map_batches(local_only, batch_format="pyarrow")
+    # inner lookup against ASIA nations doubles as the region filter
+    j = broadcast_lookup_join(j, "c_nationkey", asia_n, "n_nationkey",
+                              ["n_name"])
+
+    def q_int(b: pa.Table) -> pa.Table:
+        return pa.table({"n_name": b.column("n_name"),
+                         "q": pc.cast(b.column("l_quantity"), pa.int64())})
+
+    return j.map_batches(q_int, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("q", alias_name="total_qty"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -2273,6 +2354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_video_frames": _q_video_frames,
         "q_dup_spans": _q_dup_spans,
         "q_clean_spans": _q_clean_spans,
+        "q_grouped_distinct": _q_grouped_distinct,
+        "q_local_supplier_qty": _q_local_supplier_qty,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
         "q_table_checksum": _q_table_checksum,
@@ -2791,6 +2874,21 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_2grams, CAST(len(g3) AS BIGINT) AS n_3grams, "
             "CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) "
             "AS dup_3grams FROM G",
+        "q_grouped_distinct":
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY event_type",
+        "q_local_supplier_qty":
+            "SELECT n_name, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+            " AS total_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name",
         "q_dup_spans":
             "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
             "'\\w+') AS t FROM documents), "

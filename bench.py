@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_kth_value", "q_heavy_hitters", "q_bloom_semi", "q_lev_join",
     "q_snapshot_diff", "q_zorder",
     "q_bucket_join", "q_pruned_scan", "q_hash_split", "q_expectations",
+    "q_dup_spans", "q_local_supplier_qty",
 ]
 
 
