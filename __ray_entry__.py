@@ -2231,6 +2231,44 @@ def _q_local_supplier_qty(sf: str):
         .groupby("n_name").aggregate(Sum("q", alias_name="total_qty"))
 
 
+def _q_lead(sf: str):
+    """LEAD window (NULL on each user's last event) — LAG over the
+    reversed total order through the same one-sort stitch."""
+    from paperchase_crawler_ray.ops.relational import grouped_lead
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_lead(ev, "user_id", [("ts", False), ("event_id", False)],
+                       "value", out_col="next_value")
+    return out.select_columns(["event_id", "user_id", "next_value"])
+
+
+def _q_pct_cont(sf: str):
+    """Interpolated percentiles (quantile_cont semantics): shared radix
+    descent fetches BOTH bracketing data values per percentile, the
+    interpolation is one deterministic per-value formula (no float
+    aggregation, so the float policy holds)."""
+    from paperchase_crawler_ray.ops.relational import (count_non_null,
+                                                       multi_kth_smallest)
+    ev = _rp(sf, "events", columns=["value"])
+    nn = count_non_null(ev, "value")
+    ps = (0.10, 0.50, 0.90)
+    if nn == 0:
+        return pa.table({f"p{int(p*100):02d}c": pa.array([None], pa.float64())
+                         for p in ps})
+    ranks = []
+    for p in ps:
+        idx = p * (nn - 1)
+        ranks += [int(np.floor(idx)), int(np.ceil(idx))]
+    uniq = sorted(set(ranks))
+    vals = dict(zip(uniq, multi_kth_smallest(ev, "value", uniq)))
+    cols = {}
+    for p in ps:
+        idx = p * (nn - 1)
+        lo, hi = int(np.floor(idx)), int(np.ceil(idx))
+        v = vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
+        cols[f"p{int(p*100):02d}c"] = pa.array([v], pa.float64())
+    return pa.table(cols)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -2356,6 +2394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clean_spans": _q_clean_spans,
         "q_grouped_distinct": _q_grouped_distinct,
         "q_local_supplier_qty": _q_local_supplier_qty,
+        "q_lead": _q_lead,
+        "q_pct_cont": _q_pct_cont,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
         "q_table_checksum": _q_table_checksum,
@@ -2877,6 +2917,14 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_distinct":
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type",
+        "q_lead":
+            "SELECT event_id, user_id, LEAD(value) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id) AS next_value FROM events",
+        "q_pct_cont":
+            "SELECT CAST(quantile_cont(value, 0.10) AS DOUBLE) AS p10c, "
+            "CAST(quantile_cont(value, 0.50) AS DOUBLE) AS p50c, "
+            "CAST(quantile_cont(value, 0.90) AS DOUBLE) AS p90c "
+            "FROM events",
         "q_local_supplier_qty":
             "SELECT n_name, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
             " AS total_qty "

@@ -977,6 +977,17 @@ def grouped_lag(ds: ray.data.Dataset, group_key: str,
     return ray.data.from_arrow_refs(out)
 
 
+def grouped_lead(ds: ray.data.Dataset, group_key: str,
+                 order_cols: list[tuple[str, bool]], value_col: str,
+                 out_col: str = "lead") -> ray.data.Dataset:
+    """``LEAD(value) OVER (PARTITION BY key ORDER BY ...)`` — NULL on
+    each group's last row. Exactly LAG over the REVERSED order (the
+    order must be total per the lag contract), so it rides the same
+    one-sort boundary-carry stitch."""
+    flipped = [(c, not d) for c, d in order_cols]
+    return grouped_lag(ds, group_key, flipped, value_col, out_col=out_col)
+
+
 @ray.remote
 def _block_tail_window(tbl: pa.Table, key: str, val: str, w: int):
     """(first_key, last_key, last-group tail values (up to w-1), nrows)

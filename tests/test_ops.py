@@ -2670,3 +2670,26 @@ def test_remove_dup_spans_matches_naive(docs_table, ray_session):
         gm = {r.doc_id: (r.clean_text, r.n_removed) for r in got.itertuples()}
         assert gm == want, f"broadcast_max={bmax}"
     assert any(v[1] > 0 for v in want.values())
+
+
+def test_grouped_lead_matches_pandas(ray_session):
+    """LEAD == pandas shift(-1) per group over the total order,
+    including null values riding through."""
+    from paperchase_crawler_ray.ops.relational import grouped_lead
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n),
+        "o": rng.permutation(n),
+        "v": rng.integers(0, 10**6, n).astype("float64")})
+    df.loc[df.index % 7 == 0, "v"] = np.nan
+    got = grouped_lead(ray.data.from_pandas(df), "k", [("o", False)], "v",
+                       out_col="nxt").to_pandas()
+    want = df.sort_values(["k", "o"]).copy()
+    want["nxt"] = want.groupby("k")["v"].shift(-1)
+    g = got.sort_values(["k", "o"]).reset_index(drop=True)
+    w = want.reset_index(drop=True)
+    assert np.array_equal(g["nxt"].isna(), w["nxt"].isna())
+    m = ~g["nxt"].isna()
+    assert np.array_equal(g.loc[m, "nxt"].to_numpy(),
+                          w.loc[m, "nxt"].to_numpy())
