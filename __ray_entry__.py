@@ -2269,6 +2269,28 @@ def _q_pct_cont(sf: str):
     return pa.table(cols)
 
 
+def _q_versioned_table(sf: str):
+    """Lance-style versioned table lifecycle over fixture image rows:
+    append -> append -> O(keys) logical delete (deletion vector) ->
+    compact, then read back the latest snapshot's metadata columns.
+    Rows-only — binary payloads; pytest carries byte-exact payload,
+    time-travel and crash-safety goldens."""
+    import tempfile
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops import table_format as T
+    rows = make_image_rows(60)
+    root = tempfile.mkdtemp(prefix="pc_vt_")
+    T.append_table(ray.data.from_arrow(rows.slice(0, 40)), root)
+    T.append_table(ray.data.from_arrow(rows.slice(40, 20)), root)
+    dead = [i for k, i in enumerate(rows.column("image_id").to_pylist())
+            if k % 5 == 0]
+    T.delete_where_keys(root, dead)
+    T.compact_table(root)
+    out = T.read_table(root, columns=["image_id", "w", "h", "phash"]) \
+        .sort("image_id")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -2396,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_local_supplier_qty": _q_local_supplier_qty,
         "q_lead": _q_lead,
         "q_pct_cont": _q_pct_cont,
+        "q_versioned_table": _q_versioned_table,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
         "q_table_checksum": _q_table_checksum,

@@ -1,0 +1,227 @@
+"""Versioned fragment-manifest table format — the Lance-style layout
+(BASELINE.json:15 "Lance image+caption tables") expressed with nothing
+but parquet + JSON manifests, so the sandbox (no ``lance`` package, no
+network) still exercises the production table semantics end to end:
+
+  <root>/data/v<N>-<k>.parquet      immutable data fragments
+  <root>/_deletes/v<N>.parquet      deletion vectors (key lists)
+  <root>/_versions/<N>.json         snapshot manifest
+  <root>/_versions/_LATEST          atomic current-version pointer
+
+Semantics (the subset of Lance/Iceberg a training-data sink needs):
+  * ``append``/``overwrite`` create a NEW immutable snapshot; a reader
+    holding version N is never disturbed (time travel: ``read_table(
+    version=N)``).
+  * ``delete_where_keys`` is O(deleted keys): it writes a deletion
+    vector and a new manifest — no data rewrite (the tombstone pattern
+    the crawl sink already uses per wave).
+  * ``compact`` folds deletion vectors into rewritten fragments — one
+    Ray task per fragment, cluster-parallel — and commits the result as
+    a new snapshot.
+  * Commit protocol is crash-safe: fragments and the manifest are fully
+    written BEFORE the ``_LATEST`` pointer flips via atomic
+    ``os.replace``; a crash mid-commit leaves the previous version
+    intact and only orphan files behind.
+
+Readers apply deletion vectors with a broadcast key filter inside
+``map_batches`` (delete files are small by construction; a pathological
+delete set is what ``compact`` is for).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+__all__ = ["append_table", "overwrite_table", "read_table",
+           "delete_where_keys", "compact_table", "table_versions",
+           "current_version"]
+
+
+def _vdir(root: str) -> str:
+    return os.path.join(root, "_versions")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_vdir(root), f"{version}.json")
+
+
+def current_version(root: str) -> int | None:
+    p = os.path.join(_vdir(root), "_LATEST")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def table_versions(root: str) -> list[int]:
+    if not os.path.isdir(_vdir(root)):
+        return []
+    return sorted(int(f.split(".")[0]) for f in os.listdir(_vdir(root))
+                  if f.endswith(".json"))
+
+
+def _load_manifest(root: str, version: int | None) -> dict:
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    with open(_manifest_path(root, v)) as f:
+        m = json.load(f)
+    m["version"] = v
+    return m
+
+
+def _write_fragments(ds: ray.data.Dataset, root: str,
+                     version: int) -> list[str]:
+    """Stream ``ds`` into immutable fragment files for snapshot
+    ``version``. Uses a staging dir + rename so partially-written
+    fragments are never visible to any manifest."""
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    stage = os.path.join(root, f"_stage-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    ds.write_parquet(stage, compression="none")
+    frags = []
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"v{version}-{i:05d}.parquet"
+        os.replace(os.path.join(stage, f), os.path.join(data_dir, name))
+        frags.append(os.path.join("data", name))
+    os.rmdir(stage)
+    return frags
+
+
+def _commit(root: str, version: int, manifest: dict) -> int:
+    os.makedirs(_vdir(root), exist_ok=True)
+    mp = _manifest_path(root, version)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mp)
+    ptr = os.path.join(_vdir(root), "_LATEST")
+    with open(ptr + ".tmp", "w") as f:
+        f.write(str(version))
+    os.replace(ptr + ".tmp", ptr)      # the atomic commit point
+    return version
+
+
+def append_table(ds: ray.data.Dataset, root: str,
+                 key_col: str = "image_id") -> int:
+    """Append a new snapshot: previous fragments + deletes carry over."""
+    cur = current_version(root)
+    base = _load_manifest(root, cur) if cur is not None else \
+        {"fragments": [], "deletes": [], "key_col": key_col}
+    v = (cur or 0) + 1
+    frags = _write_fragments(ds, root, v)
+    return _commit(root, v, {
+        "fragments": base["fragments"] + frags,
+        "deletes": base["deletes"],
+        "key_col": base.get("key_col", key_col),
+    })
+
+
+def overwrite_table(ds: ray.data.Dataset, root: str,
+                    key_col: str = "image_id") -> int:
+    """Replace the table contents in one new snapshot (old versions stay
+    readable — their fragments are immutable)."""
+    v = (current_version(root) or 0) + 1
+    frags = _write_fragments(ds, root, v)
+    return _commit(root, v, {"fragments": frags, "deletes": [],
+                             "key_col": key_col})
+
+
+def delete_where_keys(root: str, keys: pa.Array | list) -> int:
+    """O(|keys|) logical delete: write a deletion vector + manifest."""
+    m = _load_manifest(root, None)
+    v = m["version"] + 1
+    ddir = os.path.join(root, "_deletes")
+    os.makedirs(ddir, exist_ok=True)
+    name = os.path.join("_deletes", f"v{v}.parquet")
+    arr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(keys)
+    pq.write_table(pa.table({"key": arr}), os.path.join(root, name))
+    return _commit(root, v, {"fragments": m["fragments"],
+                             "deletes": m["deletes"] + [name],
+                             "key_col": m["key_col"]})
+
+
+def _delete_keys(root: str, m: dict) -> np.ndarray | None:
+    if not m["deletes"]:
+        return None
+    parts = [pq.read_table(os.path.join(root, d)).column("key")
+             .to_numpy(zero_copy_only=False) for d in m["deletes"]]
+    return np.unique(np.concatenate(parts))
+
+
+def read_table(root: str, version: int | None = None,
+               columns: list[str] | None = None) -> ray.data.Dataset:
+    """Snapshot read (latest, or time travel to ``version``): fragments
+    stream as a parquet read; deletion vectors apply as one broadcast
+    anti filter. ``columns`` prunes at the read, but the key column is
+    fetched when deletes exist (and dropped after the filter if it was
+    not requested)."""
+    m = _load_manifest(root, version)
+    files = [os.path.join(root, f) for f in m["fragments"]]
+    dead = _delete_keys(root, m)
+    key_col = m["key_col"]
+    if not files:
+        return ray.data.from_arrow(pa.table({}))
+    read_cols = columns
+    drop_key = False
+    if dead is not None and columns is not None and key_col not in columns:
+        read_cols = columns + [key_col]
+        drop_key = True
+    ds = ray.data.read_parquet(files, columns=read_cols)
+    if dead is None:
+        return ds
+    ref = ray.put(dead)
+
+    def alive(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        out = b.filter(pa.array(~np.isin(k, d)))
+        return out.drop_columns([key_col]) if drop_key else out
+
+    return ds.map_batches(alive, batch_format="pyarrow")
+
+
+@ray.remote
+def _rewrite_fragment(src: str, dst: str, key_col: str, dead_ref) -> int:
+    t = pq.read_table(src)
+    k = t.column(key_col).to_numpy(zero_copy_only=False)
+    kept = t.filter(pa.array(~np.isin(k, dead_ref)))
+    pq.write_table(kept, dst, compression="none")
+    return kept.num_rows
+
+
+def compact_table(root: str) -> int:
+    """Fold deletion vectors into rewritten fragments (one Ray task per
+    fragment) and commit the clean file set as a new snapshot. No-op
+    version bump when there is nothing to fold."""
+    m = _load_manifest(root, None)
+    v = m["version"] + 1
+    dead = _delete_keys(root, m)
+    if dead is None:
+        return _commit(root, v, {"fragments": m["fragments"],
+                                 "deletes": [], "key_col": m["key_col"]})
+    dead_ref = ray.put(dead)
+    data_dir = os.path.join(root, "data")
+    new_frags, futures = [], []
+    for i, frag in enumerate(m["fragments"]):
+        name = f"v{v}-{i:05d}.parquet"
+        futures.append(_rewrite_fragment.remote(
+            os.path.join(root, frag), os.path.join(data_dir, name),
+            m["key_col"], dead_ref))
+        new_frags.append(os.path.join("data", name))
+    ray.get(futures)
+    return _commit(root, v, {"fragments": new_frags, "deletes": [],
+                             "key_col": m["key_col"]})

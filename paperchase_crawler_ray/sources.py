@@ -64,10 +64,19 @@ def read_frontier_checkpoint(out_dir: str) -> ray.data.Dataset | None:
     return ray.data.read_parquet(nxt)
 
 
-def read_image_table(path: str, format: str = "parquet") -> ray.data.Dataset:
-    """S3: an image_caption table (IMAGE_CAPTION schema)."""
+def read_image_table(path: str, format: str = "parquet",
+                     version: int | None = None) -> ray.data.Dataset:
+    """S3: an image_caption table (IMAGE_CAPTION schema).
+
+    ``format="versioned"`` reads the self-contained Lance-style
+    fragment-manifest layout (`ops/table_format.py`: snapshots, time
+    travel via ``version=``, deletion vectors); ``format="lance"``
+    routes to the real package where installed."""
     if format == "lance":
         return ray.data.read_lance(path)  # needs the lance package (prod)
+    if format == "versioned":
+        from .ops.table_format import read_table
+        return read_table(path, version=version)
     return ray.data.read_parquet(path)
 
 
@@ -82,7 +91,11 @@ def write_image_table(ds: ray.data.Dataset, path: str,
         except ImportError as e:  # pragma: no cover - sandbox has no lance
             raise ImportError(
                 "the 'lance' package is not installed in this environment; "
-                "use format='parquet'") from e
+                "use format='parquet' or format='versioned'") from e
+    if format == "versioned":
+        from .ops.table_format import append_table
+        append_table(ds, path, key_col="image_id")
+        return
     ds.write_parquet(path, compression="none")
 
 

@@ -2693,3 +2693,71 @@ def test_grouped_lead_matches_pandas(ray_session):
     m = ~g["nxt"].isna()
     assert np.array_equal(g.loc[m, "nxt"].to_numpy(),
                           w.loc[m, "nxt"].to_numpy())
+
+
+# -- versioned fragment-manifest table format --------------------------------
+
+def test_versioned_table_snapshots_and_time_travel(tmp_path, ray_session):
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops import table_format as T
+    root = str(tmp_path / "vt")
+    rows = make_image_rows(24)
+    a, b = rows.slice(0, 16), rows.slice(16, 8)
+    v1 = T.append_table(ray.data.from_arrow(a), root)
+    v2 = T.append_table(ray.data.from_arrow(b), root)
+    assert (v1, v2) == (1, 2) and T.current_version(root) == 2
+    # time travel: v1 sees only the first batch; latest sees both
+    ids_v1 = set(T.read_table(root, version=1)
+                 .select_columns(["image_id"]).to_pandas()["image_id"])
+    ids_v2 = set(T.read_table(root)
+                 .select_columns(["image_id"]).to_pandas()["image_id"])
+    assert ids_v1 == set(a.column("image_id").to_pylist())
+    assert ids_v2 == set(rows.column("image_id").to_pylist())
+    # O(keys) logical delete -> new version, no rewrite; old version intact
+    dead = a.column("image_id").to_pylist()[:5]
+    v3 = T.delete_where_keys(root, dead)
+    ids_v3 = set(T.read_table(root)
+                 .select_columns(["image_id"]).to_pandas()["image_id"])
+    assert ids_v3 == ids_v2 - set(dead)
+    assert set(T.read_table(root, version=2).select_columns(["image_id"])
+               .to_pandas()["image_id"]) == ids_v2
+    # column pruning still applies deletes when key not requested
+    caps = T.read_table(root, columns=["caption"]).to_pandas()
+    assert len(caps) == len(ids_v3) and list(caps.columns) == ["caption"]
+    # compact folds the deletion vector; contents unchanged, deletes gone
+    v4 = T.compact_table(root)
+    assert v4 == v3 + 1
+    ids_v4 = set(T.read_table(root)
+                 .select_columns(["image_id"]).to_pandas()["image_id"])
+    assert ids_v4 == ids_v3
+    import json, os
+    m = json.load(open(os.path.join(root, "_versions", f"{v4}.json")))
+    assert m["deletes"] == []
+    # payload survives byte-exact through append/delete/compact
+    got = T.read_table(root).to_pandas().set_index("image_id")
+    src = rows.to_pandas().set_index("image_id")
+    for iid in ids_v4:
+        assert got.loc[iid, "bytes"] == src.loc[iid, "bytes"]
+        assert got.loc[iid, "phash"] == src.loc[iid, "phash"]
+
+
+def test_versioned_table_overwrite_and_crash_safety(tmp_path, ray_session):
+    import os
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops import table_format as T
+    root = str(tmp_path / "vt2")
+    rows = make_image_rows(12)
+    T.append_table(ray.data.from_arrow(rows.slice(0, 8)), root)
+    v2 = T.overwrite_table(ray.data.from_arrow(rows.slice(8, 4)), root)
+    ids = set(T.read_table(root).select_columns(["image_id"])
+              .to_pandas()["image_id"])
+    assert ids == set(rows.slice(8, 4).column("image_id").to_pylist())
+    # v1 still fully readable after the overwrite (immutable fragments)
+    assert len(T.read_table(root, version=1).to_pandas()) == 8
+    # crash simulation: an orphan manifest WITHOUT the _LATEST flip must
+    # be invisible to plain reads (commit point = pointer rename)
+    orphan = os.path.join(root, "_versions", f"{v2 + 1}.json")
+    with open(orphan, "w") as f:
+        f.write('{"fragments": [], "deletes": [], "key_col": "image_id"}')
+    assert T.current_version(root) == v2
+    assert len(T.read_table(root).to_pandas()) == 4
