@@ -2291,6 +2291,28 @@ def _q_versioned_table(sf: str):
     return out
 
 
+def _q_incremental_dedup(sf: str):
+    """Incremental ingest dedup: new shard minus documents whose TEXT
+    already exists in the prior corpus (derived split: doc_id%3==0 is
+    'already ingested') — the size-switched anti_join on a STRING key,
+    the shape every nightly ingest runs against yesterday's index."""
+    from paperchase_crawler_ray.ops.relational import anti_join
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+
+    def prior(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(k % 3 == 0))
+
+    def fresh(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(k % 3 != 0))
+
+    new = docs.map_batches(fresh, batch_format="pyarrow")
+    old = docs.map_batches(prior, batch_format="pyarrow")
+    return anti_join(new, "text", old, "text") \
+        .select_columns(["doc_id", "text"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -2419,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lead": _q_lead,
         "q_pct_cont": _q_pct_cont,
         "q_versioned_table": _q_versioned_table,
+        "q_incremental_dedup": _q_incremental_dedup,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
         "q_table_checksum": _q_table_checksum,
@@ -2940,6 +2963,11 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_distinct":
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type",
+        "q_incremental_dedup":
+            "SELECT d.doc_id, d.text FROM documents d "
+            "WHERE d.doc_id % 3 <> 0 AND NOT EXISTS ("
+            "SELECT 1 FROM documents p WHERE p.doc_id % 3 = 0 "
+            "AND p.text = d.text)",
         "q_lead":
             "SELECT event_id, user_id, LEAD(value) OVER (PARTITION BY "
             "user_id ORDER BY ts, event_id) AS next_value FROM events",
