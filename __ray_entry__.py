@@ -2141,9 +2141,10 @@ def _q_dup_spans(sf: str):
 
 def _q_clean_spans(sf: str):
     """Substring-dedup REMOVAL: duplicated-5-gram token spans dropped
-    corpus-wide, clean token stream re-emitted (rows-only — the
-    diagnostic twin q_dup_spans is the SQL-oracled surface; pytest
-    carries the exact naive twin on both size-switch paths)."""
+    corpus-wide, clean token stream re-emitted. Fully SQL-oracled (the
+    DuckDB twin reconstructs covered positions via interval join +
+    ordered string_agg); pytest additionally carries the exact naive
+    twin on both size-switch paths."""
     from paperchase_crawler_ray.ops.textstats import remove_dup_spans
     docs = _rp(sf, "documents", columns=["doc_id", "text"])
     out = remove_dup_spans(docs, "doc_id", "text", n=5)
@@ -2963,6 +2964,27 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_distinct":
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type",
+        "q_clean_spans":
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'\\w+') AS t FROM documents), "
+            "pos AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g "
+            "FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) "
+            "WHERE len(t) >= 5), "
+            "cnt AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2), "
+            "dup AS (SELECT p.doc_id, p.i FROM pos p JOIN cnt USING (g)), "
+            "tokpos AS (SELECT doc_id, j, t[j] AS w FROM toks, "
+            "UNNEST(range(1, len(t) + 1)) AS u(j)), "
+            "cov AS (SELECT DISTINCT tp.doc_id, tp.j FROM tokpos tp "
+            "JOIN dup d ON tp.doc_id = d.doc_id AND tp.j >= d.i "
+            "AND tp.j <= d.i + 4), "
+            "kept AS (SELECT tp.doc_id, tp.j, tp.w FROM tokpos tp "
+            "ANTI JOIN cov c ON tp.doc_id = c.doc_id AND tp.j = c.j), "
+            "agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) "
+            "AS clean_text, COUNT(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, len(t) AS n_tok FROM toks) "
+            "SELECT tot.doc_id, COALESCE(agg.clean_text, '') AS clean_text, "
+            "CAST(tot.n_tok - COALESCE(agg.n_kept, 0) AS BIGINT) "
+            "AS n_removed FROM tot LEFT JOIN agg USING (doc_id)",
         "q_incremental_dedup":
             "SELECT d.doc_id, d.text FROM documents d "
             "WHERE d.doc_id % 3 <> 0 AND NOT EXISTS ("
