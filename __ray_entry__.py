@@ -2265,7 +2265,13 @@ def _q_pct_cont(sf: str):
     for p in ps:
         idx = p * (nn - 1)
         lo, hi = int(np.floor(idx)), int(np.ceil(idx))
-        v = vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
+        # bit-match quantile_cont: v_lo*(CRN-RN) + v_hi*(RN-FRN), with
+        # the exact-index case returned directly (the weighted form
+        # would collapse to 0.0 when lo == hi)
+        if lo == hi:
+            v = vals[lo]
+        else:
+            v = vals[lo] * (hi - idx) + vals[hi] * (idx - lo)
         cols[f"p{int(p*100):02d}c"] = pa.array([v], pa.float64())
     return pa.table(cols)
 
