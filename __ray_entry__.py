@@ -191,6 +191,112 @@ def _q_embedding_norm(sf: str):
     return emb.map_batches(norms, batch_format="pyarrow")
 
 
+def _q_dim_stats(sf: str):
+    """Per-dimension feature profile over the embedding vector column
+    (the scaling/clipping statistics pass an ML pipeline runs before
+    normalization): each batch reduces its (n, d) float32 matrix to d
+    partial rows (min, max, positive count) — order-independent or
+    integer aggregates only, so bit-identical to SQL regardless of
+    reduction order — then a tiny d x n_blocks groupby finishes. At
+    100 TB the shuffle carries d rows per block, never a vector."""
+    from ray.data.aggregate import Max, Min, Sum
+    emb = _rp(sf, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        E = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        d = E.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "pmin": pa.array(E.min(axis=0), pa.float64()),
+            "pmax": pa.array(E.max(axis=0), pa.float64()),
+            "pnp": pa.array((E > 0).sum(axis=0).astype(np.int64)),
+        })
+
+    agg = emb.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Min("pmin", alias_name="min_v"),
+                                  Max("pmax", alias_name="max_v"),
+                                  Sum("pnp", alias_name="n_pos"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"dim": b.column("dim"),
+                         "min_v": b.column("min_v"),
+                         "max_v": b.column("max_v"),
+                         "n_pos": pc.cast(b.column("n_pos"), pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_above_avg(sf: str):
+    """Correlated-subquery shape: lineitem rows whose quantity exceeds
+    their return-flag group's average — a 3-row aggregate broadcast
+    into a streaming filter, never a shuffle join back to the fact
+    table. Exact despite the float compare: quantities are
+    integer-valued doubles, so the SUM is exact in any order and the
+    single division matches the SQL engine bit-for-bit."""
+    from ray.data.aggregate import Count, Sum
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_linenumber",
+                                      "l_returnflag", "l_quantity"])
+    avgs = {r["l_returnflag"]: r["sum_q"] / r["n_q"]
+            for b in li.groupby("l_returnflag").aggregate(
+                Sum("l_quantity", alias_name="sum_q"),
+                Count(alias_name="n_q"))
+            .iter_batches(batch_format="pandas", batch_size=None)
+            for _, r in b.iterrows()}
+    ref = ray.put(avgs)
+
+    def flt(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        flags = b.column("l_returnflag").to_pylist()
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        thr = np.array([m[f] for f in flags], np.float64)
+        return b.filter(pa.array(q > thr))
+
+    return li.map_batches(flt, batch_format="pyarrow")
+
+
+def _q_priority_class(sf: str):
+    """Conditional aggregates over a fact-fact join (TPC-H Q12 shape,
+    l_linestatus standing in for shipmode): lineitem |><| orders on the
+    shared key, a row-level date predicate that forces the join (not a
+    pre-aggregate), then CASE-WHEN counts per status class. One keyed
+    shuffle; the CASE arithmetic is all-integer."""
+    from ray.data.aggregate import Sum
+    from paperchase_crawler_ray.ops.relational import cap_join_partitions
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_linestatus",
+                                      "l_shipdate"])
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_orderpriority",
+                                   "o_orderdate"])
+    j = li.join(o, join_type="inner",
+                num_partitions=cap_join_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def classify(b: pa.Table) -> pa.Table:
+        late = pc.greater(b.column("l_shipdate"), b.column("o_orderdate"))
+        mask = late.to_numpy(zero_copy_only=False)
+        pri = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        high = np.isin(pri, ["1-URGENT", "2-HIGH"])
+        return pa.table({
+            "l_linestatus": b.column("l_linestatus").filter(late),
+            "high_c": pa.array((high[mask]).astype(np.int64)),
+            "low_c": pa.array((~high[mask]).astype(np.int64)),
+        })
+
+    agg = j.map_batches(classify, batch_format="pyarrow") \
+        .groupby("l_linestatus").aggregate(
+            Sum("high_c", alias_name="high_count"),
+            Sum("low_c", alias_name="low_count"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"l_linestatus": b.column("l_linestatus"),
+                         "high_count": pc.cast(b.column("high_count"),
+                                               pa.int64()),
+                         "low_count": pc.cast(b.column("low_count"),
+                                              pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_agg_stats(sf: str):
     """Multi-aggregate groupby (Ray native Sum/Count partial+final)."""
     from ray.data.aggregate import Count, Sum
@@ -2416,6 +2522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": _q_sessionize,
         "q_asof_join": _q_asof_join,
         "q_embedding_norm": _q_embedding_norm,
+        "q_dim_stats": _q_dim_stats,
+        "q_above_avg": _q_above_avg,
+        "q_priority_class": _q_priority_class,
         "q_text_hash_dedup": _q_text_hash_dedup,
         "q_token_count": _q_token_count,
         "q_quality_stats": _q_quality_stats,
@@ -2895,6 +3004,25 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_norm":
             "SELECT vec_id, ROUND(sqrt(list_sum(list_transform("
             "embedding::DOUBLE[], x -> x*x))), 3) AS l2norm FROM embeddings",
+        "q_dim_stats":
+            "SELECT CAST(u.ord AS BIGINT) AS dim, MIN(u.v) AS min_v, "
+            "MAX(u.v) AS max_v, CAST(SUM(CASE WHEN u.v > 0 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_pos FROM (SELECT "
+            "unnest(embedding::DOUBLE[]) AS v, "
+            "generate_subscripts(embedding, 1) AS ord FROM embeddings) u "
+            "GROUP BY u.ord",
+        "q_above_avg":
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity "
+            "FROM lineitem l WHERE l_quantity > (SELECT AVG(l_quantity) "
+            "FROM lineitem l2 WHERE l2.l_returnflag = l.l_returnflag)",
+        "q_priority_class":
+            "SELECT l_linestatus, CAST(SUM(CASE WHEN o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "high_count, CAST(SUM(CASE WHEN o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS "
+            "low_count FROM lineitem JOIN orders ON l_orderkey = "
+            "o_orderkey WHERE l_shipdate > o_orderdate "
+            "GROUP BY l_linestatus",
         "q_text_hash_dedup":
             "SELECT doc_id, lang, source FROM documents "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1",

@@ -47,55 +47,113 @@ def exact_dedup(ds: ray.data.Dataset, keys: list[str],
     Winner selection is associative, so the salted plan returns exactly
     the unsalted result; the salt assignment needs no determinism at all
     (round-robin within each block) because stage 2 re-reduces."""
-    by = [c for c, _ in order_by]
-    asc = [not d for _, d in order_by]
-
     def block_winners(tbl: pa.Table) -> pa.Table:
         # Arrow-native combiner (the hottest shuffle input in the crawl:
         # no pandas round-trip): one zero-copy block sort by
-        # (keys..., order_by...), then the first row of each key run —
-        # run starts detected with sliced pc.not_equal kernels
-        # (null keys compare equal, matching SQL DISTINCT).
+        # (keys..., order_by...), then the first row of each key run.
         n = tbl.num_rows
         if n <= 1:
             return tbl
         sk = [(c, "ascending") for c in keys] + \
              [(c, "descending" if d else "ascending") for c, d in order_by]
         t = tbl.take(pc.sort_indices(tbl, sort_keys=sk))
-        change = np.zeros(n, bool)
-        change[0] = True
-        for c in keys:
-            col = t.column(c).combine_chunks()
-            ne = pc.fill_null(pc.not_equal(col.slice(1),
-                                           col.slice(0, n - 1)), False)
-            change[1:] |= ne.to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(change))
-
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        # same total order as the combiner phase — correct for descending
-        # non-numeric keys too (a negated/reversed numpy proxy is not)
-        return g.sort_values(by=by, ascending=asc, kind="mergesort").head(1)
+        return t.filter(pa.array(_run_change_mask(t, keys)))
 
     combined = ds.map_batches(block_winners, batch_format="pyarrow",
                               batch_size=None)
     if salt_partitions and salt_partitions > 1:
         k = int(salt_partitions)
 
-        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_salt"] = np.arange(len(df), dtype=np.int64) % k
-            return df
+        def add_salt(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_salt", pa.array(np.arange(b.num_rows, dtype=np.int64) % k))
 
-        def drop_salt(df: pd.DataFrame) -> pd.DataFrame:
-            return df.drop(columns=["_salt"])
+        salted = _sorted_first_per_key(
+            combined.map_batches(add_salt, batch_format="pyarrow"),
+            keys + ["_salt"], order_by)
+        desalted = salted.map_batches(lambda b: b.drop_columns(["_salt"]),
+                                      batch_format="pyarrow")
+        return _sorted_first_per_key(desalted, keys, order_by)
+    return _sorted_first_per_key(combined, keys, order_by)
 
-        salted = (combined.map_batches(add_salt, batch_format="pandas")
-                  .groupby(keys + ["_salt"])
-                  .map_groups(first_row, batch_format="pandas")
-                  .map_batches(drop_salt, batch_format="pandas"))
-        return salted.groupby(keys).map_groups(first_row,
-                                               batch_format="pandas")
-    return combined.groupby(keys).map_groups(first_row, batch_format="pandas")
+
+def _run_change_mask(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Run-start flags over a table already sorted by ``keys``: True
+    where any key differs from the previous row. Null keys compare
+    equal to each other (SQL DISTINCT / PARTITION BY semantics) but a
+    null-vs-value transition IS a run start — `pc.not_equal` alone
+    yields null there, which a plain fill_null(False) would swallow,
+    silently merging the null-key group into its sort neighbor and
+    dropping that group's winner."""
+    n = t.num_rows
+    change = np.zeros(n, bool)
+    if n == 0:
+        return change
+    change[0] = True
+    for c in keys:
+        col = t.column(c).combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        ne = pc.fill_null(pc.not_equal(a, b), False)
+        validity_flip = pc.xor(pc.is_null(a), pc.is_null(b))
+        change[1:] |= ne.to_numpy(zero_copy_only=False)
+        change[1:] |= validity_flip.to_numpy(zero_copy_only=False)
+    return change
+
+
+@ray.remote
+def _block_edge_keys(tbl: pa.Table, keys: list[str]):
+    """(first-key tuple, last-key tuple, nrows) of a globally-sorted
+    block — O(1) boundary metadata for the dedup stitch (None == None
+    matches the null-keys-compare-equal rule)."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, 0)
+    first = tuple(tbl.column(c)[0].as_py() for c in keys)
+    last = tuple(tbl.column(c)[n - 1].as_py() for c in keys)
+    return (first, last, n)
+
+
+@ray.remote
+def _block_run_firsts(tbl: pa.Table, keys: list[str],
+                      continues_prev: bool) -> pa.Table:
+    mask = _run_change_mask(tbl, keys)
+    if continues_prev and tbl.num_rows:
+        # this block's leading run is the tail of a group whose winner
+        # already lives in an earlier block
+        mask[0] = False
+    return tbl.filter(pa.array(mask))
+
+
+def _sorted_first_per_key(ds: ray.data.Dataset, keys: list[str],
+                          order_by: list[tuple[str, bool]]
+                          ) -> ray.data.Dataset:
+    """Global first-row-per-key-group: ONE total-order sort by
+    (keys..., order_by...) co-locates each group and puts its winner
+    first; every block then keeps its run starts vectorized, and groups
+    spanning block boundaries are stitched with a driver pass over
+    per-block edge keys (`num_blocks` tuples, never rows). Replaces the
+    per-group pandas ``map_groups`` winner (the Ray 2.49 slow/hang
+    shape) with the same stitched-sort kernel as `grouped_rank`."""
+    sk: list[str] = []
+    desc: list[bool] = []
+    for c, d in [(c, False) for c in keys] + list(order_by):
+        if c not in sk:  # key-first dedup: an order term on a key
+            sk.append(c)  # column is always tied within its group
+            desc.append(d)
+    sorted_ds = ds.sort(sk, descending=desc)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    metas = ray.get([_block_edge_keys.remote(r, keys) for r in refs])
+    out, prev_last = [], object()
+    for r, (first, last, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        out.append(_block_run_firsts.remote(r, keys, first == prev_last))
+        prev_last = last
+    if not out:
+        return sorted_ds
+    return ray.data.from_arrow_refs(out)
 
 
 def broadcast_anti_join(ds: ray.data.Dataset, key: str,

@@ -2761,3 +2761,79 @@ def test_versioned_table_overwrite_and_crash_safety(tmp_path, ray_session):
         f.write('{"fragments": [], "deletes": [], "key_col": "image_id"}')
     assert T.current_version(root) == v2
     assert len(T.read_table(root).to_pandas()) == 4
+
+
+def _duckdb_twin(name: str, sf: str = "/root/testdata/sf0.001"):
+    """Run a queries() entry and its oracle_sql() twin side by side."""
+    import duckdb
+
+    import __ray_entry__ as E
+    got = E.queries()[name](sf)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(E.oracle_sql()[name]).df()
+    cols = sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    return len(g)
+
+
+def test_dim_stats_matches_duckdb(ray_session):
+    """Per-dimension vector stats: 64 dims, exact min/max/pos-count."""
+    assert _duckdb_twin("q_dim_stats") == 64
+
+
+def test_above_avg_matches_duckdb(ray_session):
+    """Correlated-subquery broadcast filter, non-trivial selectivity."""
+    n = _duckdb_twin("q_above_avg")
+    assert 0 < n
+
+
+def test_priority_class_matches_duckdb(ray_session):
+    """Q12-shape conditional aggregates over the fact-fact join."""
+    assert _duckdb_twin("q_priority_class") >= 1
+
+
+def test_exact_dedup_null_key_group_survives(ray_session):
+    """Null keys form their OWN group (SQL DISTINCT / PARTITION BY):
+    the value->null sort transition must start a new run — not_equal
+    alone yields null there and a bare fill_null(False) silently
+    merged the null group into its neighbor, dropping its winner."""
+    from paperchase_crawler_ray.ops.relational import exact_dedup
+    t = pa.table({"k": [1, 1, None, None, 2], "v": [3, 1, 5, 2, 9]})
+    out = exact_dedup(ray.data.from_arrow(t), ["k"],
+                      [("v", False)]).to_pandas()
+    assert len(out) == 3
+    assert out.loc[out["k"].isna(), "v"].item() == 2
+    # multi-block + stitched final stage: same semantics
+    t2 = pa.table({"k": ([None] * 50) + list(range(200)),
+                   "v": list(range(250))})
+    out2 = exact_dedup(ray.data.from_arrow(t2).repartition(7), ["k"],
+                       [("v", False)]).to_pandas()
+    assert len(out2) == 201
+    assert out2.loc[out2["k"].isna(), "v"].item() == 0
+
+
+def test_exact_dedup_stitched_final_matches_pandas(ray_session):
+    """The sort-stitched winner stage (replacing per-group pandas
+    map_groups) over many blocks, with and without salting."""
+    from paperchase_crawler_ray.ops.relational import exact_dedup
+    rng = np.random.default_rng(7)
+    n = 20000
+    tt = pa.table({"k": rng.integers(0, 300, n),
+                   "u": np.arange(n),
+                   "v": rng.integers(0, 1000, n)})
+    df = tt.to_pandas()
+    want = (df.sort_values(["v", "u"], ascending=[False, True])
+            .groupby("k").head(1).sort_values("k").reset_index(drop=True))
+    ds = ray.data.from_arrow(tt).repartition(13)
+    for salt in (None, 4):
+        got = exact_dedup(ds, ["k"], [("v", True), ("u", False)],
+                          salt_partitions=salt).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
