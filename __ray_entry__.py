@@ -317,15 +317,20 @@ def _q_minmax(sf: str):
 
 def _q_grouped_median(sf: str):
     """D5 analog: per-group discrete median (quantile_disc semantics —
-    sorted[floor((n-1)/2)]), deterministic and exactly SQL-matchable."""
+    sorted[floor((n-1)/2)] == the ceil(p*n)-1 rule at p=0.5),
+    deterministic and exactly SQL-matchable. Runs on the stitched-sort
+    grouped_quantiles kernel — no per-group pandas map_groups (the
+    Ray 2.49 slow/hang shape) anywhere on the path."""
+    from paperchase_crawler_ray.ops.relational import grouped_quantiles
     ev = _rp(sf, "events", columns=["event_type", "value"])
+    q = grouped_quantiles(ev, "event_type", "value", ps=(0.5,))
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy())
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "median_value": [v[(len(v) - 1) // 2]]})
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "median_value": pc.cast(b.column("p50"),
+                                                 pa.float64())})
 
-    return ev.groupby("event_type").map_groups(med, batch_format="pandas")
+    return q.map_batches(fin, batch_format="pyarrow")
 
 
 def _q_word_count(sf: str):
@@ -1033,21 +1038,19 @@ def _q_outliers(sf: str):
     quantile_disc semantics, cross-multiplied 1.5x-MAD rule — exact
     arithmetic, no float accumulation): the distribution-screening pass
     a data-quality pipeline runs before filtering."""
+    from paperchase_crawler_ray.ops.relational import grouped_quantiles
     li = _rp(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
 
-    def disc_median(g: pd.DataFrame, col: str) -> float:
-        v = np.sort(g[col].to_numpy())
-        return v[(len(v) - 1) // 2]
+    def _gq_map(ds, gcol, vcol) -> dict:
+        # stitched-sort discrete median per group (ceil(n/2)-1 ==
+        # floor((n-1)/2)), collected as a tiny {group: median} dict —
+        # one row per group, never per-group pandas map_groups
+        return {r[gcol]: r["p50"]
+                for b in grouped_quantiles(ds, gcol, vcol, ps=(0.5,))
+                .iter_batches(batch_format="pandas", batch_size=None)
+                for _, r in b.iterrows()}
 
-    def med_g(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
-                             "med_qty": [disc_median(g, "l_quantity")]})
-
-    meds = {r["l_returnflag"]: r["med_qty"]
-            for b in li.groupby("l_returnflag")
-            .map_groups(med_g, batch_format="pandas")
-            .iter_batches(batch_format="pandas", batch_size=None)
-            for _, r in b.iterrows()}
+    meds = _gq_map(li, "l_returnflag", "l_quantity")
     mref = ray.put(meds)
 
     def absdev(b: pa.Table) -> pa.Table:
@@ -1060,15 +1063,7 @@ def _q_outliers(sf: str):
 
     devs = li.map_batches(absdev, batch_format="pyarrow")
 
-    def mad_g(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
-                             "mad_qty": [disc_median(g, "ad")]})
-
-    mads = {r["l_returnflag"]: r["mad_qty"]
-            for b in devs.groupby("l_returnflag")
-            .map_groups(mad_g, batch_format="pandas")
-            .iter_batches(batch_format="pandas", batch_size=None)
-            for _, r in b.iterrows()}
+    mads = _gq_map(devs, "l_returnflag", "ad")
     dref = ray.put(mads)
 
     def flag(b: pa.Table) -> pa.Table:

@@ -1494,9 +1494,8 @@ def grouped_quantiles(ds: ray.data.Dataset, group_col: str, value_col: str,
     vectorized filter keeps exactly the target-rank rows (<= |ps| per
     group), which pivot to the per-group quantile columns on the
     driver. Deterministic — quantile values are data elements, and rank
-    ties among equal values select equal values. For a grouped median
-    only, prefer the cheaper inline kernel in
-    __ray_entry__._q_grouped_median.
+    ties among equal values select equal values. ps=(0.5,) is the
+    grouped discrete median (floor((n-1)/2) == ceil(n/2)-1).
     """
     from ray.data.aggregate import Count
 
