@@ -60,13 +60,24 @@ class BatchTopK:
 
 
 def _final_topk(partials: ray.data.Dataset, k: int) -> ray.data.Dataset:
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        idx = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
-        out = g.iloc[idx].reset_index(drop=True)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+    """Global per-query top-k over the per-block partials (already only
+    O(num_blocks * k) rows): per-group ROW_NUMBER on the stitched-sort
+    kernel under the same total order as the partials (sim desc,
+    vec_id asc), then a vectorized rank<=k filter — no per-group pandas
+    ``map_groups`` anywhere on the reduce."""
+    import pyarrow.compute as pc
 
-    return partials.groupby("query_id").map_groups(topk, batch_format="pandas")
+    from .relational import grouped_rank
+    ranked = grouped_rank(partials, "query_id",
+                          [("sim", True), ("vec_id", False)],
+                          out_col="rank")
+
+    def take(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less_equal(b.column("rank"), pa.scalar(k)))
+        i = t.schema.get_field_index("rank")
+        return t.set_column(i, "rank", pc.cast(t.column("rank"), pa.int64()))
+
+    return ranked.map_batches(take, batch_format="pyarrow")
 
 
 def load_queries(ds: ray.data.Dataset, query_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
