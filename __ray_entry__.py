@@ -297,6 +297,186 @@ def _q_priority_class(sf: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def _ts_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Timestamp column -> int64 microseconds (exact, order-free)."""
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+def _q_exists_orders(sf: str):
+    """TPC-H Q4 shape: orders in a date window that have at least one
+    lineitem shipped after the order date, counted per priority. The
+    correlated EXISTS is rewritten as a pre-aggregate pushdown —
+    EXISTS(l_shipdate > o_orderdate) == MAX(l_shipdate) > o_orderdate —
+    so the keyed join moves ONE row per orderkey, not the fact table."""
+    from ray.data.aggregate import Count, Max
+
+    from paperchase_crawler_ray.ops.relational import cap_join_partitions
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def ship_int(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "ship_us": _ts_us(b.column("l_shipdate"))})
+
+    mx = li.map_batches(ship_int, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Max("ship_us",
+                                             alias_name="max_ship"))
+
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1997-01-01").value // 1000
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
+
+    def window(b: pa.Table) -> pa.Table:
+        d = _ts_us(b.column("o_orderdate"))
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo, pa.int64())),
+                       pc.less(d, pa.scalar(hi, pa.int64())))
+        t = b.filter(keep)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "od_us": _ts_us(t.column("o_orderdate")),
+                         "o_orderpriority": t.column("o_orderpriority")})
+
+    j = mx.join(o.map_batches(window, batch_format="pyarrow"),
+                join_type="inner",
+                num_partitions=cap_join_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("max_ship"),
+                                   b.column("od_us")))
+
+    agg = j.map_batches(late, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "n_orders": pc.cast(b.column("n_orders"),
+                                             pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_big_orders(sf: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity clears a
+    HAVING threshold, joined back to orders and customers. The
+    aggregate runs FIRST (one int row per orderkey crosses the
+    shuffle), the >150 filter prunes before either join, and the
+    surviving rows are tiny on both join probes. Quantities are
+    integer-valued, so the HAVING sum is exact in any order."""
+    from ray.data.aggregate import Sum
+
+    from paperchase_crawler_ray.ops.relational import cap_join_partitions
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "q": pc.cast(b.column("l_quantity"), pa.int64())})
+
+    agg = li.map_batches(to_int, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("q", alias_name="tq"))
+    hot = agg.map_batches(
+        lambda b: b.filter(pc.greater(b.column("tq"), pa.scalar(150))),
+        batch_format="pyarrow")
+
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey",
+                                   "o_totalprice"])
+    j = hot.join(o, join_type="inner",
+                 num_partitions=cap_join_partitions(8),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    c = _rp(sf, "customer", columns=["c_custkey", "c_name"])
+    jc = j.join(c, join_type="inner",
+                num_partitions=cap_join_partitions(8),
+                on=("o_custkey",), right_on=("c_custkey",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        # the joins keep the LEFT key column (l_orderkey / o_custkey)
+        return pa.table({"c_name": b.column("c_name"),
+                         "o_orderkey": b.column("l_orderkey"),
+                         "o_totalprice": b.column("o_totalprice"),
+                         "total_qty": pc.cast(b.column("tq"),
+                                              pa.float64())})
+
+    return jc.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_promo_share(sf: str):
+    """TPC-H Q14 shape: share of promo revenue in a ship-date window.
+    Float policy: revenue is computed in EXACT integer 10^-4 currency
+    units (prices/discounts are 2-decimal by data contract, so
+    round(price*100) * (100 - round(disc*100)) is an integer) — the
+    sums commute bit-exactly with SQL and the single final division is
+    IEEE-deterministic. part attaches via the broadcast lookup join
+    (dimension side, unique key): the fact table never shuffles."""
+    from paperchase_crawler_ray.ops.relational import broadcast_lookup_join
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1996-04-01").value // 1000
+    li = _rp(sf, "lineitem", columns=["l_partkey", "l_extendedprice",
+                                      "l_discount", "l_shipdate"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        d = _ts_us(b.column("l_shipdate"))
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo, pa.int64())),
+                       pc.less(d, pa.scalar(hi, pa.int64())))
+        t = b.filter(keep)
+        price = np.rint(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.rint(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "r": pa.array(price * (100 - disc))})
+
+    typed = broadcast_lookup_join(
+        li.map_batches(rev, batch_format="pyarrow"), "l_partkey",
+        _rp(sf, "part", columns=["p_partkey", "p_type"]),
+        "p_partkey", ["p_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False)
+        promo = pc.equal(b.column("p_type"), pa.scalar("PROMO")) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array([int(r[promo].sum())]),
+                         "t": pa.array([int(r.sum())])})
+
+    tot_p = tot_t = 0
+    for b in typed.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        tot_p += sum(t.column("p").to_pylist())
+        tot_t += sum(t.column("t").to_pylist())
+    share = float(tot_p) / float(tot_t) if tot_t else 0.0
+    return pd.DataFrame({"promo_rev": [tot_p], "total_rev": [tot_t],
+                         "promo_share": [share]})
+
+
+def _q_important_nations(sf: str):
+    """TPC-H Q11 shape: nations holding more than 1/20 of global
+    supplier balance. Group sums in exact integer cents; the global
+    scalar is the sum of the (tiny) group sums, and the HAVING compares
+    cross-multiplied integers (bal*20 > global) — no float anywhere."""
+    from ray.data.aggregate import Sum
+
+    from paperchase_crawler_ray.ops.relational import broadcast_lookup_join
+    sup = _rp(sf, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        bal = np.rint(b.column("s_acctbal").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"s_nationkey": b.column("s_nationkey"),
+                         "bal": pa.array(bal)})
+
+    grp = sup.map_batches(cents, batch_format="pyarrow") \
+        .groupby("s_nationkey").aggregate(Sum("bal", alias_name="bal_c"))
+    named = broadcast_lookup_join(
+        grp, "s_nationkey",
+        _rp(sf, "nation", columns=["n_nationkey", "n_name"]),
+        "n_nationkey", ["n_name"])
+    rows = named.to_pandas()  # one row per nation — bounded tiny
+    total = int(rows["bal_c"].sum())
+    keep = rows[rows["bal_c"] * 20 > total]
+    return pd.DataFrame({"n_name": keep["n_name"].to_numpy(),
+                         "bal_cents": keep["bal_c"].astype(np.int64)
+                         .to_numpy()})
+
+
 def _q_agg_stats(sf: str):
     """Multi-aggregate groupby (Ray native Sum/Count partial+final)."""
     from ray.data.aggregate import Count, Sum
@@ -2520,6 +2700,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dim_stats": _q_dim_stats,
         "q_above_avg": _q_above_avg,
         "q_priority_class": _q_priority_class,
+        "q_exists_orders": _q_exists_orders,
+        "q_big_orders": _q_big_orders,
+        "q_promo_share": _q_promo_share,
+        "q_important_nations": _q_important_nations,
         "q_text_hash_dedup": _q_text_hash_dedup,
         "q_token_count": _q_token_count,
         "q_quality_stats": _q_quality_stats,
@@ -3018,6 +3202,34 @@ def oracle_sql() -> dict[str, str]:
             "low_count FROM lineitem JOIN orders ON l_orderkey = "
             "o_orderkey WHERE l_shipdate > o_orderdate "
             "GROUP BY l_linestatus",
+        "q_exists_orders":
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders o WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' AND EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate) GROUP BY o_orderpriority",
+        "q_big_orders":
+            "SELECT c_name, o_orderkey, o_totalprice, "
+            "CAST(SUM(l_quantity) AS DOUBLE) AS total_qty FROM orders "
+            "JOIN lineitem ON o_orderkey = l_orderkey JOIN customer ON "
+            "c_custkey = o_custkey GROUP BY c_name, o_orderkey, "
+            "o_totalprice HAVING SUM(l_quantity) > 150",
+        "q_promo_share":
+            "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 "
+            "END) AS BIGINT) AS promo_rev, CAST(SUM(r) AS BIGINT) AS "
+            "total_rev, CAST(SUM(CASE WHEN p_type = 'PROMO' THEN r ELSE "
+            "0 END) AS DOUBLE) / CAST(SUM(r) AS DOUBLE) AS promo_share "
+            "FROM (SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) "
+            "AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS "
+            "BIGINT)) AS r FROM lineitem WHERE l_shipdate >= TIMESTAMP "
+            "'1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01') l "
+            "JOIN part ON l_partkey = p_partkey",
+        "q_important_nations":
+            "WITH s AS (SELECT s_nationkey, CAST(ROUND(s_acctbal * 100) "
+            "AS BIGINT) AS bal FROM supplier) SELECT n_name, "
+            "CAST(SUM(bal) AS BIGINT) AS bal_cents FROM s JOIN nation "
+            "ON s_nationkey = n_nationkey GROUP BY n_name "
+            "HAVING SUM(bal) * 20 > (SELECT SUM(bal) FROM s)",
         "q_text_hash_dedup":
             "SELECT doc_id, lang, source FROM documents "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1",

@@ -2799,6 +2799,26 @@ def test_priority_class_matches_duckdb(ray_session):
     assert _duckdb_twin("q_priority_class") >= 1
 
 
+def test_exists_orders_matches_duckdb(ray_session):
+    """Q4-shape correlated EXISTS as a max-pushdown keyed join."""
+    assert _duckdb_twin("q_exists_orders") >= 1
+
+
+def test_big_orders_matches_duckdb(ray_session):
+    """Q18-shape HAVING-filtered aggregate joined back to dims."""
+    assert _duckdb_twin("q_big_orders") > 1
+
+
+def test_promo_share_matches_duckdb(ray_session):
+    """Q14-shape conditional revenue ratio in exact integer units."""
+    assert _duckdb_twin("q_promo_share") == 1
+
+
+def test_important_nations_matches_duckdb(ray_session):
+    """Q11-shape group-sum vs global-scalar HAVING, integer-exact."""
+    assert _duckdb_twin("q_important_nations") >= 1
+
+
 def test_exact_dedup_null_key_group_survives(ray_session):
     """Null keys form their OWN group (SQL DISTINCT / PARTITION BY):
     the value->null sort transition must start a new run — not_equal
