@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q_snapshot_diff", "q_zorder",
     "q_bucket_join", "q_pruned_scan", "q_hash_split", "q_expectations",
     "q_dup_spans", "q_local_supplier_qty",
+    "q_exists_orders", "q_big_orders", "q_promo_share",
 ]
 
 
