@@ -297,8 +297,11 @@ def _q_priority_class(sf: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
-def _ts_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
-    """Timestamp column -> int64 microseconds (exact, order-free)."""
+def _ts_us_col(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Timestamp COLUMN -> int64 microseconds (exact, order-free).
+    Distinct name from the Dataset-level `_ts_us` above: a same-name
+    redefinition shadowed it at module scope and silently broke the
+    window queries that call the Dataset form."""
     return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
 
 
@@ -315,7 +318,7 @@ def _q_exists_orders(sf: str):
 
     def ship_int(b: pa.Table) -> pa.Table:
         return pa.table({"l_orderkey": b.column("l_orderkey"),
-                         "ship_us": _ts_us(b.column("l_shipdate"))})
+                         "ship_us": _ts_us_col(b.column("l_shipdate"))})
 
     mx = li.map_batches(ship_int, batch_format="pyarrow") \
         .groupby("l_orderkey").aggregate(Max("ship_us",
@@ -327,12 +330,12 @@ def _q_exists_orders(sf: str):
                                    "o_orderpriority"])
 
     def window(b: pa.Table) -> pa.Table:
-        d = _ts_us(b.column("o_orderdate"))
+        d = _ts_us_col(b.column("o_orderdate"))
         keep = pc.and_(pc.greater_equal(d, pa.scalar(lo, pa.int64())),
                        pc.less(d, pa.scalar(hi, pa.int64())))
         t = b.filter(keep)
         return pa.table({"o_orderkey": t.column("o_orderkey"),
-                         "od_us": _ts_us(t.column("o_orderdate")),
+                         "od_us": _ts_us_col(t.column("o_orderdate")),
                          "o_orderpriority": t.column("o_orderpriority")})
 
     j = mx.join(o.map_batches(window, batch_format="pyarrow"),
@@ -413,7 +416,7 @@ def _q_promo_share(sf: str):
                                       "l_discount", "l_shipdate"])
 
     def rev(b: pa.Table) -> pa.Table:
-        d = _ts_us(b.column("l_shipdate"))
+        d = _ts_us_col(b.column("l_shipdate"))
         keep = pc.and_(pc.greater_equal(d, pa.scalar(lo, pa.int64())),
                        pc.less(d, pa.scalar(hi, pa.int64())))
         t = b.filter(keep)
@@ -475,6 +478,359 @@ def _q_important_nations(sf: str):
     return pd.DataFrame({"n_name": keep["n_name"].to_numpy(),
                          "bal_cents": keep["bal_c"].astype(np.int64)
                          .to_numpy()})
+
+
+def _q_volume_shipping(sf: str):
+    """TPC-H Q7 shape: cross-border revenue by (supplier nation,
+    customer nation, ship year). The fact table shuffles ONCE (lineitem
+    |><| orders on orderkey); customer, supplier and nation all attach
+    via broadcast lookups, and the year is extracted vectorized from
+    the us-int timestamp. Revenue is exact integer 10^-4 currency units
+    per the float policy — sums commute bit-exactly with SQL."""
+    from ray.data.aggregate import Sum
+
+    from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
+                                                       cap_join_partitions)
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_suppkey",
+                                      "l_extendedprice", "l_discount",
+                                      "l_shipdate"])
+
+    def window(b: pa.Table) -> pa.Table:
+        d = _ts_us_col(b.column("l_shipdate"))
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo, pa.int64())),
+                       pc.less(d, pa.scalar(hi, pa.int64())))
+        t = b.filter(keep)
+        price = np.rint(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.rint(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        yr = pc.cast(pc.year(pc.cast(t.column("l_shipdate"),
+                                     pa.timestamp("us"))), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "l_year": yr,
+                         "r": pa.array(price * (100 - disc))})
+
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    j = li.map_batches(window, batch_format="pyarrow") \
+        .join(o, join_type="inner",
+              num_partitions=cap_join_partitions(8),
+              on=("l_orderkey",), right_on=("o_orderkey",))
+    c = _rp(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    s = _rp(sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n = _rp(sf, "nation", columns=["n_nationkey", "n_name"])
+    j = broadcast_lookup_join(j, "o_custkey", c, "c_custkey",
+                              ["c_nationkey"])
+    j = broadcast_lookup_join(j, "l_suppkey", s, "s_suppkey",
+                              ["s_nationkey"])
+    j = broadcast_lookup_join(j, "s_nationkey", n, "n_nationkey",
+                              ["n_name"])
+    j = j.rename_columns({"n_name": "supp_nation"})
+    j = broadcast_lookup_join(j, "c_nationkey", n, "n_nationkey",
+                              ["n_name"])
+    j = j.rename_columns({"n_name": "cust_nation"})
+
+    def cross_border(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("supp_nation"),
+                                  b.column("cust_nation")))
+        return t.select(["supp_nation", "cust_nation", "l_year", "r"])
+
+    agg = j.map_batches(cross_border, batch_format="pyarrow") \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("r", alias_name="revenue"))
+    return agg.map_batches(
+        lambda b: b.set_column(b.column_names.index("revenue"), "revenue",
+                               pc.cast(b.column("revenue"), pa.int64())),
+        batch_format="pyarrow")
+
+
+def _q_custdist(sf: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts with
+    a filtered LEFT join (orders not 1-URGENT). The left-join-then-
+    count is rewritten as count-then-histogram: orders aggregate to one
+    int row per custkey, the histogram aggregate runs over THAT, and
+    the customers-with-zero-orders bucket is total_customers minus the
+    histogram's mass — no row-level left join anywhere."""
+    from ray.data.aggregate import Count
+    o = _rp(sf, "orders", columns=["o_custkey", "o_orderpriority"])
+    per_cust = o.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("o_orderpriority"),
+                                        pa.scalar("1-URGENT")))
+        .select(["o_custkey"]),
+        batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Count(alias_name="c_count"))
+    hist = per_cust.groupby("c_count").aggregate(
+        Count(alias_name="custdist"))
+    rows = hist.to_pandas()  # one row per distinct order count — tiny
+    n_total = _rp(sf, "customer", columns=["c_custkey"]).count()
+    n_zero = n_total - int(rows["custdist"].sum())
+    out = pd.DataFrame({
+        "c_count": rows["c_count"].astype(np.int64),
+        "custdist": rows["custdist"].astype(np.int64)})
+    if n_zero > 0:
+        out = pd.concat([out, pd.DataFrame({"c_count": [0],
+                                            "custdist": [n_zero]})],
+                        ignore_index=True)
+    return out
+
+
+def _q_supplier_parts(sf: str):
+    """TPC-H Q16 shape (partsupp stood in by the lineitem part-supplier
+    relation): distinct supplier count per (brand, size), excluding one
+    brand and suppliers with negative balance. Two-level COUNT(DISTINCT)
+    expansion: dedup (partkey, suppkey) pairs block-locally first, then
+    attach part attrs by broadcast, dedup (brand, size, suppkey), and
+    count — every exchange is pre-shrunk to distinct rows."""
+    from ray.data.aggregate import Count
+
+    from paperchase_crawler_ray.ops.relational import (broadcast_anti_join,
+                                                       broadcast_lookup_join)
+    li = _rp(sf, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pairs = li.groupby(["l_partkey", "l_suppkey"]).count() \
+        .select_columns(["l_partkey", "l_suppkey"])
+    bad = _rp(sf, "supplier", columns=["s_suppkey", "s_acctbal"]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b.column("s_acctbal"), pa.scalar(0.0)))
+            .select(["s_suppkey"]), batch_format="pyarrow")
+    pairs = broadcast_anti_join(pairs, "l_suppkey", bad, "s_suppkey")
+    p = _rp(sf, "part", columns=["p_partkey", "p_brand", "p_size"])
+    typed = broadcast_lookup_join(pairs, "l_partkey", p, "p_partkey",
+                                  ["p_brand", "p_size"])
+    typed = typed.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("p_brand"),
+                                        pa.scalar("Brand#13")))
+        .select(["p_brand", "p_size", "l_suppkey"]),
+        batch_format="pyarrow")
+    tri = typed.groupby(["p_brand", "p_size", "l_suppkey"]).count() \
+        .select_columns(["p_brand", "p_size", "l_suppkey"])
+    agg = tri.groupby(["p_brand", "p_size"]).aggregate(
+        Count(alias_name="supplier_cnt"))
+    return agg.map_batches(
+        lambda b: b.set_column(b.column_names.index("supplier_cnt"),
+                               "supplier_cnt",
+                               pc.cast(b.column("supplier_cnt"),
+                                       pa.int64())),
+        batch_format="pyarrow")
+
+
+def _q_small_qty_rev(sf: str):
+    """TPC-H Q17 shape: revenue from lineitems far below their part's
+    average quantity. The correlated AVG subquery is rewritten exact:
+    l_quantity < 0.2*avg  ==  5*q*n < sum(q) in integers. The brand
+    filter pushes down FIRST (broadcast partkey semi-filter), so both
+    the per-part aggregate and the join-back touch only the ~1/25 of
+    fact rows that can qualify."""
+    from ray.data.aggregate import Count, Sum
+
+    from paperchase_crawler_ray.ops.relational import (broadcast_semi_join,
+                                                       cap_join_partitions)
+    keys = _rp(sf, "part", columns=["p_partkey", "p_brand"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b.column("p_brand"), pa.scalar("Brand#23")))
+            .select(["p_partkey"]), batch_format="pyarrow")
+    li = _rp(sf, "lineitem", columns=["l_partkey", "l_quantity",
+                                      "l_extendedprice"])
+    li = broadcast_semi_join(li, "l_partkey", keys, "p_partkey")
+
+    def to_int(b: pa.Table) -> pa.Table:
+        price = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "q": pc.cast(b.column("l_quantity"), pa.int64()),
+                         "price_c": pa.array(price)})
+
+    fact = li.map_batches(to_int, batch_format="pyarrow")
+    per_part = fact.groupby("l_partkey").aggregate(
+        Sum("q", alias_name="sq"), Count(alias_name="n"))
+    j = fact.join(per_part, join_type="inner",
+                  num_partitions=cap_join_partitions(8),
+                  on=("l_partkey",), right_on=("l_partkey",))
+
+    def small(b: pa.Table) -> pa.Table:
+        q = b.column("q").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = b.column("sq").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(5 * q * n < sq))
+        pr = t.column("price_c").to_numpy(zero_copy_only=False)
+        return pa.table({"rev": pa.array([int(pr.sum())]),
+                         "n_rows": pa.array([t.num_rows])})
+
+    tot_r = tot_n = 0
+    for bt in j.map_batches(small, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        t = bt if isinstance(bt, pa.Table) else pa.table(bt)
+        tot_r += sum(t.column("rev").to_pylist())
+        tot_n += sum(t.column("n_rows").to_pylist())
+    return pd.DataFrame({"rev_cents": [tot_r], "n_rows": [tot_n]})
+
+
+def _q_disjunctive_rev(sf: str):
+    """TPC-H Q19 shape: revenue under an OR of (brand, size-range,
+    quantity-range) conjunctions. part attaches by broadcast lookup;
+    the disjunction is one vectorized numpy mask per batch; revenue in
+    exact integer 10^-4 units with two scalar partial sums — the fact
+    table never shuffles at all."""
+    from paperchase_crawler_ray.ops.relational import broadcast_lookup_join
+    li = _rp(sf, "lineitem", columns=["l_partkey", "l_quantity",
+                                      "l_extendedprice", "l_discount"])
+    p = _rp(sf, "part", columns=["p_partkey", "p_brand", "p_size"])
+    typed = broadcast_lookup_join(li, "l_partkey", p, "p_partkey",
+                                  ["p_brand", "p_size"])
+    CASES = (("Brand#12", 1, 15, 1, 11),
+             ("Brand#23", 1, 25, 10, 20),
+             ("Brand#3", 1, 35, 20, 30))
+
+    def disj(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        mask = np.zeros(b.num_rows, bool)
+        for br, s_lo, s_hi, q_lo, q_hi in CASES:
+            mask |= ((brand == br) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        t = b.filter(pa.array(mask))
+        price = np.rint(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.rint(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"rev": pa.array([int((price * (100 - disc)).sum())]),
+                         "n": pa.array([t.num_rows])})
+
+    tot_r = tot_n = 0
+    for bt in typed.map_batches(disj, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        t = bt if isinstance(bt, pa.Table) else pa.table(bt)
+        tot_r += sum(t.column("rev").to_pylist())
+        tot_n += sum(t.column("n").to_pylist())
+    return pd.DataFrame({"revenue": [tot_r], "n_rows": [tot_n]})
+
+
+def _q_late_only_supplier(sf: str):
+    """TPC-H Q21 shape (receipt/commit dates stood in by ship-vs-order
+    lateness): suppliers who were the ONLY late shipper in a
+    multi-supplier finished order. The double EXISTS/NOT-EXISTS is
+    rewritten as per-order aggregates over the distinct
+    (order, supplier, any_late) pair table: n_supp > 1 AND n_late == 1
+    AND this pair is the late one — three pre-shrunk exchanges, no
+    correlated probe."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
+                                                       cap_join_partitions)
+    LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_orderstatus",
+                                   "o_orderdate"])
+
+    def finished(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("o_orderstatus"), pa.scalar("F")))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "od_us": _ts_us_col(t.column("o_orderdate"))})
+
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_suppkey",
+                                      "l_shipdate"])
+    j = li.join(o.map_batches(finished, batch_format="pyarrow"),
+                join_type="inner",
+                num_partitions=cap_join_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_flag(b: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(
+            _ts_us_col(b.column("l_shipdate")),
+            pc.add(b.column("od_us"), pa.scalar(LATE_US, pa.int64()))),
+            pa.int64())
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "late": late})
+
+    pairs = j.map_batches(late_flag, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "l_suppkey"]).aggregate(
+            Max("late", alias_name="any_late"))
+    per_order = pairs.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_supp"), Sum("any_late", alias_name="n_late"))
+    lonely = per_order.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater(b.column("n_supp"), pa.scalar(1)),
+            pc.equal(pc.cast(b.column("n_late"), pa.int64()),
+                     pa.scalar(1, pa.int64()))))
+        .select(["l_orderkey"]), batch_format="pyarrow")
+    jp = pairs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("any_late"),
+                                    pa.scalar(1, pa.int64())))
+        .select(["l_orderkey", "l_suppkey"]), batch_format="pyarrow") \
+        .join(lonely, join_type="inner",
+              num_partitions=cap_join_partitions(8),
+              on=("l_orderkey",), right_on=("l_orderkey",))
+    s = _rp(sf, "supplier", columns=["s_suppkey", "s_name"])
+    named = broadcast_lookup_join(jp, "l_suppkey", s, "s_suppkey",
+                                  ["s_name"])
+    agg = named.groupby("s_name").aggregate(Count(alias_name="numwait"))
+    return agg.map_batches(
+        lambda b: b.set_column(b.column_names.index("numwait"), "numwait",
+                               pc.cast(b.column("numwait"), pa.int64())),
+        batch_format="pyarrow")
+
+
+def _q_dormant_customers(sf: str):
+    """TPC-H Q22 shape (phone prefix stood in by a nationkey set, the
+    no-orders NOT EXISTS by no-URGENT-orders): per-nation count and
+    balance of above-average-balance customers with no urgent orders.
+    The global average is exact — two integer scalars (sum, n) from a
+    partial-sum pass — and the HAVING compares cross-multiplied ints.
+    The anti side auto-switches broadcast vs keyed on size."""
+    from ray.data.aggregate import Count, Sum
+
+    from paperchase_crawler_ray.ops.relational import anti_join
+    NATIONS = np.array([1, 3, 5, 7, 9, 11, 13], np.int64)
+    c = _rp(sf, "customer", columns=["c_custkey", "c_nationkey",
+                                     "c_acctbal"])
+
+    def in_scope(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(np.isin(nk, NATIONS)))
+        bal = np.rint(t.column("c_acctbal").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "c_nationkey": t.column("c_nationkey"),
+                         "bal": pa.array(bal)})
+
+    scoped = c.map_batches(in_scope, batch_format="pyarrow")
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        bal = b.column("bal").to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0]
+        return pa.table({"s": pa.array([int(pos.sum())]),
+                         "n": pa.array([int(pos.size)])})
+
+    tot_s = tot_n = 0
+    for bt in scoped.map_batches(pos_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        t = bt if isinstance(bt, pa.Table) else pa.table(bt)
+        tot_s += sum(t.column("s").to_pylist())
+        tot_n += sum(t.column("n").to_pylist())
+
+    urgent = _rp(sf, "orders", columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b.column("o_orderpriority"), pa.scalar("1-URGENT")))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    rich = scoped.map_batches(
+        lambda b, s=tot_s, n=tot_n: b.filter(pa.array(
+            b.column("bal").to_numpy(zero_copy_only=False) * n > s)),
+        batch_format="pyarrow")
+    dormant = anti_join(rich, "c_custkey", urgent, "o_custkey")
+    agg = dormant.groupby("c_nationkey").aggregate(
+        Count(alias_name="numcust"),
+        Sum("bal", alias_name="totacctbal_cents"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": b.column("c_nationkey"),
+            "numcust": pc.cast(b.column("numcust"), pa.int64()),
+            "totacctbal_cents": pc.cast(b.column("totacctbal_cents"),
+                                        pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def _q_agg_stats(sf: str):
@@ -2704,6 +3060,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_big_orders": _q_big_orders,
         "q_promo_share": _q_promo_share,
         "q_important_nations": _q_important_nations,
+        "q_volume_shipping": _q_volume_shipping,
+        "q_custdist": _q_custdist,
+        "q_supplier_parts": _q_supplier_parts,
+        "q_small_qty_rev": _q_small_qty_rev,
+        "q_disjunctive_rev": _q_disjunctive_rev,
+        "q_late_only_supplier": _q_late_only_supplier,
+        "q_dormant_customers": _q_dormant_customers,
         "q_text_hash_dedup": _q_text_hash_dedup,
         "q_token_count": _q_token_count,
         "q_quality_stats": _q_quality_stats,
@@ -3230,6 +3593,80 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(bal) AS BIGINT) AS bal_cents FROM s JOIN nation "
             "ON s_nationkey = n_nationkey GROUP BY n_name "
             "HAVING SUM(bal) * 20 > (SELECT SUM(bal) FROM s)",
+        "q_volume_shipping":
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ns ON s_nationkey = ns.n_nationkey "
+            "JOIN nation nc ON c_nationkey = nc.n_nationkey "
+            "WHERE ns.n_name <> nc.n_name "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3",
+        "q_custdist":
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS "
+            "c_count FROM customer LEFT JOIN orders ON c_custkey = "
+            "o_custkey AND o_orderpriority <> '1-URGENT' "
+            "GROUP BY c_custkey) GROUP BY c_count",
+        "q_supplier_parts":
+            "SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS "
+            "BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#13' AND l_suppkey NOT IN ("
+            "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_size",
+        "q_small_qty_rev":
+            "WITH a AS (SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT))"
+            " AS sq, COUNT(*) AS n FROM lineitem GROUP BY l_partkey) "
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) "
+            "AS BIGINT) AS rev_cents, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM lineitem JOIN a USING (l_partkey) "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#23' "
+            "AND 5 * CAST(l_quantity AS BIGINT) * n < sq",
+        "q_disjunctive_rev":
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) "
+            "AS revenue, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+            "AND l_quantity BETWEEN 20 AND 30)",
+        "q_late_only_supplier":
+            "WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, "
+            "o_orderdate FROM lineitem JOIN orders ON l_orderkey = "
+            "o_orderkey WHERE o_orderstatus = 'F'), "
+            "pairs AS (SELECT l_orderkey, l_suppkey, MAX(CASE WHEN "
+            "l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 "
+            "END) AS any_late FROM l GROUP BY 1, 2), "
+            "per AS (SELECT l_orderkey, COUNT(*) AS n_supp, "
+            "SUM(any_late) AS n_late FROM pairs GROUP BY 1) "
+            "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM pairs JOIN per USING (l_orderkey) "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE any_late = 1 AND n_supp > 1 AND n_late = 1 "
+            "GROUP BY s_name",
+        "q_dormant_customers":
+            "WITH pos AS (SELECT CAST(ROUND(c_acctbal*100) AS BIGINT) AS "
+            "bal, c_custkey, c_nationkey FROM customer "
+            "WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)), "
+            "stats AS (SELECT SUM(bal) AS s, COUNT(*) AS n FROM pos "
+            "WHERE bal > 0) "
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "CAST(SUM(bal) AS BIGINT) AS totacctbal_cents "
+            "FROM pos, stats WHERE bal * n > s AND NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY c_nationkey",
         "q_text_hash_dedup":
             "SELECT doc_id, lang, source FROM documents "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1",

@@ -273,9 +273,12 @@ def semi_join(ds: ray.data.Dataset, key: str, right: ray.data.Dataset,
 def _column_numpy(ds: ray.data.Dataset, col: str) -> np.ndarray:
     """Materialize ONE small column to the driver (driver-side only for
     genuinely small sides — seed scopes, dimension keys)."""
-    t = pa.concat_tables([pa.table(b) if not isinstance(b, pa.Table) else b
-                          for b in ds.select_columns([col])
-                          .iter_batches(batch_format="pyarrow", batch_size=65536)])
+    tbls = [pa.table(b) if not isinstance(b, pa.Table) else b
+            for b in ds.select_columns([col])
+            .iter_batches(batch_format="pyarrow", batch_size=65536)]
+    if not tbls:  # fully-filtered side: an empty key set is legitimate
+        return np.array([], dtype=object)
+    t = pa.concat_tables(tbls)
     return t.column(col).to_numpy(zero_copy_only=False)
 
 

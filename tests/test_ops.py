@@ -2819,6 +2819,41 @@ def test_important_nations_matches_duckdb(ray_session):
     assert _duckdb_twin("q_important_nations") >= 1
 
 
+def test_volume_shipping_matches_duckdb(ray_session):
+    """Q7-shape cross-border revenue by nation pair and ship year."""
+    assert _duckdb_twin("q_volume_shipping") >= 1
+
+
+def test_custdist_matches_duckdb(ray_session):
+    """Q13-shape order-count distribution incl. the zero bucket."""
+    assert _duckdb_twin("q_custdist") >= 1
+
+
+def test_supplier_parts_matches_duckdb(ray_session):
+    """Q16-shape distinct-supplier count with NOT IN exclusion."""
+    assert _duckdb_twin("q_supplier_parts") >= 1
+
+
+def test_small_qty_rev_matches_duckdb(ray_session):
+    """Q17-shape correlated-AVG rewrite in cross-multiplied ints."""
+    assert _duckdb_twin("q_small_qty_rev") == 1
+
+
+def test_disjunctive_rev_matches_duckdb(ray_session):
+    """Q19-shape OR-of-conjunctions revenue, broadcast part attach."""
+    assert _duckdb_twin("q_disjunctive_rev") == 1
+
+
+def test_late_only_supplier_matches_duckdb(ray_session):
+    """Q21-shape double-EXISTS as per-order distinct-pair aggregates."""
+    assert _duckdb_twin("q_late_only_supplier") >= 1
+
+
+def test_dormant_customers_matches_duckdb(ray_session):
+    """Q22-shape global-avg HAVING + anti join, integer-exact."""
+    assert _duckdb_twin("q_dormant_customers") >= 1
+
+
 def test_exact_dedup_null_key_group_survives(ray_session):
     """Null keys form their OWN group (SQL DISTINCT / PARTITION BY):
     the value->null sort transition must start a new run — not_equal
