@@ -744,9 +744,12 @@ def _q_late_only_supplier(sf: str):
                          "l_suppkey": b.column("l_suppkey"),
                          "late": late})
 
+    # materialized ONCE: both the per-order stats and the late-pair
+    # probe consume it — lazy reuse would re-execute the fact join
+    # (the expensive upstream) twice. Pair-table sized, spill-safe.
     pairs = j.map_batches(late_flag, batch_format="pyarrow") \
         .groupby(["l_orderkey", "l_suppkey"]).aggregate(
-            Max("late", alias_name="any_late"))
+            Max("late", alias_name="any_late")).materialize()
     per_order = pairs.groupby("l_orderkey").aggregate(
         Count(alias_name="n_supp"), Sum("any_late", alias_name="n_late"))
     lonely = per_order.map_batches(
@@ -755,13 +758,14 @@ def _q_late_only_supplier(sf: str):
             pc.equal(pc.cast(b.column("n_late"), pa.int64()),
                      pa.scalar(1, pa.int64()))))
         .select(["l_orderkey"]), batch_format="pyarrow")
-    jp = pairs.map_batches(
+    from paperchase_crawler_ray.ops.relational import semi_join
+    late_pairs = pairs.map_batches(
         lambda b: b.filter(pc.equal(b.column("any_late"),
                                     pa.scalar(1, pa.int64())))
-        .select(["l_orderkey", "l_suppkey"]), batch_format="pyarrow") \
-        .join(lonely, join_type="inner",
-              num_partitions=cap_join_partitions(8),
-              on=("l_orderkey",), right_on=("l_orderkey",))
+        .select(["l_orderkey", "l_suppkey"]), batch_format="pyarrow")
+    # the lonely-order set is HAVING-filtered tiny — semi_join's size
+    # switch broadcasts it, so the pair table is never reshuffled
+    jp = semi_join(late_pairs, "l_orderkey", lonely, "l_orderkey")
     s = _rp(sf, "supplier", columns=["s_suppkey", "s_name"])
     named = broadcast_lookup_join(jp, "l_suppkey", s, "s_suppkey",
                                   ["s_name"])

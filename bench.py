@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "q_bucket_join", "q_pruned_scan", "q_hash_split", "q_expectations",
     "q_dup_spans", "q_local_supplier_qty",
     "q_exists_orders", "q_big_orders", "q_promo_share",
+    "q_volume_shipping", "q_custdist", "q_supplier_parts",
+    "q_disjunctive_rev", "q_late_only_supplier",
 ]
 
 
