@@ -1,0 +1,90 @@
+"""Optional compiled kernel for the JPEG Huffman walk.
+
+The sequential entropy-decode walk is the one kernel in the engine that
+numpy cannot vectorize (every step's bit offset depends on the previous
+symbol), so it is offered as a tiny C routine compiled ON DEMAND with
+the system toolchain (no third-party package, no network). The pure
+Python walk in jpeg.py remains the behavioral spec and the fallback:
+``get_walk()`` returns None whenever no toolchain is available or
+``PC_NO_CKERNEL=1``, and tests assert the two paths are bit-identical.
+
+The shared object is cached under /tmp keyed by the source hash, so the
+first worker process pays one ~100 ms compile and every other process
+(and every later run of the same source) just dlopens it. The build is
+race-safe across Ray workers: compile to a unique temp name, then
+atomically rename into place.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "_jpegwalk.c")
+_CACHE_DIR = os.path.join(tempfile.gettempdir(), "pc_ckernels")
+
+_walk = None
+_tried = False
+
+
+def _build() -> "ctypes.CDLL | None":
+    if os.environ.get("PC_NO_CKERNEL") == "1":
+        return None
+    try:
+        with open(_SRC, "rb") as f:
+            src = f.read()
+        tag = hashlib.blake2b(src, digest_size=12).hexdigest()
+        so = os.path.join(_CACHE_DIR, f"jpegwalk_{tag}.so")
+        if not os.path.exists(so):
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            tmp = f"{so}.{os.getpid()}.tmp"
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)  # atomic: concurrent builders all win
+        lib = ctypes.CDLL(so)
+        fn = lib.pc_jpeg_walk
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        return fn
+    except Exception:
+        return None
+
+
+def get_walk():
+    """The compiled walk entry point, or None (use the Python path)."""
+    global _walk, _tried
+    if not _tried:
+        _walk = _build()
+        _tried = True
+    return _walk
+
+
+def run_walk(fn, seg_padded: np.ndarray, nbits: int, nb: int, b0: int,
+             ncomp: int, sym_tabs: np.ndarray, len_tabs: np.ndarray,
+             comp_dc: np.ndarray, comp_ac: np.ndarray,
+             out_idx: np.ndarray, out_val: np.ndarray) -> tuple[int, int]:
+    """ctypes shim: returns (n_coeffs_written, next_block). Raises the
+    same JpegFormatError classes as the Python walk on bad streams."""
+    out_b = np.zeros(1, np.int64)
+    n = fn(seg_padded.ctypes.data, nbits, nb, b0, ncomp,
+           sym_tabs.ctypes.data, len_tabs.ctypes.data,
+           comp_dc.ctypes.data, comp_ac.ctypes.data,
+           out_idx.ctypes.data, out_val.ctypes.data, out_b.ctypes.data)
+    if n == -1:
+        from .jpeg import JpegFormatError
+        raise JpegFormatError("invalid Huffman code")
+    if n == -2:
+        from .jpeg import JpegFormatError
+        raise JpegFormatError("AC run overflow")
+    return int(n), int(out_b[0])

@@ -154,7 +154,10 @@ def _canonical_lut_cached(bits: tuple[int, ...], vals: tuple[int, ...]
             code += 1
             k += 1
         code <<= 1
-    return sym.tolist(), ln.tolist()
+    # positions 0/1 are the Python walk's list LUTs; 2/3 are the same
+    # tables as contiguous numpy planes for the optional C kernel
+    return (sym.tolist(), ln.tolist(),
+            sym.astype(np.int16), ln.astype(np.uint8))
 
 
 # --------------------------------------------------------------------------
@@ -402,6 +405,37 @@ def _trips24(seg: np.ndarray) -> list:
 _HALF = [0] + [1 << (s - 1) for s in range(1, 16)]
 _FULL = [(1 << s) - 1 for s in range(16)]
 
+_STACK_CACHE: dict = {}
+
+
+def _stacked_tabs(tabs: list) -> tuple:
+    """Per-component LUT tuples -> contiguous (sym, len) planes + index
+    vectors for the C walk. Cached on the LUT objects' identity — they
+    come from the lru-cached canonical builder, so every stream from
+    the same encoder reuses one stacked copy instead of re-concatenating
+    ~0.5 MB per decode. The cache holds references to its key tables,
+    so ids stay valid for the cache's lifetime."""
+    key = tuple(id(t) for pair in tabs for t in pair)
+    hit = _STACK_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    tab_ids: dict[int, int] = {}
+    planes_s, planes_l = [], []
+    for d, a in tabs:
+        for t in (d, a):
+            if id(t) not in tab_ids:
+                tab_ids[id(t)] = len(planes_s)
+                planes_s.append(t[2])
+                planes_l.append(t[3])
+    out = (np.ascontiguousarray(np.concatenate(planes_s)),
+           np.ascontiguousarray(np.concatenate(planes_l)),
+           np.array([tab_ids[id(d)] for d, _ in tabs], np.int32),
+           np.array([tab_ids[id(a)] for _, a in tabs], np.int32))
+    if len(_STACK_CACHE) > 32:
+        _STACK_CACHE.clear()
+    _STACK_CACHE[key] = (list(tabs), out)
+    return out
+
 
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> RGB uint8. 3-component 4:4:4 sequential
@@ -482,7 +516,37 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         except KeyError:
             raise JpegFormatError("scan references undeclared DHT") from None
 
-    # Sequential Huffman walk: O(1) LUT lookups per symbol; coefficient
+    # Sequential Huffman walk. Preferred path: the compiled C twin
+    # (functions/cwalk.py) — the walk is the engine's one genuinely
+    # non-vectorizable kernel, and C runs it ~2 orders of magnitude
+    # faster. Falls back to the pure-Python loop below (the behavioral
+    # spec; tests assert both paths bit-identical) when no toolchain
+    # is available or PC_NO_CKERNEL=1.
+    from .cwalk import get_walk, run_walk
+    cfn = get_walk()
+    if cfn is not None:
+        sym_tabs, len_tabs, comp_dc, comp_ac = _stacked_tabs(tabs)
+        idx_parts, val_parts = [], []
+        b = 0
+        for seg in _entropy_segments(data, pos):
+            if b >= nb:
+                break
+            seg_p = np.concatenate([np.ascontiguousarray(seg),
+                                    np.full(10, 0xFF, np.uint8)])
+            cap = (nb - b) * ncomp * 64
+            out_idx = np.empty(cap, np.int64)
+            out_val = np.empty(cap, np.int64)
+            n, b = run_walk(cfn, seg_p, len(seg) * 8, nb, b, ncomp,
+                            sym_tabs, len_tabs, comp_dc, comp_ac,
+                            out_idx, out_val)
+            idx_parts.append(out_idx[:n])
+            val_parts.append(out_val[:n])
+        zz_all = np.zeros(nb * ncomp * 64, np.int64)
+        if idx_parts:
+            zz_all[np.concatenate(idx_parts)] = np.concatenate(val_parts)
+        return _idct_planes(zz_all, nb, ncomp, comps, qtabs, ph, pw, h, w)
+
+    # Pure-Python walk: O(1) LUT lookups per symbol; coefficient
     # writes are buffered flat and scattered into the planes in one
     # vectorized pass afterwards. Hot-loop locals (bound appends,
     # flattened table tuples, local half/full) measurably matter here —
@@ -549,6 +613,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     zz_all = np.zeros(nb * ncomp * 64, np.int64)
     zz_all[np.array(flat_idx, np.int64)] = np.array(flat_val, np.int64)
+    return _idct_planes(zz_all, nb, ncomp, comps, qtabs, ph, pw, h, w)
+
+
+def _idct_planes(zz_all: np.ndarray, nb: int, ncomp: int, comps: list,
+                 qtabs: dict, ph: int, pw: int, h: int, w: int
+                 ) -> np.ndarray:
+    """Flat zigzag coefficients -> RGB: dequantize, batched IDCT,
+    color convert (shared tail of the C and Python walk paths)."""
     zz_all = zz_all.reshape(nb, ncomp, 64)
     planes = [zz_all[:, ci, :] for ci in range(ncomp)]
 

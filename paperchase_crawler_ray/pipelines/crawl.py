@@ -573,6 +573,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                               "page_priority", "page_depth", "page_hash",
                               "img_pos"])
              ).write_parquet(refs_dir)
+            _mark("img_refs_pass1")
             if os.path.isdir(refs_dir) and any(
                     f.endswith(".parquet") for f in os.listdir(refs_dir)):
                 img_refs = (ray.data.read_parquet(refs_dir)

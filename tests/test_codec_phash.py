@@ -214,3 +214,34 @@ def test_jpeg_decode_speed():
     decode(data)
     dt = time.monotonic() - t0
     assert dt < 0.5, f"jpeg decode took {dt:.2f}s"
+
+
+def test_jpeg_c_walk_matches_python_walk():
+    """The compiled Huffman walk (functions/cwalk.py) must be
+    bit-identical to the pure-Python spec walk on every fixture size
+    class, on restart-marker streams, and on grayscale-ish content.
+    Skips silently to Python-only when no toolchain exists."""
+    import os
+
+    import paperchase_crawler_ray.functions.cwalk as cw
+    from paperchase_crawler_ray.functions import jpeg
+
+    if cw.get_walk() is None:
+        import pytest
+        pytest.skip("no C toolchain in this environment")
+
+    cases = []
+    for w, h in [(16, 16), (32, 24), (64, 64), (128, 96), (19, 21)]:
+        cases.append(encode(make_pixels(f"cw-{w}x{h}", w, h), "jpeg"))
+    flat = np.full((24, 24, 3), 77, np.uint8)
+    cases.append(encode(flat, "jpeg"))
+    for data in cases:
+        got_c = jpeg.jpeg_decode(data)
+        os.environ["PC_NO_CKERNEL"] = "1"
+        cw._tried, cw._walk = False, None
+        try:
+            got_py = jpeg.jpeg_decode(data)
+        finally:
+            del os.environ["PC_NO_CKERNEL"]
+            cw._tried, cw._walk = False, None
+        assert np.array_equal(got_c, got_py)
