@@ -85,3 +85,65 @@ int64_t pc_jpeg_walk(const uint8_t *seg, int64_t nbits,
     *out_b = b;
     return n;
 }
+
+/* Entropy-encode one interleaved 4:4:4 scan — C twin of
+ * jpeg.py:_encode_scan + _pack_fields for this encoder's FLAT-LENGTH
+ * canonical tables (DC codeword == size category, 4 bits; AC codeword
+ * == index in _AC_SYMBOLS, 8 bits). Emits T.81 F.1.2.3 1-padding and
+ * FF00 byte stuffing inline. A is the interleaved (nb*ncomp, 64)
+ * zigzag coefficient table. Returns bytes written. out must hold at
+ * least n*64*4 bytes. */
+static inline int32_t pc_bitlen(int64_t v)
+{
+    int32_t s = 0;
+    while (v) { s++; v >>= 1; }
+    return s;
+}
+
+int64_t pc_jpeg_pack(const int64_t *A, int64_t n, int32_t ncomp,
+                     uint8_t *out)
+{
+    uint64_t acc = 0;      /* bit accumulator, MSB-first */
+    int32_t nacc = 0;
+    int64_t w = 0;
+#define EMIT(code, len) do { \
+    acc = (acc << (len)) | ((uint64_t)(code) & ((1ULL << (len)) - 1)); \
+    nacc += (len); \
+    while (nacc >= 8) { \
+        uint8_t byte = (uint8_t)(acc >> (nacc - 8)); \
+        out[w++] = byte; \
+        if (byte == 0xFF) out[w++] = 0x00; \
+        nacc -= 8; \
+    } \
+} while (0)
+
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t *row = A + i * 64;
+        int64_t diff = row[0] - (i >= ncomp ? (A + (i - ncomp) * 64)[0] : 0);
+        int32_t s = pc_bitlen(diff < 0 ? -diff : diff);
+        EMIT(s, 4);
+        if (s) {
+            int64_t amp = diff >= 0 ? diff : diff + (((int64_t)1 << s) - 1);
+            EMIT(amp, s);
+        }
+        int32_t run = 0;
+        for (int32_t k = 1; k < 64; k++) {
+            int64_t v = row[k];
+            if (v == 0) { run++; continue; }
+            while (run >= 16) { EMIT(1, 8); run -= 16; }
+            s = pc_bitlen(v < 0 ? -v : v);
+            EMIT(2 + run * 10 + (s - 1), 8);
+            int64_t amp = v >= 0 ? v : v + (((int64_t)1 << s) - 1);
+            EMIT(amp, s);
+            run = 0;
+        }
+        if (row[63] == 0) EMIT(0, 8);        /* EOB */
+    }
+    if (nacc) {                              /* 1-pad the final byte */
+        uint8_t byte = (uint8_t)((acc << (8 - nacc)) | ((1U << (8 - nacc)) - 1));
+        out[w++] = byte;
+        if (byte == 0xFF) out[w++] = 0x00;
+    }
+#undef EMIT
+    return w;
+}

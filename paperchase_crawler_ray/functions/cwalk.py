@@ -56,18 +56,42 @@ def _build() -> "ctypes.CDLL | None":
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
-        return fn
+        pk = lib.pc_jpeg_pack
+        pk.restype = ctypes.c_int64
+        pk.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                       ctypes.c_void_p]
+        return fn, pk
     except Exception:
         return None
 
 
-def get_walk():
-    """The compiled walk entry point, or None (use the Python path)."""
+def _libfns():
     global _walk, _tried
     if not _tried:
         _walk = _build()
         _tried = True
     return _walk
+
+
+def get_walk():
+    """The compiled walk entry point, or None (use the Python path)."""
+    fns = _libfns()
+    return fns[0] if fns else None
+
+
+def get_pack():
+    """The compiled encode-scan entry point, or None."""
+    fns = _libfns()
+    return fns[1] if fns else None
+
+
+def run_pack(pk, A: np.ndarray, ncomp: int) -> bytes:
+    """Entropy-encode the interleaved (n, 64) zigzag coefficient table
+    with the compiled kernel; returns the stuffed scan bytes."""
+    n = A.shape[0]
+    out = np.empty(max(64, n * 64 * 4), np.uint8)
+    w = pk(A.ctypes.data, n, ncomp, out.ctypes.data)
+    return out[:w].tobytes()
 
 
 def run_walk(fn, seg_padded: np.ndarray, nbits: int, nb: int, b0: int,

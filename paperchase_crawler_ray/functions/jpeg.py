@@ -258,6 +258,14 @@ def _encode_scan(coeffs: list[np.ndarray]) -> bytes:
         A[c::ncomp] = coeffs[c]
     n = nb * ncomp
 
+    from .cwalk import get_pack, run_pack
+    pk = get_pack()
+    if pk is not None:
+        # compiled twin of the vectorized emission below — tests assert
+        # byte-identical streams (same flat-length tables, same
+        # padding/stuffing rules)
+        return run_pack(pk, A, ncomp)
+
     # DC: differential by component (stride ncomp in scan order)
     dc = A[:, 0]
     diff = dc.copy()

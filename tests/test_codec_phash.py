@@ -245,3 +245,31 @@ def test_jpeg_c_walk_matches_python_walk():
             del os.environ["PC_NO_CKERNEL"]
             cw._tried, cw._walk = False, None
         assert np.array_equal(got_c, got_py)
+
+
+def test_jpeg_c_pack_matches_python_pack():
+    """The compiled encode scan must produce BYTE-identical streams to
+    the vectorized numpy emission across size classes and flat/edge
+    content (same flat-length tables, padding, FF00 stuffing)."""
+    import os
+
+    import paperchase_crawler_ray.functions.cwalk as cw
+    from paperchase_crawler_ray.functions import jpeg
+
+    if cw.get_pack() is None:
+        import pytest
+        pytest.skip("no C toolchain in this environment")
+
+    imgs = [make_pixels(f"pk-{w}x{h}", w, h)
+            for w, h in [(16, 16), (32, 24), (64, 64), (128, 96), (19, 21)]]
+    imgs.append(np.full((24, 24, 3), 77, np.uint8))
+    for px in imgs:
+        enc_c = jpeg.jpeg_encode(px)
+        os.environ["PC_NO_CKERNEL"] = "1"
+        cw._tried, cw._walk = False, None
+        try:
+            enc_py = jpeg.jpeg_encode(px)
+        finally:
+            del os.environ["PC_NO_CKERNEL"]
+            cw._tried, cw._walk = False, None
+        assert enc_c == enc_py
