@@ -81,8 +81,14 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
 
-def png_encode(img: np.ndarray, level: int = 6) -> bytes:
-    """Encode an RGB uint8 image as PNG (filter type 0 per scanline)."""
+def png_encode(img: np.ndarray, level: int = 1) -> bytes:
+    """Encode an RGB uint8 image as PNG (filter type 0 per scanline).
+
+    Default deflate level 1: PNG is lossless at every level, so the
+    only trade is CPU vs payload size — and at crawl scale the encode
+    sits on the hot fetch/decode path (level 6 was ~4x the compress
+    CPU for ~10% smaller noisy-fixture payloads). Callers that archive
+    cold data can pass level=6+."""
     h, w, _ = img.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     body = np.ascontiguousarray(img, np.uint8)

@@ -610,6 +610,8 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         # bytes column holds already-compressed codec payloads —
         # recompressing them in parquet costs seconds/GB and saves nothing
         imgs.write_parquet(images_dir, compression="none")
+        if os.environ.get("PC_PROFILE") == "2":
+            print("PCSTATS img chain:\n", imgs.stats(), flush=True)
         _mark("img_gen_decode")
         drop_ids: set = set()
         n_staged = 0
