@@ -1027,6 +1027,17 @@ def _q_embed_neardup(sf: str):
         .select_columns(["vec_id", "label"])
 
 
+def _q_semdedup(sf: str):
+    """SemDeDup semantic dedup: distributed k-means cells + within-cell
+    cosine prune, smallest-id representative. Rows-only (Lloyd
+    iterations are not SQL-expressible); pytest carries the exact
+    driver-numpy twin with shared centroids."""
+    from paperchase_crawler_ray.ops.dedup import semdedup
+    emb = _rp(sf, "embeddings", columns=["vec_id", "embedding", "label"])
+    return semdedup(emb, ncell=32, threshold=0.40) \
+        .select_columns(["vec_id", "label"])
+
+
 def _q_ann_topk(sf: str):
     from paperchase_crawler_ray.ops.similarity import brute_force_topk
     emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
@@ -3078,6 +3089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_dedup": _q_simhash_dedup,
         "q_ngram_dedup": _q_ngram_dedup,
         "q_embed_neardup": _q_embed_neardup,
+        "q_semdedup": _q_semdedup,
         "q_ann_topk": _q_ann_topk,
         "q_ivf_ann": _q_ivf_ann,
         "q_langid": _q_langid,

@@ -831,3 +831,79 @@ def _verify_token_pairs_join(pairs: pa.Table, ds: ray.data.Dataset,
                          "uni": pa.array(uni, pa.int64())})
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+class _CellAssign:
+    """map_batches actor: nearest-centroid cell id (broadcast centroids,
+    one matmul per batch) for the SemDeDup cluster stage."""
+
+    def __init__(self, cent_ref, vec_col: str):
+        self.C = ray.get(cent_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("sd_cell", pa.array([], pa.int64()))
+        E = np.stack(batch.column(self.vec_col)
+                     .to_numpy(zero_copy_only=False)).astype(np.float64)
+        E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+        cell = (E @ self.C.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("sd_cell", pa.array(cell, pa.int64()))
+
+
+def semdedup(ds: ray.data.Dataset, ncell: int = 64,
+             threshold: float = 0.95, iters: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             num_partitions: int = 8,
+             centroids: "np.ndarray | None" = None) -> ray.data.Dataset:
+    """Semantic dedup per SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means the embedding space, then inside EACH cluster drop every row
+    whose cosine to a smaller-id cluster member is >= ``threshold``
+    (deterministic smallest-id representative per semantic-dup group).
+
+    100-TB shape: centroids come from the engine's distributed Lloyd
+    pass (per-block partials, ncell x dim exchange per block), the cell
+    id rides a broadcast matmul, and pairwise cosine runs only within a
+    cell after a cell-keyed repartition — O(sum cell_i^2), never a
+    corpus matmul. ncell is the knob that bounds cell_i; the drop-id
+    removal is the size-switched anti join (broadcast below
+    _DROP_BROADCAST_MAX, native left_anti above)."""
+    if centroids is None:
+        from .similarity import kmeans_distributed
+        centroids = kmeans_distributed(
+            ds.select_columns([id_col, vec_col]).rename_columns(
+                {id_col: "vec_id", vec_col: "embedding"}),
+            ncell, iters=iters, seed=seed)
+    cref = ray.put(centroids)
+    celled = ds.map_batches(_CellAssign, fn_constructor_args=(cref, vec_col),
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+    def cell_drops_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"drop_id": pa.array([], pa.int64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cells = batch.column("sd_cell").to_numpy(zero_copy_only=False)
+        E = np.stack(batch.column(vec_col)
+                     .to_numpy(zero_copy_only=False)).astype(np.float64)
+        E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+        order = np.lexsort((ids, cells))
+        ids_s, cells_s, E_s = ids[order], cells[order], E[order]
+        drops = []
+        start = 0
+        n = len(ids_s)
+        for i in range(1, n + 1):
+            if i == n or cells_s[i] != cells_s[start]:
+                if i - start > 1:
+                    sub = E_s[start:i]
+                    close = np.triu(sub @ sub.T >= threshold, k=1)
+                    drops.append(ids_s[start:i][close.any(axis=0)])
+                start = i
+        flat = np.concatenate(drops) if drops else np.empty(0, np.int64)
+        return pa.table({"drop_id": pa.array(flat, pa.int64())})
+
+    with _hash_shuffle(celled):
+        drops_ds = (celled.repartition(num_blocks=num_partitions,
+                                       keys=["sd_cell"])
+                    .map_batches(cell_drops_block, batch_format="pyarrow",
+                                 batch_size=None)).materialize()
+    return _filter_dropped_ds(ds, id_col, drops_ds)

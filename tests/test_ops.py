@@ -2892,3 +2892,33 @@ def test_exact_dedup_stitched_final_matches_pandas(ray_session):
                           salt_partitions=salt).to_pandas()
         got = got.sort_values("k").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+
+def test_semdedup_matches_driver_twin(ray_session):
+    """SemDeDup (k-means cells + within-cell cosine prune) must equal
+    the exact driver-numpy twin when both share centroids, and must
+    keep the smallest vec_id of every semantic-dup group."""
+    from paperchase_crawler_ray.ops.dedup import semdedup
+    from paperchase_crawler_ray.ops.similarity import kmeans_distributed
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+    cents = kmeans_distributed(
+        emb.select_columns(["vec_id", "embedding"]), 16, iters=8, seed=42)
+    thr = 0.35
+    got = sorted(semdedup(emb, threshold=thr, centroids=cents)
+                 .to_pandas()["vec_id"])
+
+    df = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    cell = (E @ cents.T).argmax(axis=1)
+    ids = df["vec_id"].to_numpy()
+    keep = []
+    for c in np.unique(cell):
+        idx = np.flatnonzero(cell == c)      # ascending vec_id within cell
+        sub = E[idx]
+        close = np.triu(sub @ sub.T >= thr, k=1)
+        keep.extend(ids[idx[~close.any(axis=0)]])
+    assert got == sorted(keep)
+    assert 0 < len(got) < len(df)            # pruned something, kept something
