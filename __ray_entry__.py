@@ -1329,6 +1329,30 @@ def _q_pct_rank(sf: str):
     return withn.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_mad(sf: str):
+    """Median absolute deviation, exact: quantile_disc median via the
+    shared radix descent, then a second descent over the derived
+    |value - med| column. The derivation is one row-local float op
+    (bit-identical to SQL's abs/subtract), so the float policy holds —
+    no cross-row float accumulation anywhere."""
+    from paperchase_crawler_ray.ops.relational import (count_non_null,
+                                                       multi_kth_smallest)
+    ev = _rp(sf, "events", columns=["value"])
+    nn = count_non_null(ev, "value")
+    if nn == 0:
+        return pd.DataFrame({"med": [None], "mad": [None]})
+    k = (nn - 1) // 2
+    med = float(multi_kth_smallest(ev, "value", [k])[0])
+
+    def absdev(b: pa.Table) -> pa.Table:
+        return pa.table({"dev": pc.abs(pc.subtract(
+            b.column("value"), pa.scalar(med, pa.float64())))})
+
+    dev = ev.map_batches(absdev, batch_format="pyarrow")
+    mad = float(multi_kth_smallest(dev, "dev", [k])[0])
+    return pd.DataFrame({"med": [med], "mad": [mad]})
+
+
 def _q_intersect(sf: str):
     """INTERSECT: distinct event users that are also customer keys —
     exact_dedup + the size-switched semi join."""
@@ -3114,6 +3138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_local_supplier_qty": _q_local_supplier_qty,
         "q_lead": _q_lead,
         "q_pct_cont": _q_pct_cont,
+        "q_mad": _q_mad,
         "q_versioned_table": _q_versioned_table,
         "q_incremental_dedup": _q_incremental_dedup,
         "q_pca": _q_pca,
@@ -3787,6 +3812,12 @@ def oracle_sql() -> dict[str, str]:
         "q_lead":
             "SELECT event_id, user_id, LEAD(value) OVER (PARTITION BY "
             "user_id ORDER BY ts, event_id) AS next_value FROM events",
+        "q_mad":
+            "WITH m AS (SELECT quantile_disc(value, 0.5) AS med "
+            "FROM events) "
+            "SELECT CAST(med AS DOUBLE) AS med, "
+            "CAST(quantile_disc(abs(value - med), 0.5) AS DOUBLE) AS mad "
+            "FROM events, m GROUP BY med",
         "q_pct_cont":
             "SELECT CAST(quantile_cont(value, 0.10) AS DOUBLE) AS p10c, "
             "CAST(quantile_cont(value, 0.50) AS DOUBLE) AS p50c, "

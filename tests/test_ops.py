@@ -2922,3 +2922,9 @@ def test_semdedup_matches_driver_twin(ray_session):
         keep.extend(ids[idx[~close.any(axis=0)]])
     assert got == sorted(keep)
     assert 0 < len(got) < len(df)            # pruned something, kept something
+
+
+def test_mad_matches_duckdb(ray_session):
+    """Median absolute deviation via two radix descents, exact vs
+    quantile_disc SQL."""
+    assert _duckdb_twin("q_mad") == 1
