@@ -61,7 +61,8 @@ from ..schemas import LINEAGE
 from ..stages.fetch import (FixtureFetcher, GenerativeFetcher,
                             SyntheticImageFetch, TaskFetcher)
 from ..stages.frontier import CanonicalizeBatch, dedup_block
-from ..stages.image import (DecodeImages, canonicalize_image_refs,
+from ..stages.image import (DecodeImages, DecodeWriteImages,
+                            canonicalize_image_refs,
                             dedup_image_refs_block, neardup_block,
                             neardup_drops_block)
 from ..stages.parse import explode_images, explode_links, explode_redirects, parse_pages
@@ -605,41 +606,43 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         # bucket-keyed hash shuffle over the same narrow columns.
         if os.path.isdir(images_dir):
             shutil.rmtree(images_dir, ignore_errors=True)
-        imgs = fetched_imgs.map_batches(DecodeImages(), batch_format="pyarrow",
-                                        batch_size=run.image_batch_size)
-        # bytes column holds already-compressed codec payloads —
-        # recompressing them in parquet costs seconds/GB and saves nothing
-        imgs.write_parquet(images_dir, compression="none")
+        os.makedirs(images_dir, exist_ok=True)
+        # Fused decode+sink: the wide IMAGE_CAPTION rows land in parquet
+        # INSIDE the decode tasks (one deterministic retry-safe file per
+        # batch); only the narrow (image_id, phash, bucket) columns flow
+        # on. The materialize is the write barrier AND keeps the narrow
+        # plane (KB/row) for the tombstone pass — the wide bytes never
+        # enter the object store and are never re-read.
+        narrow_imgs = fetched_imgs.map_batches(
+            DecodeWriteImages(images_dir), batch_format="pyarrow",
+            batch_size=run.image_batch_size).materialize()
         if os.environ.get("PC_PROFILE") == "2":
-            print("PCSTATS img chain:\n", imgs.stats(), flush=True)
+            print("PCSTATS img chain:\n", narrow_imgs.stats(), flush=True)
         _mark("img_gen_decode")
         drop_ids: set = set()
-        n_staged = 0
-        if os.path.isdir(images_dir) and os.listdir(images_dir):
-            # row count from parquet METADATA first — the driver must not
-            # materialize the narrow table just to learn it is too big
-            n_staged = sum(
-                pq.read_metadata(os.path.join(images_dir, f)).num_rows
-                for f in os.listdir(images_dir) if f.endswith(".parquet"))
+        n_staged = narrow_imgs.count()
+        if n_staged:
             if n_staged <= run.neardup_driver_max:
-                # parallel column-pruned read of the narrow dedup columns
-                nb = []
-                for b in ray.data.read_parquet(
-                        images_dir, columns=["image_id", "phash", "bucket"]) \
-                        .iter_batches(batch_format="pyarrow", batch_size=None):
-                    nb.append(b if isinstance(b, pa.Table) else pa.table(b))
+                nb = [b if isinstance(b, pa.Table) else pa.table(b)
+                      for b in narrow_imgs.iter_batches(
+                          batch_format="pyarrow", batch_size=None)]
                 narrow = pa.concat_tables(nb)
                 drop_ids.update(
                     neardup_drops_block(narrow, cfg.neardup_hamming)
                     .column("drop_id").to_pylist())
             else:
-                drops_ds = (ray.data.read_parquet(
-                    images_dir, columns=["image_id", "phash", "bucket"])
-                    .repartition(num_blocks=run.neardup_partitions,
-                                 keys=["bucket"])
-                    .map_batches(lambda b: neardup_drops_block(
-                        b, cfg.neardup_hamming),
-                        batch_format="pyarrow", batch_size=None))
+                # coalesce the decode chain's many tiny blocks first:
+                # the keyed hash shuffle pays a per-block aggregator
+                # round trip, and 512 x 100-row blocks cost ~20x more
+                # through it than 32 consolidated ones (measured)
+                drops_ds = (narrow_imgs
+                            .repartition(num_blocks=max(
+                                run.neardup_partitions * 2, 8))
+                            .repartition(num_blocks=run.neardup_partitions,
+                                         keys=["bucket"])
+                            .map_batches(lambda b: neardup_drops_block(
+                                b, cfg.neardup_hamming),
+                                batch_format="pyarrow", batch_size=None))
                 for b in drops_ds.iter_batches(batch_format="pyarrow",
                                                batch_size=65536):
                     t = b if isinstance(b, pa.Table) else pa.table(b)

@@ -84,6 +84,43 @@ class DecodeImages:
         )
 
 
+class DecodeWriteImages:
+    """``DecodeImages`` fused with the parquet sink: each batch's full
+    IMAGE_CAPTION rows are written to ONE deterministic parquet file
+    inside the map task, and only the NARROW (image_id, phash, bucket)
+    columns stream onward — the near-dup tombstone pass consumes them
+    directly instead of re-reading ``image_parallelism`` files (the
+    second full pass over the images directory that dominated the
+    neardup_tombstones stage at bench scale).
+
+    Retry-safe: the file name is keyed on the batch's first image_id
+    (image_ids are wave-unique after the winner filter, so batch ->
+    name is injective), and decode is deterministic — a retried task
+    rewrites the same file with the same bytes."""
+
+    def __init__(self, images_dir: str):
+        self.images_dir = images_dir
+        self.decode = DecodeImages()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        import os
+
+        import pyarrow.parquet as _pq
+        full = self.decode(batch)
+        if full.num_rows:
+            key = hashlib.blake2b(
+                full.column("image_id")[0].as_py().encode(),
+                digest_size=10).hexdigest()
+            # bytes hold already-compressed codec payloads — parquet
+            # recompression would cost seconds/GB and save nothing
+            _pq.write_table(full,
+                            os.path.join(self.images_dir,
+                                         f"part-{key}.parquet"),
+                            compression="none")
+        return full.select(["image_id", "phash", "bucket"])
+
+
 def dedup_image_refs_block(batch: pa.Table) -> pa.Table:
     """Within-wave image-ref dedup over a WHOLE block of co-located
     url_hashes (after ``repartition(keys=["url_hash"])``): one row per
