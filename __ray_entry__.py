@@ -1329,6 +1329,101 @@ def _q_pct_rank(sf: str):
     return withn.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_rolling_distinct(sf: str):
+    """Rolling 7-day COUNT(DISTINCT user) per active day: the window
+    join is rewritten as a 7-offset explode of the distinct (day, user)
+    pairs + the standard two-level distinct — no range join, and the
+    active-day spine applies as a broadcast semi filter."""
+    from ray.data.aggregate import Count
+
+    from paperchase_crawler_ray.ops.relational import broadcast_semi_join
+    ev = _rp(sf, "events", columns=["ts", "user_id"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = _ts_us_col(b.column("ts")).to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array((us // 86_400_000_000)
+                                       .astype(np.int32)),
+                         "user_id": b.column("user_id")})
+
+    du = ev.map_batches(to_day, batch_format="pyarrow") \
+        .groupby(["d", "user_id"]).count().select_columns(["d", "user_id"])
+    days = du.groupby("d").count().select_columns(["d"])  # active days
+
+    def explode(b: pa.Table) -> pa.Table:
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        td = (d[None, :] + np.arange(7, dtype=d.dtype)[:, None]).ravel()
+        return pa.table({"td": pa.array(td),
+                         "user_id": pa.array(np.tile(u, 7))})
+
+    ex = broadcast_semi_join(du.map_batches(explode, batch_format="pyarrow"),
+                             "td", days, "d")
+    pairs2 = ex.groupby(["td", "user_id"]).count() \
+        .select_columns(["td", "user_id"])
+    out = pairs2.groupby("td").aggregate(Count(alias_name="n_users"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        us = pc.multiply(pc.cast(b.column("td"), pa.int64()),
+                         pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "day": pc.cast(us, pa.timestamp("us")),
+            "n_users": pc.cast(b.column("n_users"), pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_cooccurrence(sf: str):
+    """Event-type co-occurrence (frequent pairs): users that exhibit
+    BOTH types, for every unordered type pair. Bounded-cardinality
+    rewrite: each type gets a bit, a per-user bitmask falls out of one
+    int Sum over the distinct (user, type) pairs (distinct rows make
+    Sum == OR), and pair counts are k^2/2 vectorized bit tests per
+    block with tiny integer partials — no self-join, nothing keyed by
+    user ever shuffles twice. Assumes type cardinality fits a 63-bit
+    mask (asserted); the general shape would keyed-repartition by user."""
+    from ray.data.aggregate import Sum
+    ev = _rp(sf, "events", columns=["user_id", "event_type"])
+    ut = ev.groupby(["user_id", "event_type"]).count() \
+        .select_columns(["user_id", "event_type"])
+    types = sorted(r["event_type"]
+                   for r in ut.groupby("event_type").count()
+                   .select_columns(["event_type"]).take_all())
+    assert len(types) <= 63, "bitmask path needs <= 63 distinct types"
+    idx = {t: i for i, t in enumerate(types)}
+    idx_ref = ray.put(idx)
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        m = ray.get(idx_ref)
+        bits = np.array([1 << m[t] for t in
+                         b.column("event_type").to_pylist()], np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "bit": pa.array(bits)})
+
+    masks = ut.map_batches(to_bits, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("bit", alias_name="mask"))
+    k = len(types)
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        m = b.column("mask").to_numpy(zero_copy_only=False).astype(np.int64)
+        ia, ib, cnt = [], [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                both = int((((m >> i) & 1) & ((m >> j) & 1)).sum())
+                if both:
+                    ia.append(i); ib.append(j); cnt.append(both)
+        return pa.table({"ia": pa.array(ia, pa.int64()),
+                         "ib": pa.array(ib, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    agg = masks.map_batches(pair_partials, batch_format="pyarrow") \
+        .groupby(["ia", "ib"]).aggregate(Sum("n", alias_name="n_users"))
+    rows = agg.to_pandas()  # <= k^2/2 rows
+    return pd.DataFrame({
+        "type_a": [types[int(i)] for i in rows["ia"]],
+        "type_b": [types[int(i)] for i in rows["ib"]],
+        "n_users": rows["n_users"].astype(np.int64).to_numpy()})
+
+
 def _q_mad(sf: str):
     """Median absolute deviation, exact: quantile_disc median via the
     shared radix descent, then a second descent over the derived
@@ -3139,6 +3234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lead": _q_lead,
         "q_pct_cont": _q_pct_cont,
         "q_mad": _q_mad,
+        "q_rolling_distinct": _q_rolling_distinct,
+        "q_cooccurrence": _q_cooccurrence,
         "q_versioned_table": _q_versioned_table,
         "q_incremental_dedup": _q_incremental_dedup,
         "q_pca": _q_pca,
@@ -3812,6 +3909,19 @@ def oracle_sql() -> dict[str, str]:
         "q_lead":
             "SELECT event_id, user_id, LEAD(value) OVER (PARTITION BY "
             "user_id ORDER BY ts, event_id) AS next_value FROM events",
+        "q_rolling_distinct":
+            "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id "
+            "FROM events), days AS (SELECT DISTINCT d FROM du) "
+            "SELECT CAST(days.d AS TIMESTAMP) AS day, "
+            "CAST(COUNT(DISTINCT du.user_id) AS "
+            "BIGINT) AS n_users FROM days JOIN du ON du.d BETWEEN "
+            "days.d - INTERVAL 6 DAY AND days.d GROUP BY 1",
+        "q_cooccurrence":
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users FROM ut a JOIN ut b "
+            "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY 1, 2",
         "q_mad":
             "WITH m AS (SELECT quantile_disc(value, 0.5) AS med "
             "FROM events) "

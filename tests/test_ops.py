@@ -2928,3 +2928,14 @@ def test_mad_matches_duckdb(ray_session):
     """Median absolute deviation via two radix descents, exact vs
     quantile_disc SQL."""
     assert _duckdb_twin("q_mad") == 1
+
+
+def test_rolling_distinct_matches_duckdb(ray_session):
+    """7-day rolling COUNT(DISTINCT) via offset explode + two-level
+    distinct, vs the SQL range join."""
+    assert _duckdb_twin("q_rolling_distinct") >= 1
+
+
+def test_cooccurrence_matches_duckdb(ray_session):
+    """Type co-occurrence via per-user bitmasks vs the SQL self-join."""
+    assert _duckdb_twin("q_cooccurrence") >= 1
