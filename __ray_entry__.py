@@ -1329,6 +1329,234 @@ def _q_pct_rank(sf: str):
     return withn.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_filtered_revenue(sf: str):
+    """TPC-H Q6 shape: the canonical pruned-scan aggregate. Column-
+    pruned read, one vectorized mask, two integer partial sums — the
+    whole query is a single streaming map; nothing shuffles. The
+    discount predicate compares exact integer cents on both sides."""
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1997-01-01").value // 1000
+    li = _rp(sf, "lineitem", columns=["l_shipdate", "l_discount",
+                                      "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = _ts_us_col(b.column("l_shipdate")).to_numpy(
+            zero_copy_only=False)
+        disc = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = ((d >= lo) & (d < hi) & (disc >= 5) & (disc <= 7)
+                & (qty < 24))
+        price = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        return pa.table({"rev": pa.array([int((price * disc[keep]).sum())]),
+                         "n": pa.array([int(keep.sum())])})
+
+    tot_r = tot_n = 0
+    for bt in li.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        t = bt if isinstance(bt, pa.Table) else pa.table(bt)
+        tot_r += sum(t.column("rev").to_pylist())
+        tot_n += sum(t.column("n").to_pylist())
+    return pd.DataFrame({"revenue": [tot_r], "n_rows": [tot_n]})
+
+
+def _q_top_supplier(sf: str):
+    """TPC-H Q15 shape: supplier(s) whose windowed revenue equals the
+    global max. Per-supplier integer revenue aggregate (one row per
+    supplier crosses the shuffle), the scalar max reduces over THAT,
+    and the name attaches by broadcast — ties kept, like the SQL."""
+    from ray.data.aggregate import Sum
+
+    from paperchase_crawler_ray.ops.relational import broadcast_lookup_join
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1996-04-01").value // 1000
+    li = _rp(sf, "lineitem", columns=["l_suppkey", "l_shipdate",
+                                      "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        d = _ts_us_col(b.column("l_shipdate")).to_numpy(
+            zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        t = b.filter(pa.array(keep))
+        price = np.rint(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.rint(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "r": pa.array(price * (100 - disc))})
+
+    per_supp = li.map_batches(rev, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("r", alias_name="total_rev"))
+    best = per_supp.max("total_rev")
+    top = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_rev"),
+                                    pa.scalar(int(best)))),
+        batch_format="pyarrow")
+    named = broadcast_lookup_join(
+        top, "l_suppkey",
+        _rp(sf, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", ["s_name"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": b.column("l_suppkey"),
+                         "s_name": b.column("s_name"),
+                         "total_rev": pc.cast(b.column("total_rev"),
+                                              pa.int64())})
+
+    return named.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_market_share(sf: str):
+    """TPC-H Q8 shape: one supplier-nation's share of ASIA-customer
+    revenue per order year. Fact rows shuffle once (lineitem |><|
+    date-cut orders); customer/nation/region ride broadcast lookups
+    (the inner ASIA lookup doubles as the region filter) and the share
+    is reported as two exact integer columns per year."""
+    from ray.data.aggregate import Sum
+
+    from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
+                                                       cap_join_partitions)
+    r = _rp(sf, "region", columns=["r_regionkey", "r_name"])
+    n = _rp(sf, "nation", columns=["n_nationkey", "n_regionkey"])
+    asia_keys = {row["r_regionkey"] for row in r.take_all()
+                 if row["r_name"] == "ASIA"}
+    asia_n = n.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b.column("n_regionkey").to_numpy(zero_copy_only=False),
+            np.array(sorted(asia_keys), np.int64)))),
+        batch_format="pyarrow")
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate"])
+
+    def date_cut(b: pa.Table) -> pa.Table:
+        d = _ts_us_col(b.column("o_orderdate"))
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo, pa.int64())),
+                       pc.less(d, pa.scalar(hi, pa.int64())))
+        t = b.filter(keep)
+        yr = pc.cast(pc.year(pc.cast(t.column("o_orderdate"),
+                                     pa.timestamp("us"))), pa.int64())
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "o_year": yr})
+
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_suppkey",
+                                      "l_extendedprice", "l_discount"])
+
+    def vol(b: pa.Table) -> pa.Table:
+        price = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "v": pa.array(price * (100 - disc))})
+
+    j = li.map_batches(vol, batch_format="pyarrow") \
+        .join(o.map_batches(date_cut, batch_format="pyarrow"),
+              join_type="inner", num_partitions=cap_join_partitions(8),
+              on=("l_orderkey",), right_on=("o_orderkey",))
+    c = _rp(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    s = _rp(sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_lookup_join(j, "o_custkey", c, "c_custkey",
+                              ["c_nationkey"])
+    # inner lookup against ASIA nations == the region filter
+    j = broadcast_lookup_join(j, "c_nationkey", asia_n, "n_nationkey",
+                              ["n_regionkey"])
+    j = broadcast_lookup_join(j, "l_suppkey", s, "s_suppkey",
+                              ["s_nationkey"])
+    TARGET = 5   # the measured supplier nation
+
+    def split(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        hit = b.column("s_nationkey").to_numpy(
+            zero_copy_only=False) == TARGET
+        return pa.table({"o_year": b.column("o_year"),
+                         "nv": pa.array(np.where(hit, v, 0)),
+                         "tv": pa.array(v)})
+
+    agg = j.map_batches(split, batch_format="pyarrow") \
+        .groupby("o_year").aggregate(Sum("nv", alias_name="nation_vol"),
+                                     Sum("tv", alias_name="total_vol"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"o_year": b.column("o_year"),
+                         "nation_vol": pc.cast(b.column("nation_vol"),
+                                               pa.int64()),
+                         "total_vol": pc.cast(b.column("total_vol"),
+                                              pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_product_profit(sf: str):
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name family (p_retailprice stands in for the partsupp cost).
+    Profit stays in exact 10^-4 units: price*(100-disc) minus
+    cost_cents*qty*100. part/supplier/nation attach broadcast; the one
+    keyed exchange is lineitem |><| orders."""
+    from ray.data.aggregate import Sum
+
+    from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
+                                                       cap_join_partitions)
+    p = _rp(sf, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def gears(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.match_substring(b.column("p_name"), "gear"))
+        cost = np.rint(t.column("p_retailprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"p_partkey": t.column("p_partkey"),
+                         "cost_c": pa.array(cost)})
+
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_partkey",
+                                      "l_suppkey", "l_quantity",
+                                      "l_extendedprice", "l_discount"])
+    typed = broadcast_lookup_join(li, "l_partkey",
+                                  p.map_batches(gears,
+                                                batch_format="pyarrow"),
+                                  "p_partkey", ["cost_c"])
+
+    def profit(b: pa.Table) -> pa.Table:
+        price = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        qty = pc.cast(b.column("l_quantity"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cost = b.column("cost_c").to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "pf": pa.array(price * (100 - disc)
+                                        - cost * qty * 100)})
+
+    o = _rp(sf, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def year(b: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(pc.cast(b.column("o_orderdate"),
+                                     pa.timestamp("us"))), pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_year": yr})
+
+    j = typed.map_batches(profit, batch_format="pyarrow") \
+        .join(o.map_batches(year, batch_format="pyarrow"),
+              join_type="inner", num_partitions=cap_join_partitions(8),
+              on=("l_orderkey",), right_on=("o_orderkey",))
+    s = _rp(sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n = _rp(sf, "nation", columns=["n_nationkey", "n_name"])
+    j = broadcast_lookup_join(j, "l_suppkey", s, "s_suppkey",
+                              ["s_nationkey"])
+    j = broadcast_lookup_join(j, "s_nationkey", n, "n_nationkey",
+                              ["n_name"])
+    agg = j.groupby(["n_name", "o_year"]).aggregate(
+        Sum("pf", alias_name="profit"))
+    return agg.map_batches(
+        lambda b: b.set_column(b.column_names.index("profit"), "profit",
+                               pc.cast(b.column("profit"), pa.int64())),
+        batch_format="pyarrow")
+
+
 def _q_rolling_distinct(sf: str):
     """Rolling 7-day COUNT(DISTINCT user) per active day: the window
     join is rewritten as a 7-offset explode of the distinct (day, user)
@@ -3236,6 +3464,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mad": _q_mad,
         "q_rolling_distinct": _q_rolling_distinct,
         "q_cooccurrence": _q_cooccurrence,
+        "q_filtered_revenue": _q_filtered_revenue,
+        "q_top_supplier": _q_top_supplier,
+        "q_market_share": _q_market_share,
+        "q_product_profit": _q_product_profit,
         "q_versioned_table": _q_versioned_table,
         "q_incremental_dedup": _q_incremental_dedup,
         "q_pca": _q_pca,
@@ -3909,6 +4141,48 @@ def oracle_sql() -> dict[str, str]:
         "q_lead":
             "SELECT event_id, user_id, LEAD(value) OVER (PARTITION BY "
             "user_id ORDER BY ts, event_id) AS next_value FROM events",
+        "q_filtered_revenue":
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) "
+            "* CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS "
+            "revenue, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate "
+            "< TIMESTAMP '1997-01-01' AND CAST(ROUND(l_discount*100) AS "
+            "BIGINT) BETWEEN 5 AND 7 AND l_quantity < 24",
+        "q_top_supplier":
+            "WITH r AS (SELECT l_suppkey, CAST(SUM(CAST(ROUND("
+            "l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND("
+            "l_discount*100) AS BIGINT))) AS BIGINT) AS total_rev "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_rev FROM supplier "
+            "JOIN r ON s_suppkey = l_suppkey "
+            "WHERE total_rev = (SELECT MAX(total_rev) FROM r)",
+        "q_market_share":
+            "WITH t AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS "
+            "BIGINT) AS o_year, CAST(ROUND(l_extendedprice*100) AS "
+            "BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS "
+            "v, s_nationkey FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP "
+            "'1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') "
+            "SELECT o_year, CAST(SUM(CASE WHEN s_nationkey = 5 THEN v "
+            "ELSE 0 END) AS BIGINT) AS nation_vol, CAST(SUM(v) AS "
+            "BIGINT) AS total_vol FROM t GROUP BY o_year",
+        "q_product_profit":
+            "SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS "
+            "BIGINT) AS o_year, CAST(SUM(CAST(ROUND(l_extendedprice*100)"
+            " AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+            " - CAST(ROUND(p_retailprice*100) AS BIGINT) * "
+            "CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%gear%' GROUP BY n_name, o_year",
         "q_rolling_distinct":
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id "
             "FROM events), days AS (SELECT DISTINCT d FROM du) "

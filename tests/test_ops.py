@@ -2939,3 +2939,23 @@ def test_rolling_distinct_matches_duckdb(ray_session):
 def test_cooccurrence_matches_duckdb(ray_session):
     """Type co-occurrence via per-user bitmasks vs the SQL self-join."""
     assert _duckdb_twin("q_cooccurrence") >= 1
+
+
+def test_filtered_revenue_matches_duckdb(ray_session):
+    """Q6-shape pruned-scan aggregate, integer-exact."""
+    assert _duckdb_twin("q_filtered_revenue") == 1
+
+
+def test_top_supplier_matches_duckdb(ray_session):
+    """Q15-shape max-revenue supplier with exact-int tie semantics."""
+    assert _duckdb_twin("q_top_supplier") >= 1
+
+
+def test_market_share_matches_duckdb(ray_session):
+    """Q8-shape per-year nation share as two exact integer columns."""
+    assert _duckdb_twin("q_market_share") >= 1
+
+
+def test_product_profit_matches_duckdb(ray_session):
+    """Q9-shape profit by nation and year, exact 1e-4 units."""
+    assert _duckdb_twin("q_product_profit") >= 1
