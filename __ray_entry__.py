@@ -641,7 +641,10 @@ def _q_small_qty_rev(sf: str):
                          "q": pc.cast(b.column("l_quantity"), pa.int64()),
                          "price_c": pa.array(price)})
 
-    fact = li.map_batches(to_int, batch_format="pyarrow")
+    # materialized: the per-part aggregate AND the join-back probe
+    # both consume it; lazy reuse would re-run the brand-filtered
+    # read twice. Brand-filtered, so ~1/25 of the fact table.
+    fact = li.map_batches(to_int, batch_format="pyarrow").materialize()
     per_part = fact.groupby("l_partkey").aggregate(
         Sum("q", alias_name="sq"), Count(alias_name="n"))
     j = fact.join(per_part, join_type="inner",
@@ -799,7 +802,9 @@ def _q_dormant_customers(sf: str):
                          "c_nationkey": t.column("c_nationkey"),
                          "bal": pa.array(bal)})
 
-    scoped = c.map_batches(in_scope, batch_format="pyarrow")
+    # materialized: the global-average partials and the HAVING filter
+    # both consume it (nation-scoped, so a bounded slice of customer)
+    scoped = c.map_batches(in_scope, batch_format="pyarrow").materialize()
 
     def pos_partial(b: pa.Table) -> pa.Table:
         bal = b.column("bal").to_numpy(zero_copy_only=False)
@@ -1386,8 +1391,11 @@ def _q_top_supplier(sf: str):
         return pa.table({"l_suppkey": t.column("l_suppkey"),
                          "r": pa.array(price * (100 - disc))})
 
+    # materialized: both the scalar max and the filter consume it, and
+    # lazy reuse would run the fact aggregate twice
     per_supp = li.map_batches(rev, batch_format="pyarrow") \
-        .groupby("l_suppkey").aggregate(Sum("r", alias_name="total_rev"))
+        .groupby("l_suppkey").aggregate(Sum("r", alias_name="total_rev")) \
+        .materialize()
     best = per_supp.max("total_rev")
     top = per_supp.map_batches(
         lambda b: b.filter(pc.equal(b.column("total_rev"),
@@ -1574,7 +1582,8 @@ def _q_rolling_distinct(sf: str):
                          "user_id": b.column("user_id")})
 
     du = ev.map_batches(to_day, batch_format="pyarrow") \
-        .groupby(["d", "user_id"]).count().select_columns(["d", "user_id"])
+        .groupby(["d", "user_id"]).count() \
+        .select_columns(["d", "user_id"]).materialize()
     days = du.groupby("d").count().select_columns(["d"])  # active days
 
     def explode(b: pa.Table) -> pa.Table:
@@ -1612,7 +1621,7 @@ def _q_cooccurrence(sf: str):
     from ray.data.aggregate import Sum
     ev = _rp(sf, "events", columns=["user_id", "event_type"])
     ut = ev.groupby(["user_id", "event_type"]).count() \
-        .select_columns(["user_id", "event_type"])
+        .select_columns(["user_id", "event_type"]).materialize()
     types = sorted(r["event_type"]
                    for r in ut.groupby("event_type").count()
                    .select_columns(["event_type"]).take_all())
