@@ -997,6 +997,43 @@ def _q_token_count(sf: str):
     return token_count(docs).select_columns(["doc_id", "n_tokens"])
 
 
+def _q_length_buckets(sf: str):
+    """Sequence-length bucketing for training batches: each doc goes to
+    the smallest power-of-2 token-length bucket (exact integer
+    bit-length arithmetic, no float log), then one tiny groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from paperchase_crawler_ray.ops.textstats import token_count
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    counted = token_count(docs).select_columns(["n_tokens"])
+
+    def to_bucket(b: pa.Table) -> pa.Table:
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nm1 = np.maximum(n - 1, 0)
+        # bit_length(n-1): position of highest set bit + 1, vectorized
+        bl = np.zeros(len(nm1), np.int64)
+        v = nm1.copy()
+        while (v > 0).any():
+            bl[v > 0] += 1
+            v >>= 1
+        bucket = np.where(n <= 1, 1, 1 << bl)
+        return pa.table({"bucket": pa.array(bucket),
+                         "n": pa.array(n)})
+
+    agg = counted.map_batches(to_bucket, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Count(alias_name="n_docs"),
+                                     Sum("n", alias_name="total_tokens"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": b.column("bucket"),
+            "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+            "total_tokens": pc.cast(b.column("total_tokens"), pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_quality_stats(sf: str):
     from paperchase_crawler_ray.ops.textstats import quality_stats
     docs = _rp(sf, "documents", columns=["doc_id", "text"])
@@ -3440,6 +3477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dormant_customers": _q_dormant_customers,
         "q_text_hash_dedup": _q_text_hash_dedup,
         "q_token_count": _q_token_count,
+        "q_length_buckets": _q_length_buckets,
         "q_quality_stats": _q_quality_stats,
         "q_minhash_dedup": _q_minhash_dedup,
         "q_simhash_dedup": _q_simhash_dedup,
@@ -4052,6 +4090,15 @@ def oracle_sql() -> dict[str, str]:
         "q_token_count":
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\w+')) "
             "AS BIGINT) AS n_tokens FROM documents",
+        "q_length_buckets":
+            # bucket = smallest power of two >= n, in exact integer
+            # arithmetic on both sides (length(bin(n-1)) == bit_length)
+            "WITH t AS (SELECT len(regexp_extract_all(text, '\\w+')) AS n "
+            "FROM documents) "
+            "SELECT CAST(CASE WHEN n <= 1 THEN 1 ELSE "
+            "1 << LENGTH(BIN(CAST(n - 1 AS BIGINT))) END AS BIGINT) AS "
+            "bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n) AS BIGINT) AS total_tokens FROM t GROUP BY 1",
         "q_quality_stats":
             "SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens, "

@@ -2959,3 +2959,8 @@ def test_market_share_matches_duckdb(ray_session):
 def test_product_profit_matches_duckdb(ray_session):
     """Q9-shape profit by nation and year, exact 1e-4 units."""
     assert _duckdb_twin("q_product_profit") >= 1
+
+
+def test_length_buckets_matches_duckdb(ray_session):
+    """Power-of-2 sequence-length bucketing, exact int bit arithmetic."""
+    assert _duckdb_twin("q_length_buckets") >= 1
