@@ -585,7 +585,7 @@ def _q_supplier_parts(sf: str):
     count — every exchange is pre-shrunk to distinct rows."""
     from ray.data.aggregate import Count
 
-    from paperchase_crawler_ray.ops.relational import (broadcast_anti_join,
+    from paperchase_crawler_ray.ops.relational import (anti_join,
                                                        broadcast_lookup_join)
     li = _rp(sf, "lineitem", columns=["l_partkey", "l_suppkey"])
     pairs = li.groupby(["l_partkey", "l_suppkey"]).count() \
@@ -594,7 +594,9 @@ def _q_supplier_parts(sf: str):
         .map_batches(lambda b: b.filter(
             pc.less(b.column("s_acctbal"), pa.scalar(0.0)))
             .select(["s_suppkey"]), batch_format="pyarrow")
-    pairs = broadcast_anti_join(pairs, "l_suppkey", bad, "s_suppkey")
+    # size-switched: broadcast below the threshold, native left_anti
+    # above (the excluded-supplier set is unbounded at corpus scale)
+    pairs = anti_join(pairs, "l_suppkey", bad, "s_suppkey")
     p = _rp(sf, "part", columns=["p_partkey", "p_brand", "p_size"])
     typed = broadcast_lookup_join(pairs, "l_partkey", p, "p_partkey",
                                   ["p_brand", "p_size"])
@@ -1433,7 +1435,11 @@ def _q_top_supplier(sf: str):
     per_supp = li.map_batches(rev, batch_format="pyarrow") \
         .groupby("l_suppkey").aggregate(Sum("r", alias_name="total_rev")) \
         .materialize()
-    best = per_supp.max("total_rev")
+    best = per_supp.max("total_rev") if per_supp.count() else None
+    if best is None:  # empty window: the SQL twin returns zero rows
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_rev": pd.Series([], dtype=np.int64)})
     top = per_supp.map_batches(
         lambda b: b.filter(pc.equal(b.column("total_rev"),
                                     pa.scalar(int(best)))),

@@ -70,10 +70,15 @@ int64_t pc_jpeg_walk(const uint8_t *seg, int64_t nbits,
                 k += sym >> 4;
                 s = sym & 0x0F;
                 if (k >= 64) return -2;              /* AC run overflow */
-                int64_t full = ((int64_t)1 << s) - 1;
-                int64_t a = (WIN24(seg, p) >> (24 - s - (p & 7))) & full;
-                p += s;
-                if (a < ((int64_t)1 << (s - 1))) a -= full;
+                int64_t a = 0;
+                if (s) {   /* nonstandard run>0,size=0 symbols: a == 0
+                              (mirrors the Python walk; also avoids the
+                              1 << -1 UB) */
+                    int64_t full = ((int64_t)1 << s) - 1;
+                    a = (WIN24(seg, p) >> (24 - s - (p & 7))) & full;
+                    p += s;
+                    if (a < ((int64_t)1 << (s - 1))) a -= full;
+                }
                 out_idx[n] = base | k;
                 out_val[n] = a;
                 n++;
@@ -101,7 +106,7 @@ static inline int32_t pc_bitlen(int64_t v)
 }
 
 int64_t pc_jpeg_pack(const int64_t *A, int64_t n, int32_t ncomp,
-                     uint8_t *out)
+                     uint8_t *out, int64_t cap)
 {
     uint64_t acc = 0;      /* bit accumulator, MSB-first */
     int32_t nacc = 0;
@@ -111,6 +116,7 @@ int64_t pc_jpeg_pack(const int64_t *A, int64_t n, int32_t ncomp,
     nacc += (len); \
     while (nacc >= 8) { \
         uint8_t byte = (uint8_t)(acc >> (nacc - 8)); \
+        if (w + 2 > cap) return -3;   /* caller buffer too small */ \
         out[w++] = byte; \
         if (byte == 0xFF) out[w++] = 0x00; \
         nacc -= 8; \
@@ -131,7 +137,7 @@ int64_t pc_jpeg_pack(const int64_t *A, int64_t n, int32_t ncomp,
             int64_t v = row[k];
             if (v == 0) { run++; continue; }
             while (run >= 16) { EMIT(1, 8); run -= 16; }
-            s = pc_bitlen(v < 0 ? -v : v);
+            s = pc_bitlen(v < 0 ? -v : v);   /* v != 0 here, so s >= 1 */
             EMIT(2 + run * 10 + (s - 1), 8);
             int64_t amp = v >= 0 ? v : v + (((int64_t)1 << s) - 1);
             EMIT(amp, s);

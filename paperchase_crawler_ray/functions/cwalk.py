@@ -25,7 +25,11 @@ import tempfile
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "_jpegwalk.c")
-_CACHE_DIR = os.path.join(tempfile.gettempdir(), "pc_ckernels")
+# per-uid, mode-0700 cache dir: a shared /tmp/pc_ckernels would let any
+# local user pre-plant a .so at the predictable name and have every Ray
+# worker dlopen it
+_CACHE_DIR = os.path.join(tempfile.gettempdir(),
+                          f"pc_ckernels_{os.getuid()}")
 
 _walk = None
 _tried = False
@@ -40,12 +44,18 @@ def _build() -> "ctypes.CDLL | None":
         tag = hashlib.blake2b(src, digest_size=12).hexdigest()
         so = os.path.join(_CACHE_DIR, f"jpegwalk_{tag}.so")
         if not os.path.exists(so):
-            os.makedirs(_CACHE_DIR, exist_ok=True)
+            os.makedirs(_CACHE_DIR, mode=0o700, exist_ok=True)
+            if os.stat(_CACHE_DIR).st_uid != os.getuid():
+                return None  # someone else owns the cache dir: refuse
             tmp = f"{so}.{os.getpid()}.tmp"
-            subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
-                check=True, capture_output=True, timeout=120)
-            os.replace(tmp, so)  # atomic: concurrent builders all win
+            try:
+                subprocess.run(
+                    ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, so)  # atomic: concurrent builders all win
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(so)
         fn = lib.pc_jpeg_walk
         fn.restype = ctypes.c_int64
@@ -59,7 +69,7 @@ def _build() -> "ctypes.CDLL | None":
         pk = lib.pc_jpeg_pack
         pk.restype = ctypes.c_int64
         pk.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
-                       ctypes.c_void_p]
+                       ctypes.c_void_p, ctypes.c_int64]
         return fn, pk
     except Exception:
         return None
@@ -87,10 +97,18 @@ def get_pack():
 
 def run_pack(pk, A: np.ndarray, ncomp: int) -> bytes:
     """Entropy-encode the interleaved (n, 64) zigzag coefficient table
-    with the compiled kernel; returns the stuffed scan bytes."""
+    with the compiled kernel; returns the stuffed scan bytes.
+
+    Capacity is a PROVEN worst case: per 64-coeff row the unstuffed
+    stream is at most 4+11 DC bits + 63*(8+10) AC bits = 1149 bits
+    (~144 bytes); FF00 stuffing at most doubles it and padding adds one
+    byte, so 320 bytes/row strictly dominates. The kernel still takes
+    the capacity and returns -3 rather than write past it."""
     n = A.shape[0]
-    out = np.empty(max(64, n * 64 * 4), np.uint8)
-    w = pk(A.ctypes.data, n, ncomp, out.ctypes.data)
+    out = np.empty(max(64, n * 320 + 8), np.uint8)
+    w = pk(A.ctypes.data, n, ncomp, out.ctypes.data, out.size)
+    if w < 0:
+        raise RuntimeError(f"pc_jpeg_pack failed ({w})")
     return out[:w].tobytes()
 
 

@@ -311,10 +311,16 @@ def broadcast_lookup_join(ds: ray.data.Dataset, key: str,
     ``ray.put``, and attached per batch with a vectorized searchsorted
     lookup — no shuffle of the (big) left side at all. Inner-join
     semantics on a UNIQUE right key (dimension-table contract)."""
+    proj = small.select_columns([small_key] + value_cols)
     parts = [pa.table(b) if not isinstance(b, pa.Table) else b
-             for b in small.select_columns([small_key] + value_cols)
-             .iter_batches(batch_format="pyarrow", batch_size=65536)]
-    t = pa.concat_tables(parts)
+             for b in proj.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536)]
+    if parts:
+        t = pa.concat_tables(parts)
+    else:
+        # fully-filtered dimension side yields ZERO batches; an empty
+        # lookup is legitimate (inner join -> empty result)
+        t = proj.schema().base_schema.empty_table()
     keys_np = t.column(small_key).to_numpy(zero_copy_only=False)
     order = np.argsort(keys_np)
     if len(keys_np) and (keys_np[order][1:] == keys_np[order][:-1]).any():
