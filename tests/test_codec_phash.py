@@ -273,3 +273,18 @@ def test_jpeg_c_pack_matches_python_pack():
             del os.environ["PC_NO_CKERNEL"]
             cw._tried, cw._walk = False, None
         assert enc_c == enc_py
+
+
+def test_jpeg_pack_capacity_guard():
+    """The compiled pack kernel must refuse (return -3) rather than
+    write past an undersized buffer."""
+    import paperchase_crawler_ray.functions.cwalk as cw
+
+    pk = cw.get_pack()
+    if pk is None:
+        import pytest
+        pytest.skip("no C toolchain in this environment")
+    A = np.full((4, 64), 777, np.int64)   # dense: every coeff emits
+    out = np.zeros(8, np.uint8)           # deliberately tiny
+    rc = pk(A.ctypes.data, 4, 1, out.ctypes.data, out.size)
+    assert rc == -3                       # refused, did not run past cap

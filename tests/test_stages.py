@@ -178,3 +178,34 @@ def test_synthetic_image_fetch_serves_all_fixture_formats():
                              out.column("body").to_pylist()):
         assert ct == f"image/{fmt}"
         assert sniff_format(body) == fmt
+
+
+def test_decode_write_images_retry_idempotent(tmp_path):
+    """A retried decode-write batch must rewrite the SAME file with the
+    SAME bytes (deterministic name + deterministic decode), leaving no
+    duplicate rows behind."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from paperchase_crawler_ray.stages.fetch import SyntheticImageFetch
+    from paperchase_crawler_ray.stages.image import DecodeWriteImages
+
+    urls = [f"http://h000.example/img/{j}-0.jpeg" for j in range(6)]
+    batch = pa.table({
+        "url_canon": pa.array(urls),
+        "caption": pa.array([f"Figure {j}: a b under c." for j in range(6)]),
+        "url_hash": pa.array(np.arange(6), pa.int64())})
+    fetched = SyntheticImageFetch(1)(batch)
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    sink = DecodeWriteImages(d)
+    narrow1 = sink(fetched)
+    files1 = sorted(os.listdir(d))
+    bytes1 = open(os.path.join(d, files1[0]), "rb").read()
+    narrow2 = sink(fetched)          # simulated task retry
+    files2 = sorted(os.listdir(d))
+    assert files1 == files2          # same single file, no duplicates
+    assert open(os.path.join(d, files2[0]), "rb").read() == bytes1
+    assert narrow1.equals(narrow2)
