@@ -1704,6 +1704,15 @@ def _q_cooccurrence(sf: str):
         "n_users": rows["n_users"].astype(np.int64).to_numpy()})
 
 
+def _q_grouped_pct_cont(sf: str):
+    """Per-group interpolated percentiles (quantile_cont) on the
+    stitched-sort bracketing-rank kernel."""
+    from paperchase_crawler_ray.ops.relational import grouped_quantiles_cont
+    ev = _rp(sf, "events", columns=["event_type", "value"])
+    return grouped_quantiles_cont(ev, "event_type", "value",
+                                  ps=(0.25, 0.5, 0.9))
+
+
 def _q_mad(sf: str):
     """Median absolute deviation, exact: quantile_disc median via the
     shared radix descent, then a second descent over the derived
@@ -3515,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lead": _q_lead,
         "q_pct_cont": _q_pct_cont,
         "q_mad": _q_mad,
+        "q_grouped_pct_cont": _q_grouped_pct_cont,
         "q_rolling_distinct": _q_rolling_distinct,
         "q_cooccurrence": _q_cooccurrence,
         "q_filtered_revenue": _q_filtered_revenue,
@@ -4258,6 +4268,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_users FROM ut a JOIN ut b "
             "ON a.user_id = b.user_id AND a.event_type < b.event_type "
             "GROUP BY 1, 2",
+        "q_grouped_pct_cont":
+            "SELECT event_type, "
+            "CAST(quantile_cont(value, 0.25) AS DOUBLE) AS p25c, "
+            "CAST(quantile_cont(value, 0.50) AS DOUBLE) AS p50c, "
+            "CAST(quantile_cont(value, 0.90) AS DOUBLE) AS p90c "
+            "FROM events GROUP BY event_type",
         "q_mad":
             "WITH m AS (SELECT quantile_disc(value, 0.5) AS med "
             "FROM events) "

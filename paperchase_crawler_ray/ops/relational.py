@@ -1558,6 +1558,85 @@ def grouped_quantiles(ds: ray.data.Dataset, group_col: str, value_col: str,
     return ray.data.from_arrow(pa.table(cols))
 
 
+def grouped_quantiles_cont(ds: ray.data.Dataset, group_col: str,
+                           value_col: str,
+                           ps: tuple[float, ...] = (0.25, 0.5, 0.75)
+                           ) -> ray.data.Dataset:
+    """Per-group INTERPOLATED quantiles (``quantile_cont`` semantics):
+    same stitched-sort scaffolding as `grouped_quantiles`, but each
+    percentile fetches BOTH bracketing ranks (floor/ceil of p*(n-1))
+    and the driver applies the bit-match interpolation
+    ``v_lo*(ceil-idx) + v_hi*(idx-floor)`` per group — one
+    deterministic row-local float op, no cross-row float accumulation
+    (the established float policy, cf. the global q_pct_cont)."""
+    from ray.data.aggregate import Count
+
+    nn = ds.select_columns([group_col, value_col]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(value_col))),
+        batch_format="pyarrow")
+    sizes = nn.groupby(group_col).aggregate(Count(alias_name="_gn"))
+    groups, counts = [], []
+    for b in sizes.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        groups.extend(t.column(group_col).to_pylist())
+        counts.extend(t.column("_gn").to_pylist())
+    if not groups:
+        cols = {group_col: pa.array([])}
+        for p in ps:
+            cols[f"p{int(round(p * 100)):02d}c"] = pa.array([],
+                                                            pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
+    gindex = pd.Index(groups)
+    # 1-based bracketing ranks per group per percentile
+    lo_t = np.empty((len(counts), len(ps)), np.int64)
+    hi_t = np.empty((len(counts), len(ps)), np.int64)
+    for gi, n in enumerate(counts):
+        for j, p in enumerate(ps):
+            idx = p * (n - 1)
+            lo_t[gi, j] = int(np.floor(idx)) + 1
+            hi_t[gi, j] = int(np.ceil(idx)) + 1
+    ref = ray.put((gindex, np.concatenate([lo_t, hi_t], axis=1)))
+
+    ranked = grouped_rank(nn, group_col, [(value_col, False)],
+                          out_col="_rnk")
+
+    def keep_targets(b: pa.Table) -> pa.Table:
+        gi, tg = ray.get(ref)
+        pos = gi.get_indexer(b.column(group_col).to_numpy(
+            zero_copy_only=False))
+        rnk = b.column("_rnk").to_numpy(zero_copy_only=False)
+        hit = (tg[pos] == rnk[:, None]).any(axis=1)
+        return b.filter(pa.array(hit))
+
+    picked = _collect_small(ranked.map_batches(keep_targets,
+                                               batch_format="pyarrow"))
+    rank_of: dict = {}
+    if picked is not None:
+        for g, v, r in zip(picked.column(group_col).to_pylist(),
+                           picked.column(value_col).to_pylist(),
+                           picked.column("_rnk").to_pylist()):
+            rank_of[(g, r)] = v
+    order = np.argsort(gindex.to_numpy(), kind="stable")
+    cols = {group_col: pa.array([groups[i] for i in order])}
+    for j, p in enumerate(ps):
+        vals = []
+        for i in order:
+            n = counts[i]
+            idx = p * (n - 1)
+            lo, hi = int(np.floor(idx)), int(np.ceil(idx))
+            v_lo = rank_of.get((groups[i], lo + 1))
+            v_hi = rank_of.get((groups[i], hi + 1))
+            if v_lo is None:
+                vals.append(None)
+            elif lo == hi:
+                vals.append(float(v_lo))
+            else:
+                vals.append(float(v_lo) * (hi - idx)
+                            + float(v_hi) * (idx - lo))
+        cols[f"p{int(round(p * 100)):02d}c"] = pa.array(vals, pa.float64())
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def _collect_small(ds: ray.data.Dataset) -> pa.Table | None:
     """Drain a small dataset to one driver table (None if empty)."""
     parts = [b if isinstance(b, pa.Table) else pa.table(b)

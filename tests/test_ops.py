@@ -2964,3 +2964,8 @@ def test_product_profit_matches_duckdb(ray_session):
 def test_length_buckets_matches_duckdb(ray_session):
     """Power-of-2 sequence-length bucketing, exact int bit arithmetic."""
     assert _duckdb_twin("q_length_buckets") >= 1
+
+
+def test_grouped_pct_cont_matches_duckdb(ray_session):
+    """Per-group quantile_cont, bit-exact interpolation."""
+    assert _duckdb_twin("q_grouped_pct_cont") >= 1
