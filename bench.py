@@ -168,9 +168,19 @@ def run_sustained(num_cpus: int, pages: int = SUS_PAGES) -> dict:
                     image_parallelism=num_cpus * 16,
                     fetch_concurrency=max(2, num_cpus // 2),
                     fetch_batch_size=128, image_batch_size=32)
-    t0 = time.monotonic()
-    res = crawl(web, seeds, out, cfg, run)
-    wall = time.monotonic() - t0
+    # best-of-N: single 30s windows swing ±40% with VM co-tenancy;
+    # two runs halve the exposure (GRAFT_SUSTAINED_RUNS=1 restores the
+    # old single-shot behavior)
+    nruns = max(1, int(os.environ.get("GRAFT_SUSTAINED_RUNS", "2")))
+    wall, res = None, None
+    for _ in range(nruns):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        t0 = time.monotonic()
+        r = crawl(web, seeds, out, cfg, run, resume=False)
+        w = time.monotonic() - t0
+        if wall is None or w < wall:
+            wall, res = w, r
     c = res.counters
     shutil.rmtree(out, ignore_errors=True)
     return {
@@ -252,8 +262,11 @@ def run_scaling(runs_per_side: int = 2) -> dict:
                 # auxiliary threads leak onto idle cores and inflate
                 # the small-N side
                 cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+            # child does ONE crawl: run_scaling's runs_per_side is the
+            # de-noiser here, not the sustained best-of-N default
+            env = {**os.environ, "GRAFT_SUSTAINED_RUNS": "1"}
             p = subprocess.run(
-                cmd, capture_output=True, text=True, check=True,
+                cmd, capture_output=True, text=True, check=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             r = json.loads(p.stdout.strip().splitlines()[-1])["sustained"]
             if best is None or r["wall_sec"] < best["wall_sec"]:
