@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "q_exists_orders", "q_big_orders", "q_promo_share",
     "q_volume_shipping", "q_custdist", "q_supplier_parts",
     "q_disjunctive_rev", "q_late_only_supplier",
+    "q_filtered_revenue", "q_market_share", "q_product_profit",
+    "q_mad", "q_grouped_pct_cont", "q_rolling_distinct",
+    "q_cooccurrence", "q_length_buckets", "q_semdedup",
 ]
 
 
