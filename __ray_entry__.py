@@ -1704,6 +1704,36 @@ def _q_cooccurrence(sf: str):
         "n_users": rows["n_users"].astype(np.int64).to_numpy()})
 
 
+def _q_grouped_mad(sf: str):
+    """Per-group median absolute deviation: grouped quantile_disc
+    median (stitched sort), broadcast the tiny per-group medians, one
+    row-local |v - med| derivation, then the SAME grouped-median kernel
+    over the derived column — two sorts, zero driver state beyond the
+    group map."""
+    from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
+                                                       grouped_quantiles)
+    ev = _rp(sf, "events", columns=["event_type", "value"])
+    med = grouped_quantiles(ev, "event_type", "value", ps=(0.5,))
+    med = med.map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "med": pc.cast(b.column("p50"), pa.float64())}),
+        batch_format="pyarrow")
+    withmed = broadcast_lookup_join(ev, "event_type", med, "event_type",
+                                    ["med"])
+
+    def absdev(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "dev": pc.abs(pc.subtract(
+                             b.column("value"), b.column("med")))})
+
+    dev = withmed.map_batches(absdev, batch_format="pyarrow")
+    out = grouped_quantiles(dev, "event_type", "dev", ps=(0.5,))
+    return out.map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "mad": pc.cast(b.column("p50"), pa.float64())}),
+        batch_format="pyarrow")
+
+
 def _q_grouped_pct_cont(sf: str):
     """Per-group interpolated percentiles (quantile_cont) on the
     stitched-sort bracketing-rank kernel."""
@@ -3525,6 +3555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pct_cont": _q_pct_cont,
         "q_mad": _q_mad,
         "q_grouped_pct_cont": _q_grouped_pct_cont,
+        "q_grouped_mad": _q_grouped_mad,
         "q_rolling_distinct": _q_rolling_distinct,
         "q_cooccurrence": _q_cooccurrence,
         "q_filtered_revenue": _q_filtered_revenue,
@@ -4268,6 +4299,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_users FROM ut a JOIN ut b "
             "ON a.user_id = b.user_id AND a.event_type < b.event_type "
             "GROUP BY 1, 2",
+        "q_grouped_mad":
+            # null values drop from both the median and the deviation
+            # median (quantile_disc ignores nulls; null - med is null)
+            "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS "
+            "med FROM events GROUP BY event_type) "
+            "SELECT e.event_type, CAST(quantile_disc(abs(e.value - m.med)"
+            ", 0.5) AS DOUBLE) AS mad FROM events e JOIN m ON "
+            "e.event_type = m.event_type GROUP BY e.event_type",
         "q_grouped_pct_cont":
             "SELECT event_type, "
             "CAST(quantile_cont(value, 0.25) AS DOUBLE) AS p25c, "

@@ -2969,3 +2969,8 @@ def test_length_buckets_matches_duckdb(ray_session):
 def test_grouped_pct_cont_matches_duckdb(ray_session):
     """Per-group quantile_cont, bit-exact interpolation."""
     assert _duckdb_twin("q_grouped_pct_cont") >= 1
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    """Per-group MAD: two stitched grouped-median passes, exact."""
+    assert _duckdb_twin("q_grouped_mad") >= 1
