@@ -389,3 +389,97 @@ def table_checksum(ds: ray.data.Dataset, cols: list[str],
     return ray.data.from_arrow(pa.table({
         "n_rows": pa.array([rows], pa.int64()),
         "checksum": pa.array([signed], pa.int64())}))
+
+
+def approx_quantiles(ds: ray.data.Dataset, col: str,
+                     ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+                     nbins: int = 8192) -> dict:
+    """Mergeable histogram quantile sketch: the 100-TB companion to the
+    exact radix selection (which needs ~4 counting passes; this needs
+    two map passes total for ANY number of percentiles).
+
+    Pass 1 reduces (min, max, count) per block; pass 2 builds per-block
+    fixed-edge histograms, tree-reduced 64-way like the Bloom masks
+    (vector add is commutative+associative on int64 counts, so any
+    grouping is deterministic). Each percentile maps to its DISCRETE
+    rank (quantile_disc semantics: ceil(p*n) clamped to [1, n]); the
+    returned value interpolates inside the rank's bin, so the absolute
+    error vs the exact discrete quantile is bounded by one bin width,
+    (max - min) / nbins. (An interpolated-quantile target would void
+    that bound: its two bracketing data values can straddle empty bins
+    in a sparse tail.) Nulls and NaNs are ignored, matching SQL.
+
+    Returns {"quantiles": {p: value}, "count": n, "lo": min, "hi": max,
+    "bin_width": w}.
+    """
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)   # None -> nan; ints promote losslessly
+        v = v[np.isfinite(v)]
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([float(np.min(v))]),
+                         "hi": pa.array([float(np.max(v))]),
+                         "n": pa.array([int(len(v))], pa.int64())})
+
+    lo = hi = None
+    total = 0
+    for b in ds.map_batches(mm_partial, batch_format="pyarrow",
+                            batch_size=None).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        for blo, bhi, bn in zip(t.column("lo").to_pylist(),
+                                t.column("hi").to_pylist(),
+                                t.column("n").to_pylist()):
+            lo = blo if lo is None else min(lo, blo)
+            hi = bhi if hi is None else max(hi, bhi)
+            total += bn
+    if total == 0:
+        return {"quantiles": {p: None for p in ps}, "count": 0,
+                "lo": None, "hi": None, "bin_width": None}
+    if hi == lo:
+        return {"quantiles": {p: lo for p in ps}, "count": total,
+                "lo": lo, "hi": hi, "bin_width": 0.0}
+    edges = np.linspace(lo, hi, nbins + 1)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = v[np.isfinite(v)]
+        counts, _ = np.histogram(v, bins=edges)
+        return pa.table({"c": pa.array([counts.astype(np.int64).tobytes()],
+                                       pa.binary())})
+
+    parts = ds.map_batches(hist_partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def add_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nbins, np.int64)
+        for w in batch.column("c").to_pylist():
+            acc += np.frombuffer(w, np.int64)
+        return pa.table({"c": pa.array([acc.tobytes()], pa.binary())})
+
+    for _ in range(2):      # 64-way tree rounds before the driver sum
+        parts = parts.map_batches(add_merge, batch_format="pyarrow",
+                                  batch_size=64)
+    counts = np.zeros(nbins, np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        for w in t.column("c").to_pylist():
+            counts += np.frombuffer(w, np.int64)
+    cum = np.cumsum(counts)
+    out = {}
+    for p in ps:
+        target = min(max(int(np.ceil(p * total)), 1), total)  # disc rank
+        bin_i = int(np.searchsorted(cum, target))
+        bin_i = min(bin_i, nbins - 1)
+        prev = cum[bin_i - 1] if bin_i else 0
+        inbin = counts[bin_i]
+        frac = (target - prev) / inbin if inbin else 0.0
+        out[p] = float(edges[bin_i]
+                       + (edges[bin_i + 1] - edges[bin_i]) * min(frac, 1.0))
+    return {"quantiles": out, "count": int(total), "lo": float(lo),
+            "hi": float(hi),
+            "bin_width": float((hi - lo) / nbins)}

@@ -2974,3 +2974,28 @@ def test_grouped_pct_cont_matches_duckdb(ray_session):
 def test_grouped_mad_matches_duckdb(ray_session):
     """Per-group MAD: two stitched grouped-median passes, exact."""
     assert _duckdb_twin("q_grouped_mad") >= 1
+
+
+def test_approx_quantiles_within_bin_bound(ray_session):
+    """Histogram quantile sketch: every percentile lands within one bin
+    width of the exact quantile_disc value; nulls ignored."""
+    import duckdb
+
+    from paperchase_crawler_ray.ops.sketch import approx_quantiles
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"])
+    r = approx_quantiles(ds, "value", ps=(0.1, 0.5, 0.9, 0.99))
+    ex = duckdb.sql(
+        "SELECT quantile_disc(value, 0.1), quantile_disc(value, 0.5), "
+        "quantile_disc(value, 0.9), quantile_disc(value, 0.99) "
+        f"FROM read_parquet('{sf}/events.parquet')").fetchone()
+    for p, e in zip((0.1, 0.5, 0.9, 0.99), ex):
+        assert abs(r["quantiles"][p] - e) <= r["bin_width"] + 1e-9
+    # degenerate inputs
+    empty = ray.data.from_arrow(pa.table({"value": pa.array([],
+                                                            pa.float64())}))
+    r0 = approx_quantiles(empty, "value")
+    assert r0["count"] == 0 and r0["quantiles"][0.5] is None
+    const = ray.data.from_arrow(pa.table({"value": [7.0] * 10}))
+    rc = approx_quantiles(const, "value")
+    assert rc["quantiles"][0.5] == 7.0 and rc["bin_width"] == 0.0
