@@ -1704,6 +1704,19 @@ def _q_cooccurrence(sf: str):
         "n_users": rows["n_users"].astype(np.int64).to_numpy()})
 
 
+def _q_approx_quantiles(sf: str):
+    """Histogram quantile sketch (rows-only: the within-one-bin
+    accuracy gate vs quantile_disc lives in pytest; the histogramming
+    itself is not SQL-expressible bit-exactly)."""
+    from paperchase_crawler_ray.ops.sketch import approx_quantiles
+    ev = _rp(sf, "events", columns=["value"])
+    r = approx_quantiles(ev, "value", ps=(0.1, 0.5, 0.9))
+    q = r["quantiles"]
+    return pd.DataFrame({"p10": [q[0.1]], "p50": [q[0.5]],
+                         "p90": [q[0.9]], "n": [r["count"]],
+                         "bin_width": [r["bin_width"]]})
+
+
 def _q_grouped_mad(sf: str):
     """Per-group median absolute deviation: grouped quantile_disc
     median (stitched sort), broadcast the tiny per-group medians, one
@@ -3556,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mad": _q_mad,
         "q_grouped_pct_cont": _q_grouped_pct_cont,
         "q_grouped_mad": _q_grouped_mad,
+        "q_approx_quantiles": _q_approx_quantiles,
         "q_rolling_distinct": _q_rolling_distinct,
         "q_cooccurrence": _q_cooccurrence,
         "q_filtered_revenue": _q_filtered_revenue,
