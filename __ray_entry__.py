@@ -1704,6 +1704,19 @@ def _q_cooccurrence(sf: str):
         "n_users": rows["n_users"].astype(np.int64).to_numpy()})
 
 
+def _q_rank_ties(sf: str):
+    """SQL RANK() (ties share the min row number, gaps follow) per
+    order over lineitem quantities — the stitched-sort kernel carries
+    both the spanning group's row count and the rank where a
+    block-spanning tie run started."""
+    from paperchase_crawler_ray.ops.relational import grouped_rank_ties
+    li = _rp(sf, "lineitem", columns=["l_orderkey", "l_linenumber",
+                                      "l_quantity"])
+    out = grouped_rank_ties(li, "l_orderkey", "l_quantity",
+                            out_col="qty_rank")
+    return out.select_columns(["l_orderkey", "l_linenumber", "qty_rank"])
+
+
 def _q_approx_quantiles(sf: str):
     """Histogram quantile sketch (rows-only: the within-one-bin
     accuracy gate vs quantile_disc lives in pytest; the histogramming
@@ -3570,6 +3583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_pct_cont": _q_grouped_pct_cont,
         "q_grouped_mad": _q_grouped_mad,
         "q_approx_quantiles": _q_approx_quantiles,
+        "q_rank_ties": _q_rank_ties,
         "q_rolling_distinct": _q_rolling_distinct,
         "q_cooccurrence": _q_cooccurrence,
         "q_filtered_revenue": _q_filtered_revenue,
@@ -4313,6 +4327,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_users FROM ut a JOIN ut b "
             "ON a.user_id = b.user_id AND a.event_type < b.event_type "
             "GROUP BY 1, 2",
+        "q_rank_ties":
+            "SELECT l_orderkey, l_linenumber, CAST(RANK() OVER ("
+            "PARTITION BY l_orderkey ORDER BY l_quantity) AS BIGINT) "
+            "AS qty_rank FROM lineitem",
         "q_grouped_mad":
             # null values drop from both the median and the deviation
             # median (quantile_disc ignores nulls; null - med is null)

@@ -1326,6 +1326,108 @@ def grouped_dense_rank(ds: ray.data.Dataset, group_key: str,
     return ray.data.from_arrow_refs(out)
 
 
+@ray.remote
+def _block_rank_ties_meta(tbl: pa.Table, key: str, oc: str):
+    """(first_key, first_oval, last_key, last_oval, n_last_group,
+    local_last_run_start, nrows) — the RANK() carry: rows of the
+    block's last group plus where its trailing value run begins
+    (1-based within the block's last-group segment)."""
+    n = tbl.num_rows
+    if n == 0:
+        return (None, None, None, None, 0, 0, 0)
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(oc).to_numpy(zero_copy_only=False)
+    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+    seg = v[last_start:]
+    run_len = int(np.argmax(seg[::-1] != seg[-1]) or len(seg))
+    n_last = n - last_start
+
+    def s(x):
+        return x.item() if hasattr(x, "item") else x
+
+    return (s(k[0]), s(v[0]), s(k[-1]), s(v[-1]), n_last,
+            n_last - run_len + 1, n)
+
+
+@ray.remote
+def _block_rank_ties(tbl: pa.Table, key: str, oc: str, rows_carry: int,
+                     run_rank_carry: int, same_val: bool,
+                     out_col: str) -> pa.Table:
+    n = tbl.num_rows
+    if n == 0:
+        return tbl.append_column(out_col, pa.array([], pa.int64()))
+    k = tbl.column(key).to_numpy(zero_copy_only=False)
+    v = tbl.column(oc).to_numpy(zero_copy_only=False)
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = k[1:] != k[:-1]
+    gidx = np.cumsum(new_grp) - 1
+    pos = np.arange(n, dtype=np.int64)
+    start_pos = pos[new_grp]
+    rn = pos - start_pos[gidx] + 1                 # in-block row_number
+    if rows_carry:
+        rn = np.where(gidx == 0, rn + rows_carry, rn)
+    new_val = np.empty(n, bool)
+    new_val[0] = True
+    new_val[1:] = (v[1:] != v[:-1]) | new_grp[1:]
+    ridx = np.cumsum(new_val) - 1
+    run_start_rank = rn[new_val]
+    if same_val:
+        # the first value run continues from the previous block: its
+        # rank was fixed where the run started
+        run_start_rank = run_start_rank.copy()
+        run_start_rank[0] = run_rank_carry
+    out = run_start_rank[ridx]
+    return tbl.append_column(out_col, pa.array(out.astype(np.int64)))
+
+
+def grouped_rank_ties(ds: ray.data.Dataset, group_key: str,
+                      order_col: str, descending: bool = False,
+                      out_col: str = "rnk") -> ray.data.Dataset:
+    """``RANK() OVER (PARTITION BY key ORDER BY order_col)`` — ties
+    share the MINIMUM row number of their run and the next distinct
+    value resumes at its own row number (gaps), per standard SQL.
+
+    Same one-sort / block-local / driver-stitched shape as
+    `grouped_rank` / `grouped_dense_rank`; the carry tracks the
+    spanning group's row count AND the rank at which its trailing value
+    run started (a run split across blocks keeps its original rank)."""
+    sorted_ds = ds.sort([group_key, order_col],
+                        descending=[False, descending])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    metas = ray.get([_block_rank_ties_meta.remote(r, group_key, order_col)
+                     for r in refs])
+    out = []
+    rows_carry, run_rank_carry = 0, 0
+    prev_last_k, prev_last_v = object(), object()
+    for r, (fk, fv, lk, lv, n_last, local_run_start, n) in zip(refs, metas):
+        if n == 0:
+            continue
+        spanning = fk == prev_last_k
+        this_rows = rows_carry if spanning else 0
+        same_val = spanning and fv == prev_last_v
+        out.append(_block_rank_ties.remote(r, group_key, order_col,
+                                           this_rows, run_rank_carry,
+                                           same_val, out_col))
+        if fk == lk:
+            new_rows = this_rows + n_last
+            if same_val and local_run_start == 1:
+                # the block's whole last-group segment is ONE run
+                # continuing from the previous block: keep the rank
+                # fixed where that run originally started
+                new_run_rank = run_rank_carry
+            else:
+                new_run_rank = this_rows + local_run_start
+        else:
+            new_rows = n_last
+            new_run_rank = local_run_start
+        rows_carry, run_rank_carry = new_rows, new_run_rank
+        prev_last_k, prev_last_v = lk, lv
+    return ray.data.from_arrow_refs(out)
+
+
 def pivot_counts(ds: ray.data.Dataset, group_col: str, cat_col: str,
                  categories: list[str]) -> ray.data.Dataset:
     """Pivot a categorical column into per-category count columns

@@ -2999,3 +2999,24 @@ def test_approx_quantiles_within_bin_bound(ray_session):
     const = ray.data.from_arrow(pa.table({"value": [7.0] * 10}))
     rc = approx_quantiles(const, "value")
     assert rc["quantiles"][0.5] == 7.0 and rc["bin_width"] == 0.0
+
+
+def test_rank_ties_matches_duckdb(ray_session):
+    """SQL RANK(): ties share the min row number, gaps follow."""
+    assert _duckdb_twin("q_rank_ties") > 1000
+
+
+def test_rank_ties_block_spanning_run(ray_session):
+    """A tie run split across many blocks must keep its original rank,
+    and the next distinct value must resume at its row number."""
+    from paperchase_crawler_ray.ops.relational import grouped_rank_ties
+    tables = [pa.table({"g": [1] * 10, "v": [5.0] * 10,
+                        "rid": list(range(b * 10, (b + 1) * 10))})
+              for b in range(8)]
+    tables.append(pa.table({"g": [1] * 5 + [2] * 5,
+                            "v": [7.0] * 5 + [5.0, 5.0, 6.0, 6.0, 8.0],
+                            "rid": list(range(80, 90))}))
+    ds = ray.data.from_arrow(tables)
+    out = grouped_rank_ties(ds, "g", "v", out_col="r") \
+        .to_pandas().sort_values("rid")
+    assert out["r"].tolist() == [1] * 80 + [81] * 5 + [1, 1, 3, 3, 5]
