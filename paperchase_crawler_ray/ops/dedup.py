@@ -875,8 +875,9 @@ def semdedup(ds: ray.data.Dataset, ncell: int = 64,
                 {id_col: "vec_id", vec_col: "embedding"}),
             ncell, iters=iters, seed=seed)
     cref = ray.put(centroids)
-    celled = ds.map_batches(_CellAssign, fn_constructor_args=(cref, vec_col),
-                            batch_format="pyarrow", concurrency=(1, 4))
+    # task-based instance (centroids are KBs): no actor-pool spin-up
+    celled = ds.map_batches(_CellAssign(cref, vec_col),
+                            batch_format="pyarrow")
 
     def cell_drops_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -106,8 +106,11 @@ def brute_force_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5
     """
     qids, Q = load_queries(ds, query_ids)
     qref, iref = ray.put(Q), ray.put(qids)
-    partials = ds.map_batches(BatchTopK, fn_constructor_args=(qref, iref, k),
-                              batch_format="pyarrow", concurrency=(1, 4))
+    # task-based instance: the query matrix is KBs, so shipping it in
+    # the task closure beats paying actor-pool spin-up (measured ~3-5s
+    # of the sweep's per-query wall on a small corpus)
+    partials = ds.map_batches(BatchTopK(qref, iref, k),
+                              batch_format="pyarrow")
     return _final_topk(partials, k).select_columns(["query_id", "vec_id", "rank"])
 
 
@@ -259,9 +262,8 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                 "sim": pa.array(out_s, pa.float64()),
             })
 
-    partials = ds.map_batches(
-        ProbedTopK, fn_constructor_args=(qref, iref, k, cref, pref),
-        batch_format="pyarrow", concurrency=(1, 4))
+    partials = ds.map_batches(ProbedTopK(qref, iref, k, cref, pref),
+                              batch_format="pyarrow")
     return _final_topk(partials, k).select_columns(["query_id", "vec_id", "rank"])
 
 
@@ -404,9 +406,8 @@ def pq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                 "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(
-        ADCTopK, fn_constructor_args=(bref, tref, iref, qref, k,
-                                      rerank_factor),
-        batch_format="pyarrow", concurrency=(1, 4))
+        ADCTopK(bref, tref, iref, qref, k, rerank_factor),
+        batch_format="pyarrow")
     return _final_topk(partials, k).select_columns(
         ["query_id", "vec_id", "rank"])
 
@@ -477,10 +478,8 @@ def ivfpq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                 "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(
-        IVFPQTopK,
-        fn_constructor_args=(bref, cref, tref, iref, qref, pref, k,
-                             rerank_factor),
-        batch_format="pyarrow", concurrency=(1, 4))
+        IVFPQTopK(bref, cref, tref, iref, qref, pref, k, rerank_factor),
+        batch_format="pyarrow")
     return _final_topk(partials, k).select_columns(
         ["query_id", "vec_id", "rank"])
 
