@@ -834,11 +834,12 @@ def _verify_token_pairs_join(pairs: pa.Table, ds: ray.data.Dataset,
 
 
 class _CellAssign:
-    """map_batches actor: nearest-centroid cell id (broadcast centroids,
-    one matmul per batch) for the SemDeDup cluster stage."""
+    """map_batches TASK stage (instance shipped in the closure — the
+    centroids are KBs): nearest-centroid cell id, one matmul per batch,
+    for the SemDeDup cluster stage."""
 
-    def __init__(self, cent_ref, vec_col: str):
-        self.C = ray.get(cent_ref)
+    def __init__(self, cent, vec_col: str):
+        self.C = cent
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -874,9 +875,8 @@ def semdedup(ds: ray.data.Dataset, ncell: int = 64,
             ds.select_columns([id_col, vec_col]).rename_columns(
                 {id_col: "vec_id", vec_col: "embedding"}),
             ncell, iters=iters, seed=seed)
-    cref = ray.put(centroids)
     # task-based instance (centroids are KBs): no actor-pool spin-up
-    celled = ds.map_batches(_CellAssign(cref, vec_col),
+    celled = ds.map_batches(_CellAssign(centroids, vec_col),
                             batch_format="pyarrow")
 
     def cell_drops_block(batch: pa.Table) -> pa.Table:

@@ -1255,7 +1255,8 @@ def _block_dense_meta(tbl: pa.Table, key: str, oc: str):
     v = tbl.column(oc).to_numpy(zero_copy_only=False)
     last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
     seg = v[last_start:]
-    distinct = 1 + int(np.count_nonzero(seg[1:] != seg[:-1]))
+    distinct = 1 + (int(np.count_nonzero(_neq_runs(seg)))
+                    if len(seg) > 1 else 0)
 
     def s(x):
         return x.item() if hasattr(x, "item") else x
@@ -1276,7 +1277,7 @@ def _block_dense_rank(tbl: pa.Table, key: str, oc: str, carry: int,
     new_grp[1:] = k[1:] != k[:-1]
     new_val = np.empty(n, bool)
     new_val[0] = True
-    new_val[1:] = (v[1:] != v[:-1]) | new_grp[1:]
+    new_val[1:] = _neq_runs(v) | new_grp[1:]
     dense = np.cumsum(new_val)
     # rebase each group to start at 1: subtract dense at group start - 1
     gidx = np.cumsum(new_grp) - 1
@@ -1315,7 +1316,7 @@ def grouped_dense_rank(ds: ray.data.Dataset, group_key: str,
             continue
         spanning = fk == prev_last_k
         this_carry = carry if spanning else 0
-        same_val = spanning and fv == prev_last_v
+        same_val = spanning and _val_eq(fv, prev_last_v)
         out.append(_block_dense_rank.remote(r, group_key, order_col,
                                             this_carry, same_val, out_col))
         if fk == lk:
@@ -1324,6 +1325,30 @@ def grouped_dense_rank(ds: ray.data.Dataset, group_key: str,
             carry = distinct
         prev_last_k, prev_last_v = lk, lv
     return ray.data.from_arrow_refs(out)
+
+
+def _neq_runs(v: np.ndarray) -> np.ndarray:
+    """Adjacent-inequality mask for sorted order values with SQL tie
+    semantics: two NaNs (how Arrow->numpy surfaces float NULLs) count
+    as EQUAL, so a NULL/NaN run ties instead of ranking per row."""
+    neq = v[1:] != v[:-1]
+    if np.issubdtype(v.dtype, np.floating):
+        both_nan = np.isnan(v[1:]) & np.isnan(v[:-1])
+        neq = neq & ~both_nan
+    return neq
+
+
+def _val_eq(a, b) -> bool:
+    """Scalar equality with NaN == NaN (block-boundary carry checks)."""
+    if a is None or b is None:
+        return a is b
+    try:
+        if isinstance(a, float) and isinstance(b, float) \
+                and np.isnan(a) and np.isnan(b):
+            return True
+    except TypeError:
+        pass
+    return a == b
 
 
 @ray.remote
@@ -1339,7 +1364,13 @@ def _block_rank_ties_meta(tbl: pa.Table, key: str, oc: str):
     v = tbl.column(oc).to_numpy(zero_copy_only=False)
     last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
     seg = v[last_start:]
-    run_len = int(np.argmax(seg[::-1] != seg[-1]) or len(seg))
+    seg_neq = _neq_runs(seg) if len(seg) > 1 else np.array([], bool)
+    # length of the trailing equal-value run, NaN-aware
+    run_len = 1
+    for q in seg_neq[::-1]:
+        if q:
+            break
+        run_len += 1
     n_last = n - last_start
 
     def s(x):
@@ -1369,7 +1400,7 @@ def _block_rank_ties(tbl: pa.Table, key: str, oc: str, rows_carry: int,
         rn = np.where(gidx == 0, rn + rows_carry, rn)
     new_val = np.empty(n, bool)
     new_val[0] = True
-    new_val[1:] = (v[1:] != v[:-1]) | new_grp[1:]
+    new_val[1:] = _neq_runs(v) | new_grp[1:]
     ridx = np.cumsum(new_val) - 1
     run_start_rank = rn[new_val]
     if same_val:
@@ -1407,7 +1438,7 @@ def grouped_rank_ties(ds: ray.data.Dataset, group_key: str,
             continue
         spanning = fk == prev_last_k
         this_rows = rows_carry if spanning else 0
-        same_val = spanning and fv == prev_last_v
+        same_val = spanning and _val_eq(fv, prev_last_v)
         out.append(_block_rank_ties.remote(r, group_key, order_col,
                                            this_rows, run_rank_carry,
                                            same_val, out_col))
@@ -1587,48 +1618,46 @@ def grouped_corr_suffstats(ds: ray.data.Dataset, group_col: str,
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def grouped_quantiles(ds: ray.data.Dataset, group_col: str, value_col: str,
-                      ps: tuple[float, ...] = (0.25, 0.5, 0.75)
-                      ) -> ray.data.Dataset:
-    """Per-group exact discrete quantiles (DuckDB ``quantile_disc``
-    semantics: ``sorted[floor(p * (n - 1) + p)]`` is NOT it — DuckDB
-    uses the lower discrete index ``floor((n - 1) * p)`` rounded via
-    its interpolation-free rule; we match it empirically as
-    ``sorted[int(ceil(p * n)) - 1]`` clamped to ``[0, n-1]``, which
-    coincides with quantile_disc for every (n, p) the tests sweep).
+def _grouped_rank_pick(ds: ray.data.Dataset, group_col: str,
+                       value_col: str, targets_for) -> tuple:
+    """Shared scaffolding for the grouped quantile family: per-group
+    non-null sizes (ALL groups participate — a group whose values are
+    all NULL stays in the output with n=0, matching SQL GROUP BY),
+    one stitched-sort rank pass over the non-null rows, and a
+    vectorized filter keeping each group's target ranks
+    (``targets_for(n) -> iterable of 1-based ranks``; n=0 groups fetch
+    nothing). Returns (groups, counts, rank_of, value_type) for the
+    caller's driver-side pivot."""
+    from ray.data.aggregate import Count, Sum
 
-    Stitched-sort shape (same as `grouped_ntile`, replacing the old
-    per-group pandas ``map_groups``): non-null group sizes come from a
-    hash-aggregate COUNT (one row per group — small by construction,
-    broadcast via ray.put); `grouped_rank` over (group, value) assigns
-    each row its in-group sorted position in one global sort; a
-    vectorized filter keeps exactly the target-rank rows (<= |ps| per
-    group), which pivot to the per-group quantile columns on the
-    driver. Deterministic — quantile values are data elements, and rank
-    ties among equal values select equal values. ps=(0.5,) is the
-    grouped discrete median (floor((n-1)/2) == ceil(n/2)-1).
-    """
-    from ray.data.aggregate import Count
+    proj = ds.select_columns([group_col, value_col])
 
-    nn = ds.select_columns([group_col, value_col]).map_batches(
-        lambda b: b.filter(pc.is_valid(b.column(value_col))),
-        batch_format="pyarrow")
-    sizes = nn.groupby(group_col).aggregate(Count(alias_name="_gn"))
+    def tag_valid(b: pa.Table) -> pa.Table:
+        return b.append_column("_v", pc.cast(
+            pc.is_valid(b.column(value_col)), pa.int64()))
+
+    sizes = proj.map_batches(tag_valid, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Count(alias_name="_tot"),
+                                      Sum("_v", alias_name="_gn"))
     groups, counts = [], []
     for b in sizes.iter_batches(batch_format="pyarrow", batch_size=None):
         t = b if isinstance(b, pa.Table) else pa.table(b)
         groups.extend(t.column(group_col).to_pylist())
-        counts.extend(t.column("_gn").to_pylist())
+        counts.extend(int(x or 0) for x in t.column("_gn").to_pylist())
     if not groups:
-        cols = {group_col: pa.array([])}
-        for p in ps:
-            cols[f"p{int(round(p * 100)):02d}"] = pa.array([], pa.float64())
-        return ray.data.from_arrow(pa.table(cols))
+        return [], [], {}, pa.float64()
     gindex = pd.Index(groups)
-    targets = np.array([[min(max(int(np.ceil(p * n)) - 1, 0), n - 1) + 1
-                         for p in ps] for n in counts], np.int64)
+    tlists = [sorted(set(int(r) for r in targets_for(n))) if n else []
+              for n in counts]
+    width = max((len(t) for t in tlists), default=0)
+    targets = np.zeros((len(groups), max(width, 1)), np.int64)  # 0 = none
+    for gi, tl in enumerate(tlists):
+        targets[gi, :len(tl)] = tl
     ref = ray.put((gindex, targets))
 
+    nn = proj.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(value_col))),
+        batch_format="pyarrow")
     ranked = grouped_rank(nn, group_col, [(value_col, False)],
                           out_col="_rnk")
 
@@ -1642,7 +1671,6 @@ def grouped_quantiles(ds: ray.data.Dataset, group_col: str, value_col: str,
 
     picked = _collect_small(ranked.map_batches(keep_targets,
                                                batch_format="pyarrow"))
-    # driver pivot over <= |ps| rows per group
     val_typ = picked.schema.field(value_col).type if picked is not None \
         else pa.float64()
     rank_of: dict = {}
@@ -1651,12 +1679,40 @@ def grouped_quantiles(ds: ray.data.Dataset, group_col: str, value_col: str,
                            picked.column(value_col).to_pylist(),
                            picked.column("_rnk").to_pylist()):
             rank_of[(g, r)] = v
-    order = np.argsort(gindex.to_numpy(), kind="stable")
+    return groups, counts, rank_of, val_typ
+
+
+def grouped_quantiles(ds: ray.data.Dataset, group_col: str, value_col: str,
+                      ps: tuple[float, ...] = (0.25, 0.5, 0.75)
+                      ) -> ray.data.Dataset:
+    """Per-group exact discrete quantiles (DuckDB ``quantile_disc``
+    semantics, matched as ``sorted[int(ceil(p * n)) - 1]`` clamped to
+    ``[0, n-1]``). All-NULL groups stay in the output with NULL
+    quantiles, matching SQL GROUP BY. Stitched-sort shape via
+    `_grouped_rank_pick` — no per-group pandas anywhere."""
+    def disc_targets(n: int):
+        return [min(max(int(np.ceil(p * n)) - 1, 0), n - 1) + 1
+                for p in ps]
+
+    groups, counts, rank_of, val_typ = _grouped_rank_pick(
+        ds, group_col, value_col, disc_targets)
+    if not groups:
+        cols = {group_col: pa.array([])}
+        for p in ps:
+            cols[f"p{int(round(p * 100)):02d}"] = pa.array([], pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
+    order = np.argsort(pd.Index(groups).to_numpy(), kind="stable")
     cols = {group_col: pa.array([groups[i] for i in order])}
     for j, p in enumerate(ps):
-        cols[f"p{int(round(p * 100)):02d}"] = pa.array(
-            [rank_of.get((groups[i], int(targets[i, j]))) for i in order],
-            val_typ)
+        vals = []
+        for i in order:
+            n = counts[i]
+            if n == 0:
+                vals.append(None)
+                continue
+            r = min(max(int(np.ceil(p * n)) - 1, 0), n - 1) + 1
+            vals.append(rank_of.get((groups[i], r)))
+        cols[f"p{int(round(p * 100)):02d}"] = pa.array(vals, val_typ)
     return ray.data.from_arrow(pa.table(cols))
 
 
@@ -1665,65 +1721,35 @@ def grouped_quantiles_cont(ds: ray.data.Dataset, group_col: str,
                            ps: tuple[float, ...] = (0.25, 0.5, 0.75)
                            ) -> ray.data.Dataset:
     """Per-group INTERPOLATED quantiles (``quantile_cont`` semantics):
-    same stitched-sort scaffolding as `grouped_quantiles`, but each
-    percentile fetches BOTH bracketing ranks (floor/ceil of p*(n-1))
-    and the driver applies the bit-match interpolation
-    ``v_lo*(ceil-idx) + v_hi*(idx-floor)`` per group — one
-    deterministic row-local float op, no cross-row float accumulation
-    (the established float policy, cf. the global q_pct_cont)."""
-    from ray.data.aggregate import Count
+    each percentile fetches BOTH bracketing ranks (floor/ceil of
+    p*(n-1)) through `_grouped_rank_pick` and the driver applies the
+    bit-match interpolation ``v_lo*(ceil-idx) + v_hi*(idx-floor)`` —
+    one deterministic row-local float op, no cross-row float
+    accumulation. All-NULL groups emit NULL, matching SQL."""
+    def cont_targets(n: int):
+        out = []
+        for p in ps:
+            idx = p * (n - 1)
+            out += [int(np.floor(idx)) + 1, int(np.ceil(idx)) + 1]
+        return out
 
-    nn = ds.select_columns([group_col, value_col]).map_batches(
-        lambda b: b.filter(pc.is_valid(b.column(value_col))),
-        batch_format="pyarrow")
-    sizes = nn.groupby(group_col).aggregate(Count(alias_name="_gn"))
-    groups, counts = [], []
-    for b in sizes.iter_batches(batch_format="pyarrow", batch_size=None):
-        t = b if isinstance(b, pa.Table) else pa.table(b)
-        groups.extend(t.column(group_col).to_pylist())
-        counts.extend(t.column("_gn").to_pylist())
+    groups, counts, rank_of, _ = _grouped_rank_pick(
+        ds, group_col, value_col, cont_targets)
     if not groups:
         cols = {group_col: pa.array([])}
         for p in ps:
             cols[f"p{int(round(p * 100)):02d}c"] = pa.array([],
                                                             pa.float64())
         return ray.data.from_arrow(pa.table(cols))
-    gindex = pd.Index(groups)
-    # 1-based bracketing ranks per group per percentile
-    lo_t = np.empty((len(counts), len(ps)), np.int64)
-    hi_t = np.empty((len(counts), len(ps)), np.int64)
-    for gi, n in enumerate(counts):
-        for j, p in enumerate(ps):
-            idx = p * (n - 1)
-            lo_t[gi, j] = int(np.floor(idx)) + 1
-            hi_t[gi, j] = int(np.ceil(idx)) + 1
-    ref = ray.put((gindex, np.concatenate([lo_t, hi_t], axis=1)))
-
-    ranked = grouped_rank(nn, group_col, [(value_col, False)],
-                          out_col="_rnk")
-
-    def keep_targets(b: pa.Table) -> pa.Table:
-        gi, tg = ray.get(ref)
-        pos = gi.get_indexer(b.column(group_col).to_numpy(
-            zero_copy_only=False))
-        rnk = b.column("_rnk").to_numpy(zero_copy_only=False)
-        hit = (tg[pos] == rnk[:, None]).any(axis=1)
-        return b.filter(pa.array(hit))
-
-    picked = _collect_small(ranked.map_batches(keep_targets,
-                                               batch_format="pyarrow"))
-    rank_of: dict = {}
-    if picked is not None:
-        for g, v, r in zip(picked.column(group_col).to_pylist(),
-                           picked.column(value_col).to_pylist(),
-                           picked.column("_rnk").to_pylist()):
-            rank_of[(g, r)] = v
-    order = np.argsort(gindex.to_numpy(), kind="stable")
+    order = np.argsort(pd.Index(groups).to_numpy(), kind="stable")
     cols = {group_col: pa.array([groups[i] for i in order])}
     for j, p in enumerate(ps):
         vals = []
         for i in order:
             n = counts[i]
+            if n == 0:
+                vals.append(None)
+                continue
             idx = p * (n - 1)
             lo, hi = int(np.floor(idx)), int(np.ceil(idx))
             v_lo = rank_of.get((groups[i], lo + 1))

@@ -26,13 +26,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
 
+def _deref(x):
+    """Accept an ObjectRef or a plain value: task-based stages pass
+    small state directly in the closure; actor-pool stages still pass
+    ``ray.put`` refs resolved once per actor."""
+    return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+
 class BatchTopK:
-    """map_batches actor: cosine scores vs broadcast queries, per-batch
+    """map_batches TASK-based stage (instance shipped in the closure —
+    the query matrix is KBs): cosine scores vs the queries, per-batch
     top-k partial results (query_id, vec_id, sim)."""
 
-    def __init__(self, queries_ref, qids_ref, k: int):
-        self.Q = ray.get(queries_ref)        # (q, d) normalized float64
-        self.qids = ray.get(qids_ref)
+    def __init__(self, queries, qids, k: int):
+        self.Q = _deref(queries)             # (q, d) normalized float64
+        self.qids = _deref(qids)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -105,11 +113,10 @@ def brute_force_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5
     so the DuckDB oracle compares exactly.
     """
     qids, Q = load_queries(ds, query_ids)
-    qref, iref = ray.put(Q), ray.put(qids)
     # task-based instance: the query matrix is KBs, so shipping it in
     # the task closure beats paying actor-pool spin-up (measured ~3-5s
     # of the sweep's per-query wall on a small corpus)
-    partials = ds.map_batches(BatchTopK(qref, iref, k),
+    partials = ds.map_batches(BatchTopK(Q, qids, k),
                               batch_format="pyarrow")
     return _final_topk(partials, k).select_columns(["query_id", "vec_id", "rank"])
 
@@ -204,10 +211,11 @@ def kmeans_distributed(ds: ray.data.Dataset, ncell: int, iters: int = 8,
 
 
 class IVFAssign:
-    """map_batches actor: append nearest-centroid cell id."""
+    """map_batches stage: append nearest-centroid cell id (ref or
+    plain centroids; see `_deref`)."""
 
-    def __init__(self, cent_ref):
-        self.C = ray.get(cent_ref)
+    def __init__(self, cent):
+        self.C = _deref(cent)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         E = _normalize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
@@ -227,16 +235,14 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
         sample = np.stack(
             ds.limit(sample_n).to_pandas()["embedding"].to_numpy())
         C = kmeans_lite(sample, ncell)
-    cref = ray.put(C)
     qids, Q = load_queries(ds, query_ids)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    qref, iref, pref = ray.put(Q), ray.put(qids), ray.put(probe)
 
     class ProbedTopK(BatchTopK):
         def __init__(self, queries_ref, qids_ref, k, cent_ref, probe_ref):
             super().__init__(queries_ref, qids_ref, k)
-            self.C = ray.get(cent_ref)
-            self.probe = ray.get(probe_ref)
+            self.C = _deref(cent_ref)
+            self.probe = _deref(probe_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -262,7 +268,7 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                 "sim": pa.array(out_s, pa.float64()),
             })
 
-    partials = ds.map_batches(ProbedTopK(qref, iref, k, cref, pref),
+    partials = ds.map_batches(ProbedTopK(Q, qids, k, C, probe),
                               batch_format="pyarrow")
     return _final_topk(partials, k).select_columns(["query_id", "vec_id", "rank"])
 
@@ -311,11 +317,12 @@ def pq_train(ds: ray.data.Dataset, m: int = 8, ksub: int = 16,
 
 
 class PQEncode:
-    """map_batches actor: vector -> m uint8 codes (one fixed-size
-    binary column). Codebooks broadcast once via ``ray.put``."""
+    """map_batches stage: vector -> m uint8 codes (one fixed-size
+    binary column). Accepts codebooks as a ref (actor-pool path,
+    resolved once per actor) or plain (task path)."""
 
-    def __init__(self, books_ref):
-        self.books = ray.get(books_ref)
+    def __init__(self, books):
+        self.books = _deref(books)
 
     def codes(self, E: np.ndarray) -> np.ndarray:
         m, ksub, dsub = self.books.shape
@@ -360,17 +367,13 @@ def pq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
     dsub = d // m
     tables = np.einsum("qjd,jcd->qjc",
                        Q.reshape(mq, m, dsub), books)
-    bref, tref, iref = ray.put(books), ray.put(tables), ray.put(qids)
-
-    qref = ray.put(Q)
-
     class ADCTopK(PQEncode):
         def __init__(self, books_ref, tables_ref, qids_ref, q_ref, k,
                      rerank):
             super().__init__(books_ref)
-            self.tables = ray.get(tables_ref)
-            self.qids = ray.get(qids_ref)
-            self.Q = ray.get(q_ref)
+            self.tables = _deref(tables_ref)
+            self.qids = _deref(qids_ref)
+            self.Q = _deref(q_ref)
             self.k = k
             self.rerank = rerank
 
@@ -406,7 +409,7 @@ def pq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                 "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(
-        ADCTopK(bref, tref, iref, qref, k, rerank_factor),
+        ADCTopK(books, tables, qids, Q, k, rerank_factor),
         batch_format="pyarrow")
     return _final_topk(partials, k).select_columns(
         ["query_id", "vec_id", "rank"])
@@ -432,19 +435,15 @@ def ivfpq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
     mq, d = Q.shape
     dsub = d // m
     tables = np.einsum("qjd,jcd->qjc", Q.reshape(mq, m, dsub), books)
-    cref, bref = ray.put(C), ray.put(books)
-    tref, iref = ray.put(tables), ray.put(qids)
-    qref, pref = ray.put(Q), ray.put(probe)
-
     class IVFPQTopK(PQEncode):
         def __init__(self, books_ref, cent_ref, tables_ref, qids_ref,
                      q_ref, probe_ref, k, rerank):
             super().__init__(books_ref)
-            self.C = ray.get(cent_ref)
-            self.tables = ray.get(tables_ref)
-            self.qids = ray.get(qids_ref)
-            self.Q = ray.get(q_ref)
-            self.probe = ray.get(probe_ref)
+            self.C = _deref(cent_ref)
+            self.tables = _deref(tables_ref)
+            self.qids = _deref(qids_ref)
+            self.Q = _deref(q_ref)
+            self.probe = _deref(probe_ref)
             self.k = k
             self.rerank = rerank
 
@@ -478,7 +477,7 @@ def ivfpq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                 "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(
-        IVFPQTopK(bref, cref, tref, iref, qref, pref, k, rerank_factor),
+        IVFPQTopK(books, C, tables, qids, Q, probe, k, rerank_factor),
         batch_format="pyarrow")
     return _final_topk(partials, k).select_columns(
         ["query_id", "vec_id", "rank"])

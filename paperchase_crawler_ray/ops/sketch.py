@@ -405,9 +405,11 @@ def approx_quantiles(ds: ray.data.Dataset, col: str,
     rank (quantile_disc semantics: ceil(p*n) clamped to [1, n]); the
     returned value interpolates inside the rank's bin, so the absolute
     error vs the exact discrete quantile is bounded by one bin width,
-    (max - min) / nbins. (An interpolated-quantile target would void
-    that bound: its two bracketing data values can straddle empty bins
-    in a sparse tail.) Nulls and NaNs are ignored, matching SQL.
+    (max - min) / nbins over the finite range. (An interpolated-
+    quantile target would void that bound: its two bracketing data
+    values can straddle empty bins in a sparse tail.) Nulls and NaNs
+    are ignored, matching SQL; +/-inf values are counted at the rank
+    range's ends and returned exactly.
 
     Returns {"quantiles": {p: value}, "count": n, "lo": min, "hi": max,
     "bin_width": w}.
@@ -415,31 +417,51 @@ def approx_quantiles(ds: ray.data.Dataset, col: str,
     def mm_partial(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)   # None -> nan; ints promote losslessly
-        v = v[np.isfinite(v)]
+        v = v[~np.isnan(v)]       # only NULL/NaN ignored, like SQL
+        fin = v[np.isfinite(v)]
+        n_neg = int(np.count_nonzero(v == -np.inf))
+        n_pos = int(np.count_nonzero(v == np.inf))
         if len(v) == 0:
             return pa.table({"lo": pa.array([], pa.float64()),
                              "hi": pa.array([], pa.float64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({"lo": pa.array([float(np.min(v))]),
-                         "hi": pa.array([float(np.max(v))]),
-                         "n": pa.array([int(len(v))], pa.int64())})
+                             "n": pa.array([], pa.int64()),
+                             "ninf": pa.array([], pa.int64()),
+                             "pinf": pa.array([], pa.int64())})
+        return pa.table({
+            "lo": pa.array([float(np.min(fin)) if len(fin) else np.nan]),
+            "hi": pa.array([float(np.max(fin)) if len(fin) else np.nan]),
+            "n": pa.array([int(len(v))], pa.int64()),
+            "ninf": pa.array([n_neg], pa.int64()),
+            "pinf": pa.array([n_pos], pa.int64())})
 
     lo = hi = None
-    total = 0
+    total = n_neginf = n_posinf = 0
     for b in ds.map_batches(mm_partial, batch_format="pyarrow",
                             batch_size=None).iter_batches(
             batch_format="pyarrow", batch_size=None):
         t = b if isinstance(b, pa.Table) else pa.table(b)
-        for blo, bhi, bn in zip(t.column("lo").to_pylist(),
-                                t.column("hi").to_pylist(),
-                                t.column("n").to_pylist()):
-            lo = blo if lo is None else min(lo, blo)
-            hi = bhi if hi is None else max(hi, bhi)
+        for blo, bhi, bn, bni, bpi in zip(t.column("lo").to_pylist(),
+                                          t.column("hi").to_pylist(),
+                                          t.column("n").to_pylist(),
+                                          t.column("ninf").to_pylist(),
+                                          t.column("pinf").to_pylist()):
+            if blo == blo:      # nan-safe: block had finite values
+                lo = blo if lo is None else min(lo, blo)
+                hi = bhi if hi is None else max(hi, bhi)
             total += bn
+            n_neginf += bni
+            n_posinf += bpi
     if total == 0:
         return {"quantiles": {p: None for p in ps}, "count": 0,
                 "lo": None, "hi": None, "bin_width": None}
-    if hi == lo:
+    if lo is None:              # every non-null value was +/-inf
+        qs = {}
+        for p in ps:
+            target = min(max(int(np.ceil(p * total)), 1), total)
+            qs[p] = -np.inf if target <= n_neginf else np.inf
+        return {"quantiles": qs, "count": total, "lo": None, "hi": None,
+                "bin_width": 0.0}
+    if hi == lo and not (n_neginf or n_posinf):
         return {"quantiles": {p: lo for p in ps}, "count": total,
                 "lo": lo, "hi": hi, "bin_width": 0.0}
     edges = np.linspace(lo, hi, nbins + 1)
@@ -470,9 +492,19 @@ def approx_quantiles(ds: ray.data.Dataset, col: str,
         for w in t.column("c").to_pylist():
             counts += np.frombuffer(w, np.int64)
     cum = np.cumsum(counts)
+    n_fin = int(cum[-1])
     out = {}
     for p in ps:
         target = min(max(int(np.ceil(p * total)), 1), total)  # disc rank
+        # +/-inf values (counted, never histogrammed) occupy the rank
+        # range's two ends
+        if target <= n_neginf:
+            out[p] = -np.inf
+            continue
+        if target > n_neginf + n_fin:
+            out[p] = np.inf
+            continue
+        target -= n_neginf
         bin_i = int(np.searchsorted(cum, target))
         bin_i = min(bin_i, nbins - 1)
         prev = cum[bin_i - 1] if bin_i else 0
