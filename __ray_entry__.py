@@ -554,18 +554,27 @@ def _q_custdist(sf: str):
     the customers-with-zero-orders bucket is total_customers minus the
     histogram's mass — no row-level left join anywhere."""
     from ray.data.aggregate import Count
+
+    from paperchase_crawler_ray.ops.relational import semi_join
     o = _rp(sf, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = _rp(sf, "customer", columns=["c_custkey"])
     per_cust = o.map_batches(
         lambda b: b.filter(pc.not_equal(b.column("o_orderpriority"),
                                         pa.scalar("1-URGENT")))
         .select(["o_custkey"]),
         batch_format="pyarrow") \
         .groupby("o_custkey").aggregate(Count(alias_name="c_count"))
+    # semi-filter against customer keys: an order row with a dangling
+    # o_custkey must not inflate a nonzero bucket and shrink the derived
+    # zero bucket (the LEFT-JOIN oracle never sees it) — correct under
+    # broken FK integrity, not just clean fixtures (ADVICE r3 #4)
+    per_cust = semi_join(per_cust, "o_custkey", cust, "c_custkey")
     hist = per_cust.groupby("c_count").aggregate(
         Count(alias_name="custdist"))
     rows = hist.to_pandas()  # one row per distinct order count — tiny
-    n_total = _rp(sf, "customer", columns=["c_custkey"]).count()
+    n_total = cust.count()
     n_zero = n_total - int(rows["custdist"].sum())
+    assert n_zero >= 0, "custdist histogram exceeds customer count"
     out = pd.DataFrame({
         "c_count": rows["c_count"].astype(np.int64),
         "custdist": rows["custdist"].astype(np.int64)})

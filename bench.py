@@ -326,11 +326,12 @@ def main() -> None:
     if not args.sustained_only:
         result["multiwave"] = run_multiwave(args.cpus)
         result["queries"] = run_queries(args.sf_dir, args.cpus)
-        # the driver-auditable N-vs-4N evidence (VERDICT r2 #5): one
-        # fresh pinned process per side by default so the default bench
-        # stays bounded; GRAFT_SCALING_RUNS=0 skips, =2 de-noises.
+        # the driver-auditable N-vs-4N evidence (VERDICT r2 #5): TWO
+        # fresh pinned processes per side by default (min-wall per side
+        # de-noises the VM's ±15% band — VERDICT r3 #7);
+        # GRAFT_SCALING_RUNS=0 skips, =1 restores the single-shot run.
         ray.shutdown()  # free every CPU before the pinned subprocesses
-        nscale = int(os.environ.get("GRAFT_SCALING_RUNS", "1"))
+        nscale = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
         if nscale > 0:
             try:
                 result["scaling"] = run_scaling(runs_per_side=nscale)

@@ -147,6 +147,8 @@ int64_t pc_jpeg_pack(const int64_t *A, int64_t n, int32_t ncomp,
     }
     if (nacc) {                              /* 1-pad the final byte */
         uint8_t byte = (uint8_t)((acc << (8 - nacc)) | ((1U << (8 - nacc)) - 1));
+        if (w + 2 > cap) return -3;   /* same guard as EMIT: the pad may
+                                         write 2 bytes (0xFF stuffing) */
         out[w++] = byte;
         if (byte == 0xFF) out[w++] = 0x00;
     }

@@ -124,6 +124,68 @@ def _block_run_firsts(tbl: pa.Table, keys: list[str],
     return tbl.filter(pa.array(mask))
 
 
+def _neutral_scalar(t: pa.DataType) -> pa.Scalar:
+    """A constant of type ``t`` used to blank out null sort keys (the
+    value never affects ordering — a null-flag column segregates the
+    rows first)."""
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", t)
+    return pc.cast(pa.scalar(0), t)   # ints/floats/timestamps/decimals
+
+
+def _null_safe_sort(ds: ray.data.Dataset, cols: list[str],
+                    descending: "list[bool] | bool" = False
+                    ) -> ray.data.Dataset:
+    """Total-order sort whose range partitioner never sees a NULL (or
+    float-NaN) key.
+
+    Ray 2.49's ``Dataset.sort`` nondeterministically DUPLICATES rows
+    whose sort key is null: range boundaries sampled on null keys
+    produce overlapping partitions (observed here: a 2000-row dataset
+    with a half-null key yields 2604-2792 rows after .sort, varying
+    per execution). Every stitched-sort kernel in this module sorts
+    through this wrapper: each sort column gets an int8 null-flag
+    (flag ascending = nulls LAST, Arrow's and DuckDB's default in both
+    directions) plus a constant-filled twin, the sort runs on the
+    (flag, filled) pairs only, and the helpers are dropped
+    block-aligned straight after — block order and 1:1 block mapping
+    are preserved, which the boundary-carry stitches rely on. Float
+    NaN deliberately shares the flag bucket with NULL: the block
+    kernels already merge them (``to_numpy`` folds nulls to NaN — see
+    `_val_eq`), and pandas-born blocks surface the same rows as either
+    depending on conversion path."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(cols)
+    nn_names = [f"__nn{i}" for i in range(len(cols))]
+    fl_names = [f"__fl{i}" for i in range(len(cols))]
+
+    def add_flags(b: pa.Table) -> pa.Table:
+        for i, c in enumerate(cols):
+            col = b.column(c)
+            t = col.type
+            nn = pc.is_null(col, nan_is_null=pa.types.is_floating(t))
+            b = b.append_column(nn_names[i], pc.cast(nn, pa.int8()))
+            b = b.append_column(
+                fl_names[i], pc.if_else(nn, _neutral_scalar(t), col))
+        return b
+
+    sort_cols: list[str] = []
+    sort_desc: list[bool] = []
+    for i, d in enumerate(descending):
+        sort_cols += [nn_names[i], fl_names[i]]
+        sort_desc += [False, bool(d)]
+    s = ds.map_batches(add_flags, batch_format="pyarrow",
+                       batch_size=None).sort(sort_cols,
+                                             descending=sort_desc)
+    return s.map_batches(
+        lambda b: b.drop_columns(nn_names + fl_names),
+        batch_format="pyarrow", batch_size=None)
+
+
 def _sorted_first_per_key(ds: ray.data.Dataset, keys: list[str],
                           order_by: list[tuple[str, bool]]
                           ) -> ray.data.Dataset:
@@ -140,7 +202,7 @@ def _sorted_first_per_key(ds: ray.data.Dataset, keys: list[str],
         if c not in sk:  # key-first dedup: an order term on a key
             sk.append(c)  # column is always tied within its group
             desc.append(d)
-    sorted_ds = ds.sort(sk, descending=desc)
+    sorted_ds = _null_safe_sort(ds, sk, desc)
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -357,7 +419,7 @@ def _block_tail_window_raw(tbl: pa.Table, key: str, val: str, w: int):
         return (None, None, [], 0)
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     v = tbl.column(val).to_numpy(zero_copy_only=False)
-    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+    last_start = _last_run_start(k)
 
     def scalar(x):
         return x.item() if hasattr(x, "item") else x
@@ -380,12 +442,12 @@ def _block_rolling_max(tbl: pa.Table, key: str, val: str, w: int,
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     v = tbl.column(val).to_numpy(zero_copy_only=False)
     pre = np.array(carry_vals if (carry_key is not None
-                                  and k[0] == carry_key) else [], v.dtype)
+                                  and _val_eq(k[0], carry_key)) else [], v.dtype)
     p = len(pre)
     ext = np.concatenate([pre, v]) if p else v
     change = np.empty(n, bool)
     change[0] = True
-    change[1:] = k[1:] != k[:-1]
+    change[1:] = _neq_runs(k)
     starts = np.flatnonzero(change)                   # v-coords
     gstart_ext = starts + p
     if len(starts):
@@ -419,7 +481,7 @@ def grouped_rolling_max(ds: ray.data.Dataset, key: str, ts_col: str,
     if window < 1:
         raise ValueError("window must be >= 1")
     cols = [key, ts_col] + ([tie_col] if tie_col is not None else [])
-    sorted_ds = ds.sort(cols)
+    sorted_ds = _null_safe_sort(ds, cols)
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -431,7 +493,7 @@ def grouped_rolling_max(ds: ray.data.Dataset, key: str, ts_col: str,
             continue
         out.append(_block_rolling_max.remote(r, key, value_col, window,
                                              ck, cv, out_col))
-        if first == last and ck is not None and first == ck:
+        if _val_eq(first, last) and ck is not None and _val_eq(first, ck):
             cv = (cv + tail)[-(window - 1):] if window > 1 else []
         else:
             cv = tail
@@ -459,7 +521,7 @@ def sessionize(ds: ray.data.Dataset, user_col: str, ts_col: str,
     from ray.data.aggregate import Sum
 
     cols = [user_col, ts_col] + ([tie_col] if tie_col is not None else [])
-    sorted_ds = ds.sort(cols)
+    sorted_ds = _null_safe_sort(ds, cols)
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return ray.data.from_arrow(pa.table(
@@ -536,7 +598,7 @@ def _asof_block_meta(tbl: pa.Table, key: str, ts: str):
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     side = tbl.column("_side").to_numpy(zero_copy_only=False)
     t = tbl.column(ts).to_numpy(zero_copy_only=False)
-    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+    last_start = _last_run_start(k)
     seg = slice(last_start, n)
     rmask = side[seg] == 0
     last_rts = t[seg][rmask][-1] if rmask.any() else None
@@ -566,7 +628,7 @@ def _asof_block_fill(tbl: pa.Table, key: str, ts: str, left_id,
     # group starts (sorted by key): a fill from a previous key is invalid
     new_grp = np.empty(n, bool)
     new_grp[0] = True
-    new_grp[1:] = k[1:] != k[:-1]
+    new_grp[1:] = _neq_runs(k)
     gstart = np.repeat(np.flatnonzero(new_grp), np.diff(
         np.append(np.flatnonzero(new_grp), n)))
     valid = ffill >= gstart
@@ -574,7 +636,7 @@ def _asof_block_fill(tbl: pa.Table, key: str, ts: str, left_id,
     matched[valid] = t[np.maximum(ffill[valid], 0)]
     # block-boundary carry: rows of the carry key with no in-block fill
     if carry_key is not None and carry_rts is not None:
-        boundary = (k == carry_key) & ~valid
+        boundary = _eq_scalar(k, carry_key) & ~valid
         matched[boundary] = carry_rts
     lmask = ~is_right
     out = {key: tbl.column(key).filter(pa.array(lmask)),
@@ -618,7 +680,7 @@ def _asof_impl(left, right, key, right_key, left_ts, right_ts, left_id):
         .map_batches(tag_left, batch_format="pyarrow")
     r = right.select_columns([right_key, right_ts]) \
         .map_batches(tag_right, batch_format="pyarrow")
-    srt = l.union(r).sort([key, left_ts, "_side"])
+    srt = _null_safe_sort(l.union(r), [key, left_ts, "_side"])
     refs = srt.to_arrow_refs()
     if not refs:
         return srt
@@ -835,8 +897,8 @@ def prefix_sum(ds: ray.data.Dataset, sort_cols: list[tuple[str, bool]],
     the fetch_seq rank). Row data never touches the driver. This is the
     scan primitive under sequence packing, cumulative quota ledgers and
     rank assignment."""
-    sorted_ds = ds.sort([c for c, _ in sort_cols],
-                        descending=[d for _, d in sort_cols])
+    sorted_ds = _null_safe_sort(ds, [c for c, _ in sort_cols],
+                                [d for _, d in sort_cols])
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -856,9 +918,7 @@ def _block_group_meta(tbl: pa.Table, key: str):
     if n == 0:
         return (None, None, 0, 0)
     k = tbl.column(key).to_numpy(zero_copy_only=False)
-    last_start = int(np.searchsorted(k, k[-1], side="left")) \
-        if np.issubdtype(k.dtype, np.number) else \
-        n - int(np.argmax((k[::-1] != k[-1])) or n)
+    last_start = _last_run_start(k)
     return (k[0].item() if hasattr(k[0], "item") else k[0],
             k[-1].item() if hasattr(k[-1], "item") else k[-1],
             n - last_start, n)
@@ -876,7 +936,7 @@ def _block_rank(tbl: pa.Table, key: str, carry: int,
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     change = np.empty(n, bool)
     change[0] = True
-    change[1:] = k[1:] != k[:-1]
+    change[1:] = _neq_runs(k)
     starts = np.flatnonzero(change)
     group_start = starts[np.cumsum(change) - 1]
     rnk = np.arange(n, dtype=np.int64) - group_start + 1
@@ -901,7 +961,7 @@ def grouped_rank(ds: ray.data.Dataset, group_key: str,
     group-count skew."""
     cols = [group_key] + [c for c, _ in order_cols]
     desc = [False] + [d for _, d in order_cols]
-    sorted_ds = ds.sort(cols, descending=desc)
+    sorted_ds = _null_safe_sort(ds, cols, desc)
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -910,9 +970,9 @@ def grouped_rank(ds: ray.data.Dataset, group_key: str,
     for r, (first, last, tail, n) in zip(refs, metas):
         if n == 0:
             continue
-        this_carry = carry if first == prev_last else 0
+        this_carry = carry if _val_eq(first, prev_last) else 0
         out.append(_block_rank.remote(r, group_key, this_carry, out_col))
-        carry = (this_carry + n) if first == last else tail
+        carry = (this_carry + n) if _val_eq(first, last) else tail
         prev_last = last
     return ray.data.from_arrow_refs(out)
 
@@ -927,9 +987,7 @@ def _block_group_sum_meta(tbl: pa.Table, key: str, val: str):
         return (None, None, 0, 0, 0)
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     v = tbl.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
-    last_start = int(np.searchsorted(k, k[-1], side="left")) \
-        if np.issubdtype(k.dtype, np.number) else \
-        n - int(np.argmax((k[::-1] != k[-1])) or n)
+    last_start = _last_run_start(k)
     return (k[0].item() if hasattr(k[0], "item") else k[0],
             k[-1].item() if hasattr(k[-1], "item") else k[-1],
             int(v[last_start:].sum()), int(v.sum()), n)
@@ -945,7 +1003,7 @@ def _block_group_cumsum(tbl: pa.Table, key: str, val: str, carry: int,
     v = tbl.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
     change = np.empty(n, bool)
     change[0] = True
-    change[1:] = k[1:] != k[:-1]
+    change[1:] = _neq_runs(k)
     starts = np.flatnonzero(change)
     c = np.cumsum(v)
     # exclusive cumsum at each row's group start
@@ -966,7 +1024,7 @@ def grouped_prefix_sum(ds: ray.data.Dataset, group_key: str,
     group's value SUM instead of its row count."""
     cols = [group_key] + [c for c, _ in order_cols]
     desc = [False] + [d for _, d in order_cols]
-    sorted_ds = ds.sort(cols, descending=desc)
+    sorted_ds = _null_safe_sort(ds, cols, desc)
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -976,10 +1034,10 @@ def grouped_prefix_sum(ds: ray.data.Dataset, group_key: str,
     for r, (first, last, tail_sum, total, n) in zip(refs, metas):
         if n == 0:
             continue
-        this_carry = carry if first == prev_last else 0
+        this_carry = carry if _val_eq(first, prev_last) else 0
         out.append(_block_group_cumsum.remote(r, group_key, value_col,
                                               this_carry, out_col))
-        carry = (this_carry + total) if first == last else tail_sum
+        carry = (this_carry + total) if _val_eq(first, last) else tail_sum
         prev_last = last
     return ray.data.from_arrow_refs(out)
 
@@ -1008,8 +1066,8 @@ def _block_lag(tbl: pa.Table, key: str, val: str, carry_key, carry_val,
         return tbl.append_column(out_col, pa.array([], typ))
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     same = np.empty(n, bool)
-    same[0] = (carry_key is not None and k[0] == carry_key)
-    same[1:] = k[1:] == k[:-1]
+    same[0] = (carry_key is not None and _val_eq(k[0], carry_key))
+    same[1:] = ~_neq_runs(k)
     head = pa.array([carry_val if same[0] else None], typ)
     arr = tbl.column(val)
     flat = pa.concat_arrays(list(arr.chunks)) \
@@ -1028,7 +1086,7 @@ def grouped_lag(ds: ray.data.Dataset, group_key: str,
     driver like the rank/scan stitches."""
     cols = [group_key] + [c for c, _ in order_cols]
     desc = [False] + [d for _, d in order_cols]
-    sorted_ds = ds.sort(cols, descending=desc)
+    sorted_ds = _null_safe_sort(ds, cols, desc)
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -1065,7 +1123,7 @@ def _block_tail_window(tbl: pa.Table, key: str, val: str, w: int):
         return (None, None, [], 0)
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     v = tbl.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
-    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+    last_start = _last_run_start(k)
 
     def scalar(x):
         return x.item() if hasattr(x, "item") else x
@@ -1083,13 +1141,13 @@ def _block_moving_sum(tbl: pa.Table, key: str, val: str, w: int,
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     v = tbl.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
     pre = np.array(carry_vals if (carry_key is not None
-                                  and k[0] == carry_key) else [], np.int64)
+                                  and _val_eq(k[0], carry_key)) else [], np.int64)
     p = len(pre)
     ext = np.concatenate([pre, v])
     csum = np.concatenate([[0], np.cumsum(ext)])      # csum[i] = sum ext[:i]
     change = np.empty(n, bool)
     change[0] = True
-    change[1:] = k[1:] != k[:-1]
+    change[1:] = _neq_runs(k)
     starts = np.flatnonzero(change)                   # group starts, v-coords
     # group start in ext coords: first group reaches back into the carry
     gstart_ext = starts + p
@@ -1119,7 +1177,7 @@ def grouped_moving_sum(ds: ray.data.Dataset, group_key: str,
         raise ValueError("window must be >= 1")
     cols = [group_key] + [c for c, _ in order_cols]
     desc = [False] + [d for _, d in order_cols]
-    sorted_ds = ds.sort(cols, descending=desc)
+    sorted_ds = _null_safe_sort(ds, cols, desc)
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -1131,7 +1189,7 @@ def grouped_moving_sum(ds: ray.data.Dataset, group_key: str,
             continue
         out.append(_block_moving_sum.remote(r, group_key, value_col, window,
                                             ck, cv, out_col))
-        if first == last and ck is not None and first == ck:
+        if _val_eq(first, last) and ck is not None and _val_eq(first, ck):
             # block is one spanning group: extend the previous carry
             cv = (cv + tail)[-(window - 1):] if window > 1 else []
         else:
@@ -1217,7 +1275,7 @@ def grouped_string_agg(ds: ray.data.Dataset, group_key: str,
 
     cols = [group_key] + [c for c, _ in order_cols]
     desc = [False] + [d for _, d in order_cols]
-    sorted_ds = ds.sort(cols, descending=desc)
+    sorted_ds = _null_safe_sort(ds, cols, desc)
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -1253,7 +1311,7 @@ def _block_dense_meta(tbl: pa.Table, key: str, oc: str):
         return (None, None, None, None, 0, 0)
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     v = tbl.column(oc).to_numpy(zero_copy_only=False)
-    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+    last_start = _last_run_start(k)
     seg = v[last_start:]
     distinct = 1 + (int(np.count_nonzero(_neq_runs(seg)))
                     if len(seg) > 1 else 0)
@@ -1274,7 +1332,7 @@ def _block_dense_rank(tbl: pa.Table, key: str, oc: str, carry: int,
     v = tbl.column(oc).to_numpy(zero_copy_only=False)
     new_grp = np.empty(n, bool)
     new_grp[0] = True
-    new_grp[1:] = k[1:] != k[:-1]
+    new_grp[1:] = _neq_runs(k)
     new_val = np.empty(n, bool)
     new_val[0] = True
     new_val[1:] = _neq_runs(v) | new_grp[1:]
@@ -1302,8 +1360,8 @@ def grouped_dense_rank(ds: ray.data.Dataset, group_key: str,
     `grouped_rank`; the carry additionally tracks whether the order
     value at a block boundary is the same value continuing (it must not
     be counted twice)."""
-    sorted_ds = ds.sort([group_key, order_col],
-                        descending=[False, descending])
+    sorted_ds = _null_safe_sort(ds, [group_key, order_col],
+                                [False, descending])
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -1314,12 +1372,12 @@ def grouped_dense_rank(ds: ray.data.Dataset, group_key: str,
     for r, (fk, fv, lk, lv, distinct, n) in zip(refs, metas):
         if n == 0:
             continue
-        spanning = fk == prev_last_k
+        spanning = _val_eq(fk, prev_last_k)
         this_carry = carry if spanning else 0
         same_val = spanning and _val_eq(fv, prev_last_v)
         out.append(_block_dense_rank.remote(r, group_key, order_col,
                                             this_carry, same_val, out_col))
-        if fk == lk:
+        if _val_eq(fk, lk):
             carry = this_carry + distinct - int(same_val)
         else:
             carry = distinct
@@ -1338,17 +1396,50 @@ def _neq_runs(v: np.ndarray) -> np.ndarray:
     return neq
 
 
-def _val_eq(a, b) -> bool:
-    """Scalar equality with NaN == NaN (block-boundary carry checks)."""
-    if a is None or b is None:
-        return a is b
+def _isnan(x) -> bool:
     try:
-        if isinstance(a, float) and isinstance(b, float) \
-                and np.isnan(a) and np.isnan(b):
-            return True
-    except TypeError:
+        return bool(np.isnan(x))
+    except (TypeError, ValueError):
+        return False
+
+
+def _val_eq(a, b) -> bool:
+    """Scalar equality with NaN == NaN and None == NaN (block-boundary
+    carry checks for BOTH order values and group keys — a NaN-keyed
+    group split across sorted blocks must be detected as spanning,
+    ADVICE r3 #3). None and NaN compare EQUAL because the in-block
+    kernels read keys through ``to_numpy``, which already folds float
+    nulls into NaN — while adjacent blocks of a pandas-born sort can
+    surface the same null run as float-NaN in one block and
+    object-None in the next; the boundary must match the in-block
+    merge or a spanning null group restarts its rank sequence."""
+    a_null = a is None or _isnan(a)
+    b_null = b is None or _isnan(b)
+    if a_null or b_null:
+        return a_null and b_null
+    return bool(a == b)
+
+
+def _eq_scalar(arr: np.ndarray, s) -> np.ndarray:
+    """Elementwise ``arr == s`` with NaN matching NaN (vector twin of
+    `_val_eq` for the as-of boundary fill)."""
+    eq = arr == s
+    try:
+        if np.isnan(s) and np.issubdtype(arr.dtype, np.floating):
+            eq = eq | np.isnan(arr)
+    except (TypeError, ValueError):
         pass
-    return a == b
+    return eq
+
+
+def _last_run_start(k: np.ndarray) -> int:
+    """Start index of the LAST key run in a sorted key array, with the
+    same NaN==NaN rule as `_neq_runs` (a trailing NaN-keyed group is one
+    run, not one per row)."""
+    if len(k) == 0:
+        return 0
+    nz = np.flatnonzero(_neq_runs(k))
+    return int(nz[-1] + 1) if len(nz) else 0
 
 
 @ray.remote
@@ -1362,7 +1453,7 @@ def _block_rank_ties_meta(tbl: pa.Table, key: str, oc: str):
         return (None, None, None, None, 0, 0, 0)
     k = tbl.column(key).to_numpy(zero_copy_only=False)
     v = tbl.column(oc).to_numpy(zero_copy_only=False)
-    last_start = n - int(np.argmax(k[::-1] != k[-1]) or n)
+    last_start = _last_run_start(k)
     seg = v[last_start:]
     seg_neq = _neq_runs(seg) if len(seg) > 1 else np.array([], bool)
     # length of the trailing equal-value run, NaN-aware
@@ -1391,7 +1482,7 @@ def _block_rank_ties(tbl: pa.Table, key: str, oc: str, rows_carry: int,
     v = tbl.column(oc).to_numpy(zero_copy_only=False)
     new_grp = np.empty(n, bool)
     new_grp[0] = True
-    new_grp[1:] = k[1:] != k[:-1]
+    new_grp[1:] = _neq_runs(k)
     gidx = np.cumsum(new_grp) - 1
     pos = np.arange(n, dtype=np.int64)
     start_pos = pos[new_grp]
@@ -1423,8 +1514,8 @@ def grouped_rank_ties(ds: ray.data.Dataset, group_key: str,
     `grouped_rank` / `grouped_dense_rank`; the carry tracks the
     spanning group's row count AND the rank at which its trailing value
     run started (a run split across blocks keeps its original rank)."""
-    sorted_ds = ds.sort([group_key, order_col],
-                        descending=[False, descending])
+    sorted_ds = _null_safe_sort(ds, [group_key, order_col],
+                                [False, descending])
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -1436,13 +1527,13 @@ def grouped_rank_ties(ds: ray.data.Dataset, group_key: str,
     for r, (fk, fv, lk, lv, n_last, local_run_start, n) in zip(refs, metas):
         if n == 0:
             continue
-        spanning = fk == prev_last_k
+        spanning = _val_eq(fk, prev_last_k)
         this_rows = rows_carry if spanning else 0
         same_val = spanning and _val_eq(fv, prev_last_v)
         out.append(_block_rank_ties.remote(r, group_key, order_col,
                                            this_rows, run_rank_carry,
                                            same_val, out_col))
-        if fk == lk:
+        if _val_eq(fk, lk):
             new_rows = this_rows + n_last
             if same_val and local_run_start == 1:
                 # the block's whole last-group segment is ONE run
@@ -1506,8 +1597,8 @@ def global_topk(ds: ray.data.Dataset, order_cols: list[tuple[str, bool]],
         return batch.take(pa.array(np.sort(idx)))
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
-    return pruned.sort([c for c, _ in order_cols],
-                       descending=[d for _, d in order_cols]).limit(k)
+    return _null_safe_sort(pruned, [c for c, _ in order_cols],
+                           [d for _, d in order_cols]).limit(k)
 
 
 def _block_skyline(tbl: pa.Table, cols: list[tuple[str, bool]]) -> pa.Table:

@@ -113,11 +113,16 @@ class DecodeWriteImages:
                 full.column("image_id")[0].as_py().encode(),
                 digest_size=10).hexdigest()
             # bytes hold already-compressed codec payloads — parquet
-            # recompression would cost seconds/GB and save nothing
-            _pq.write_table(full,
-                            os.path.join(self.images_dir,
-                                         f"part-{key}.parquet"),
-                            compression="none")
+            # recompression would cost seconds/GB and save nothing.
+            # Write to a pid-suffixed temp and os.replace() into the
+            # deterministic name: a task killed mid-write must not leave
+            # a truncated file at the canonical path, and a zombie
+            # executor finishing late must swap atomically rather than
+            # tear a file a reader already trusts (ADVICE r3 #2).
+            dst = os.path.join(self.images_dir, f"part-{key}.parquet")
+            tmp = f"{dst}.tmp{os.getpid()}"
+            _pq.write_table(full, tmp, compression="none")
+            os.replace(tmp, dst)
         return full.select(["image_id", "phash", "bucket"])
 
 

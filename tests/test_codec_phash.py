@@ -288,3 +288,15 @@ def test_jpeg_pack_capacity_guard():
     out = np.zeros(8, np.uint8)           # deliberately tiny
     rc = pk(A.ctypes.data, 4, 1, out.ctypes.data, out.size)
     assert rc == -3                       # refused, did not run past cap
+
+    # a cap that lands exactly ON the 1-padding write (ADVICE r3 #1):
+    # one block, DC diff 1 (5 bits) + EOB (8 bits) = 13 bits -> body
+    # byte + pad byte = 2 bytes total. The pad shares EMIT's
+    # conservative w+2 guard, so cap=2 refuses and cap=3 succeeds.
+    B = np.zeros((1, 64), np.int64)
+    B[0, 0] = 1
+    out2 = np.zeros(4, np.uint8)
+    assert pk(B.ctypes.data, 1, 1, out2.ctypes.data, 2) == -3
+    rc2 = pk(B.ctypes.data, 1, 1, out2.ctypes.data, 3)
+    assert rc2 == 2
+    assert out2[:2].tolist() == [0x18, 0x07]  # 00011|00000000|111 pad

@@ -1107,6 +1107,29 @@ def test_grouped_dense_rank_value_split_across_blocks():
     assert got.sort_values("o")["drnk"].tolist() == want["drnk"].tolist()
 
 
+def test_grouped_rank_family_nan_group_key_spans_blocks():
+    """A NaN-keyed group split across sorted blocks must keep ONE rank
+    sequence — the spanning-key carry uses NaN==NaN (_val_eq), not plain
+    ``==`` which is always false for NaN (ADVICE r3 #3)."""
+    import duckdb
+    from paperchase_crawler_ray.ops.relational import (grouped_dense_rank,
+                                                       grouped_rank_ties)
+    n = 2000
+    rng = np.random.default_rng(11)
+    k = np.where(rng.integers(0, 2, n) == 1, np.nan, 1.0)
+    df = pd.DataFrame({"k": k, "o": np.arange(n),
+                       "v": rng.integers(0, 5, n).astype("int64")})
+    ds = ray.data.from_pandas(df).repartition(13)
+    want = duckdb.sql(
+        "SELECT o, RANK() OVER (PARTITION BY k ORDER BY v) AS r, "
+        "DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS d "
+        "FROM df ORDER BY o").df()
+    got_t = grouped_rank_ties(ds, "k", "v", out_col="r").to_pandas()
+    assert got_t.sort_values("o")["r"].tolist() == want["r"].tolist()
+    got_d = grouped_dense_rank(ds, "k", "v", out_col="d").to_pandas()
+    assert got_d.sort_values("o")["d"].tolist() == want["d"].tolist()
+
+
 def test_pq_topk_recall_and_determinism():
     """PQ-ADC top-k must be parallelism-invariant and recall most of
     the exact top-k on clustered data; codes must be m bytes."""
