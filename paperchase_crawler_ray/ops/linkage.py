@@ -160,7 +160,7 @@ class _VerifyLev:
         return pa.table(cols)
 
 
-def _verify_lev_join(pairs: pa.Table, ds: ray.data.Dataset, id_col: str,
+def _verify_lev_join(pairs: "ray.data.Dataset | pa.Table", ds: ray.data.Dataset, id_col: str,
                      text_col: str, max_dist: int, with_texts: bool,
                      num_partitions: int = 16) -> ray.data.Dataset:
     """Scale path: attach both texts with the shared two-keyed-join
@@ -215,7 +215,7 @@ def edit_distance_join(ds: ray.data.Dataset, id_col: str, text_col: str,
                                 est_rows=est)
     if n_docs <= broadcast_max_docs:
         texts_ref = _broadcast_texts(ds, id_col, text_col)
-        return ray.data.from_arrow(pairs).map_batches(
+        return pairs.map_batches(
             _VerifyLev, fn_constructor_args=(texts_ref, max_dist, with_texts),
             batch_format="pyarrow", concurrency=(1, 4))
     return _verify_lev_join(pairs, ds, id_col, text_col, max_dist,

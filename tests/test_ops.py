@@ -455,6 +455,42 @@ def test_kmeans_distributed_deterministic_and_usable(emb_table):
 
 # -- round-2 scale paths (VERDICT.md next-round items 5-7, ADVICE fixes) -----
 
+def test_lsh_candidate_pairs_dataset_path_matches_driver(docs_table):
+    """The distributed pair plane (driver_max=0: band-keyed shuffle ->
+    per-block pairs -> pair-keyed shuffle -> distinct) must return a
+    DATASET with exactly the driver path's unique pair set
+    (VERDICT r3 weak #1)."""
+    from paperchase_crawler_ray.ops.dedup import (MinHashSignatures,
+                                                  lsh_candidate_pairs)
+    bands = _docs_ds(docs_table).map_batches(
+        MinHashSignatures, fn_constructor_args=("doc_id", "text", 128, 16, 3),
+        batch_format="pyarrow", concurrency=(1, 2))
+    want = lsh_candidate_pairs(bands, "doc_id").to_pandas()
+    got_ds = lsh_candidate_pairs(bands, "doc_id", driver_max=0)
+    assert isinstance(got_ds, ray.data.Dataset)
+    got = got_ds.to_pandas()
+    assert len(got) == len(got.drop_duplicates())  # globally distinct
+    assert (set(zip(got.id_a, got.id_b))
+            == set(zip(want.id_a, want.id_b)))
+
+
+def test_minhash_dedup_distributed_pair_plane(docs_table, monkeypatch):
+    """End-to-end minhash dedup with the pair plane FORCED distributed
+    (the 100-TB path): survivors must match the default plan."""
+    import paperchase_crawler_ray.ops.dedup as dd
+    ds = _docs_ds(docs_table)
+    want = sorted(minhash_lsh_dedup(ds, "doc_id", "text",
+                                    threshold=0.6).to_pandas()["doc_id"])
+    orig = dd.lsh_candidate_pairs
+    monkeypatch.setattr(
+        dd, "lsh_candidate_pairs",
+        lambda b, c, **kw: orig(b, c, **{**kw, "driver_max": 0}))
+    got = sorted(minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.6,
+                                   broadcast_max_docs=0)
+                 .to_pandas()["doc_id"])
+    assert got == want
+
+
 def test_minhash_join_verify_path_matches_broadcast(docs_table):
     """Forcing the Dataset.join verification path (broadcast_max_docs=0)
     must keep exactly the same documents as the broadcast path."""
