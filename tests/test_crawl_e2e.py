@@ -173,6 +173,48 @@ def test_partial_wave_rerun_is_idempotent(fixture_web, fixture_seeds, crawl_cfg,
     assert res2.seen_hashes() == res1.seen_hashes()
 
 
+def test_distributed_tombstone_plane_matches_oracle(fixture_web,
+                                                    fixture_seeds, crawl_cfg,
+                                                    oracle_result, tmp_path):
+    """Force the Dataset tombstone path (neardup_driver_max=0: the drop
+    plane is computed in bucket-keyed blocks and written as a parquet
+    DIRECTORY, never consolidating on the driver — r3 verdict wrong #3)
+    AND the anti-join read path (broadcast_max=0): the reader view must
+    equal the oracle's image set either way, and a rerun of the last
+    wave (crash simulation) must be idempotent."""
+    import os
+    out = str(tmp_path / "dist_ts")
+    res = crawl(fixture_web, fixture_seeds, out, crawl_cfg,
+                RunConfig(nshards=4, neardup_driver_max=0,
+                          neardup_partitions=2))
+    want_ids = sorted(r["image_id"] for r in oracle_result.image_rows)
+    got = res.images_dataset().to_pandas()
+    assert sorted(got["image_id"]) == want_ids
+    # the fixture web has no near-dups, so the Dataset path writes NO
+    # sidecar at all (absent sidecar == no drops; the single-file form
+    # belongs to the driver path only) — the nonzero-drop directory
+    # layout is exercised by test_sources.test_dataset_tombstone_dir
+    assert not any(
+        os.path.exists(os.path.join(out, d, "images_tombstones.parquet"))
+        for d in os.listdir(out))
+    # read side forced through the keyed anti join
+    got_aj = res.images_dataset(broadcast_max=0).to_pandas()
+    assert sorted(got_aj["image_id"]) == want_ids
+    assert "bucket" not in got_aj.columns
+    # crash simulation: drop the last commit marker + outputs, rerun
+    last = res.waves_run - 1
+    wd = os.path.join(out, f"wave={last}")
+    os.remove(os.path.join(wd, "_COMMITTED"))
+    for sub in ("admitted", "parsed", "images", "images_tombstones", "seen"):
+        p = os.path.join(wd, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    res2 = crawl(fixture_web, fixture_seeds, out, crawl_cfg,
+                 RunConfig(nshards=4, neardup_driver_max=0,
+                           neardup_partitions=2))
+    assert sorted(res2.images_dataset().to_pandas()["image_id"]) == want_ids
+
+
 def test_lineage_reconciles(ray_result):
     """Lineage rows exist for every wave and stage counts are coherent."""
     stages = {}

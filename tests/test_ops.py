@@ -3079,3 +3079,21 @@ def test_rank_ties_block_spanning_run(ray_session):
     out = grouped_rank_ties(ds, "g", "v", out_col="r") \
         .to_pandas().sort_values("rid")
     assert out["r"].tolist() == [1] * 80 + [81] * 5 + [1, 1, 3, 3, 5]
+
+
+def test_distinct_rows_matches_pandas():
+    """distinct_rows (block pre-shrink + key-hash repartition + block
+    distinct) == drop_duplicates, including null keys as a group."""
+    from paperchase_crawler_ray.ops.relational import distinct_rows
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "a": pa.array([int(x) if x >= 0 else None
+                       for x in rng.integers(-1, 6, 500)], pa.int64()),
+        "b": pa.array(rng.integers(0, 4, 500), pa.int64()),
+        "c": pa.array(rng.random(500))})
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = distinct_rows(ds, ["a", "b"]).to_pandas()
+    want = t.to_pandas()[["a", "b"]].drop_duplicates()
+    key = lambda df: sorted(map(tuple, df.fillna(-999).to_numpy().tolist()))
+    assert key(got) == key(want)
+    assert len(got) == len(want)

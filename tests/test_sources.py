@@ -75,3 +75,76 @@ def test_compaction_preserves_reader_view(fixture_web, fixture_seeds,
     assert after == before
     # second compaction is a no-op
     assert compact_images(out) == 0
+
+
+def test_dataset_tombstone_dir_roundtrip(tmp_path):
+    """The Dataset-written tombstone DIRECTORY layout (big waves, r3
+    verdict wrong #3) with REAL drops: neardup_drops_ds must equal the
+    driver-path block computation, images_dataset() must apply the dir
+    sidecar on both the broadcast and the forced anti-join read paths,
+    and compact_images must fold + remove it."""
+    import numpy as np
+    import pyarrow as pa
+
+    from paperchase_crawler_ray.ops.dedup import _hash_shuffle
+    from paperchase_crawler_ray.pipelines.crawl import CrawlResult
+    from paperchase_crawler_ray.stages.image import (neardup_drops_block,
+                                                     neardup_drops_ds)
+
+    rng = np.random.default_rng(3)
+    n = 200
+    # phashes engineered for collisions: 4 shared 16-bit prefixes, and
+    # within each bucket half the rows are hamming<=2 from a centroid
+    prefixes = np.array([0x1111, 0x2222, 0x3333, 0x4444], np.uint64)
+    pref = prefixes[rng.integers(0, 4, n)] << np.uint64(48)
+    centroid = rng.integers(0, 1 << 40, n).astype(np.uint64)
+    low = np.where(rng.random(n) < 0.5,
+                   centroid & np.uint64(0xFFFF),  # near the bucket centroid
+                   rng.integers(0, 1 << 48, n).astype(np.uint64))
+    ph = (pref | low).view(np.int64)
+    ids = np.array([f"img{i:04d}" for i in range(n)])
+    narrow = pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "phash": pa.array(ph, pa.int64()),
+        "bucket": pa.array((ph.view(np.uint64) >> np.uint64(48))
+                           .astype(np.int64), pa.int64())})
+    want_drops = set(neardup_drops_block(narrow, 2)
+                     .column("drop_id").to_pylist())
+    assert want_drops, "fixture must produce real near-dup drops"
+
+    nds = ray.data.from_arrow(narrow).repartition(6)
+    with _hash_shuffle(nds):
+        drops = neardup_drops_ds(nds, 2, partitions=2).materialize()
+    got_drops = set(drops.to_pandas()["image_id"])
+    assert got_drops == want_drops
+
+    # lay out one committed wave: data files + the dir sidecar
+    out = str(tmp_path / "tsdir")
+    wd = os.path.join(out, "wave=0")
+    img_dir = os.path.join(wd, "images")
+    os.makedirs(img_dir)
+    rows = pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "caption": pa.array([f"cap {i}" for i in range(n)], pa.string()),
+        "phash": pa.array(ph, pa.int64()),
+        "bucket": narrow.column("bucket")})
+    pq.write_table(rows.slice(0, n // 2), os.path.join(img_dir, "p0.parquet"))
+    pq.write_table(rows.slice(n // 2), os.path.join(img_dir, "p1.parquet"))
+    drops.write_parquet(os.path.join(wd, "images_tombstones"))
+    with open(os.path.join(wd, "_COMMITTED"), "w") as f:
+        f.write("ok")
+
+    res = CrawlResult(out_dir=out)
+    kept = set(ids) - want_drops
+    view = res.images_dataset().to_pandas()
+    assert set(view["image_id"]) == kept and "bucket" not in view.columns
+    view_aj = res.images_dataset(broadcast_max=0).to_pandas()
+    assert set(view_aj["image_id"]) == kept
+    assert "bucket" not in view_aj.columns
+
+    dropped = compact_images(out)
+    assert dropped == len(want_drops)
+    assert not os.path.isdir(os.path.join(wd, "images_tombstones"))
+    after = res.images_dataset().to_pandas()
+    assert set(after["image_id"]) == kept
+    assert compact_images(out) == 0
