@@ -655,13 +655,18 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         n_dropped = 0
         n_staged = narrow_imgs.count()
         if n_staged and n_staged <= run.neardup_driver_max:
+            # ONE ray.get over all block refs: the decode chain leaves
+            # ~wave/batch_size tiny blocks and iter_batches pays a
+            # sequential round trip per block (~1.8s/wave measured);
+            # the batched get overlaps the fetches (~0.2s)
             nb = [b if isinstance(b, pa.Table) else pa.table(b)
-                  for b in narrow_imgs.iter_batches(
-                      batch_format="pyarrow", batch_size=None)]
+                  for b in ray.get(list(narrow_imgs.to_arrow_refs()))]
+            _mark("neardup_fetch_blocks")
             narrow = pa.concat_tables(nb)
             drop_ids = set(
                 neardup_drops_block(narrow, cfg.neardup_hamming)
                 .column("drop_id").to_pylist())
+            _mark("neardup_compute")
             pq.write_table(
                 pa.table({"image_id": pa.array(sorted(drop_ids),
                                                pa.string())}), ts_file)
@@ -704,28 +709,33 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
 
         # D1/O2 hot-host stats for this wave (drives salt thresholds /
         # budget tuning). r3 verdict wrong #6: never stream the whole
-        # scheduled plane through the driver — per-block partial host
-        # counts (combiner), one host-keyed aggregate over the partials
-        # (cardinality = hosts, not rows), distributed top-k; the
-        # driver receives <= 10 rows. Tie order matches the old driver
-        # sort: (-count, host).
-        from ray.data.aggregate import Sum
-        from ..ops.relational import global_topk
-
-        def _host_partial(b: pa.Table) -> pa.Table:
+        # scheduled plane through the driver. sched is HOST-hash-
+        # partitioned (every host lives in exactly one block), so a
+        # per-block top-10 by (count desc, host asc) is globally
+        # complete: the wave top-10 is the top-10 of the union of block
+        # top-10s. ONE cheap map execution; the driver receives
+        # <= 10 x host_partitions narrow rows. (A groupby + distributed
+        # top-k here cost 6.6s/wave in Ray execution fixed overhead —
+        # measured; this path is ~0.3s.)
+        def _host_block_top(b: pa.Table) -> pa.Table:
             vals, cnts = np.unique(
                 np.asarray(b.column("host").to_pylist()),
                 return_counts=True)
-            return pa.table({"host": pa.array(vals.tolist(), pa.string()),
-                             "n": pa.array(cnts, pa.int64())})
+            order = np.lexsort((vals, -cnts))[:10]
+            return pa.table({"host": pa.array(vals[order].tolist(),
+                                              pa.string()),
+                             "n": pa.array(cnts[order], pa.int64())})
 
-        hot_ds = global_topk(
-            sched.select_columns(["host"])
-            .map_batches(_host_partial, batch_format="pyarrow",
-                         batch_size=None)
-            .groupby("host").aggregate(Sum("n", alias_name="n")),
-            [("n", True), ("host", False)], 10)
-        hot = [(r["host"], int(r["n"])) for r in hot_ds.take(10)]
+        cand: list = []
+        for b in sched.select_columns(["host"]).map_batches(
+                _host_block_top, batch_format="pyarrow",
+                batch_size=None).iter_batches(batch_format="pyarrow",
+                                              batch_size=None):
+            t = b if isinstance(b, pa.Table) else pa.table(b)
+            cand.extend(zip(t.column("host").to_pylist(),
+                            (int(x) for x in t.column("n").to_pylist())))
+        hot = sorted(cand, key=lambda kv: (-kv[1], kv[0]))[:10]
+        _mark("hot_hosts")
         counters.setdefault("hot_hosts", {})[wave] = hot
 
         # lineage + checkpoint + commit marker
