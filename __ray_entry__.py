@@ -2997,9 +2997,11 @@ def _q_heavy_hitters(sf: str):
     li = _rp(sf, "lineitem", columns=["l_partkey"])
     # capacity must scale with n to keep the exactness precondition
     # threshold > n/(capacity+1): fixed 32768 breaks above sf ~0.22
-    n = li.count()
+    n = li.count()  # metadata-only straight off the parquet read
     cap = max(32768, (4 * n) // 40)
-    return heavy_hitters(li, "l_partkey", threshold=40, capacity=cap)
+    # n is an upper bound on the non-null count — sound (see op doc)
+    return heavy_hitters(li, "l_partkey", threshold=40, capacity=cap,
+                         total_n=n)
 
 
 def _q_corr_stats(sf: str):

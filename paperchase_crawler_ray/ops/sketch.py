@@ -258,7 +258,8 @@ def _mg_truncate(ids: np.ndarray, counts: np.ndarray, capacity: int):
 
 
 def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
-                  capacity: int = 4096) -> ray.data.Dataset:
+                  capacity: int = 4096,
+                  total_n: int | None = None) -> ray.data.Dataset:
     """EXACT frequent items: all values of ``col`` with count >
     ``threshold``, via a Misra-Gries sketch pass + a counting pass
     restricted to the sketch's candidates.
@@ -277,7 +278,14 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
     precondition). Pass 2 re-scans with an ``isin`` filter on that set
     and counts exactly. Requires threshold > n/(capacity+1) to be exact
     (else raises): pick capacity >= n/threshold. Null keys are excluded
-    (fill beforehand to count them as a group)."""
+    (fill beforehand to count them as a group).
+
+    ``total_n``: optional UPPER BOUND on the non-null row count (e.g. a
+    metadata-only ``ds.count()`` straight off a parquet read) — skips
+    the dedicated counting scan. Any upper bound is sound: a larger n
+    only inflates ``slack``, which widens the candidate SUPERSET (and
+    tightens the exactness precondition); pass 2 counts exactly either
+    way."""
     from .relational import count_non_null
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -293,7 +301,8 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
         return pa.table({"item": items,
                          "c": pa.array(counts, pa.int64())})
 
-    total_n = count_non_null(ds, col)
+    if total_n is None:
+        total_n = count_non_null(ds, col)
     slack = total_n // (capacity + 1)
     if threshold <= slack:
         raise ValueError(
@@ -317,23 +326,35 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
     cand = np.array(sorted(cand_items))
     ref = ray.put(cand)
 
-    def keep_cand(batch: pa.Table) -> pa.Table:
+    def count_cand(batch: pa.Table) -> pa.Table:
+        # pre-aggregated combiner: the exchange after this carries
+        # <= #candidates rows per BLOCK (one (item, c) partial per
+        # matching value), never the matching ROWS themselves
         c = ray.get(ref)
         a = batch.column(col)
         if a.null_count:
             batch = batch.filter(pc.is_valid(a))
+        item_type = batch.column(col).type
         v = batch.column(col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(v, c)))
+        v = v[np.isin(v, c)]
+        ids, counts = np.unique(v, return_counts=True)
+        items = (pa.array(ids).cast(item_type) if len(ids)
+                 else pa.nulls(0, item_type))
+        return pa.table({"item": items,
+                         "c2": pa.array(counts.astype(np.int64),
+                                        pa.int64())})
 
     counted = (ds.select_columns([col])
-               .map_batches(keep_cand, batch_format="pyarrow")
-               .groupby(col).count())
+               .map_batches(count_cand, batch_format="pyarrow",
+                            batch_size=None)
+               .groupby("item").sum("c2"))
 
     def thresh(batch: pa.Table) -> pa.Table:
-        m = pc.greater(batch.column("count()"), pa.scalar(threshold))
+        cname = "sum(c2)" if "sum(c2)" in batch.column_names else "c2"
+        m = pc.greater(batch.column(cname), pa.scalar(threshold))
         t = batch.filter(m)
-        return pa.table({"item": t.column(col),
-                         "n_occurrences": pc.cast(t.column("count()"),
+        return pa.table({"item": t.column("item"),
+                         "n_occurrences": pc.cast(t.column(cname),
                                                   pa.int64())})
 
     return counted.map_batches(thresh, batch_format="pyarrow")
