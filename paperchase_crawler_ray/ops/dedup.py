@@ -476,6 +476,54 @@ def _ngram_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(acc & np.uint64((1 << 61) - 1))
 
 
+def attach_components(ds: ray.data.Dataset, id_col: str,
+                      edges: ray.data.Dataset,
+                      broadcast_max: int = 2_000_000,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Shared cluster-attach tail for every pair-graph dedup: run
+    DISTRIBUTED connected components over the (id_a, id_b) edge
+    Dataset (ops/graph.connected_components, mode="auto" — min-label
+    propagation with a keyed-join escape hatch above 2M edge rows, so
+    no driver union-find anywhere on this path), then attach
+    ``cluster_id`` = smallest member id (singletons keep their own id).
+    The (node, component) map covers only edge-involved ids; below
+    ``broadcast_max`` rows it broadcasts once via ``ray.put``, above it
+    the attach is one left-outer keyed join with a coalesce."""
+    from .graph import connected_components
+    from .relational import cap_join_partitions
+    comp = connected_components(edges, "id_a", "id_b").materialize()
+    if comp.count() <= broadcast_max:
+        m: dict = {}
+        for b in comp.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+            t = b if isinstance(b, pa.Table) else pa.table(b)
+            m.update(zip(t.column("node").to_pylist(),
+                         t.column("component").to_pylist()))
+        ref = ray.put(m)
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            mm = ray.get(ref)
+            ids = batch.column(id_col).to_pylist()
+            cl = [mm.get(i, i) for i in ids]
+            return batch.append_column(
+                "cluster_id", pa.array(cl, batch.schema.field(id_col).type))
+
+        return ds.map_batches(annotate, batch_format="pyarrow")
+
+    joined = ds.join(comp, join_type="left_outer",
+                     num_partitions=cap_join_partitions(num_partitions),
+                     on=(id_col,), right_on=("node",))
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        cl = pc.fill_null(batch.column("component"), batch.column(id_col))
+        out = batch.drop_columns(
+            [c for c in ("node", "component") if c in batch.column_names])
+        return out.append_column(
+            "cluster_id", pc.cast(cl, batch.schema.field(id_col).type))
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
 def duplicate_clusters(ds: ray.data.Dataset, id_col: str, text_col: str,
                        threshold: float = 0.6, num_perm: int = 128,
                        bands: int = 16, shingle_k: int = 3,
@@ -488,16 +536,12 @@ def duplicate_clusters(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     Scale shape: identical candidate/verify pipeline to
     ``minhash_lsh_dedup``; the verified pair stream is filtered to
-    PASSING pairs distributed-side, so the only thing that reaches the
-    driver is the duplicate-graph EDGE list — bounded by the number of
-    actual near-dup relations that survive exact verification, not by
-    the candidate plane (the graph-op bound: ``components`` in
-    ops/graph.py documents the same driver union-find ceiling and its
-    join-mode escape hatch for edge lists beyond ~2M rows). The
-    resulting (id -> root) map — only ids that belong to a non-trivial
-    component — broadcasts via ``ray.put``. This is how training
-    pipelines keep ONE canonical doc per cluster while retaining
-    cluster lineage."""
+    PASSING pairs distributed-side and the cluster assignment runs
+    through ``attach_components`` — distributed connected components
+    (join mode above 2M edges) + size-switched attach. NOTHING
+    row-sized touches the driver anywhere on this path. This is how
+    training pipelines keep ONE canonical doc per cluster while
+    retaining cluster lineage."""
     n_docs = ds.count()
     bands_ds = ds.map_batches(
         MinHashSignatures,
@@ -518,38 +562,9 @@ def duplicate_clusters(ds: ray.data.Dataset, id_col: str, text_col: str,
             pc.greater_equal(t.column("sim"), pa.scalar(threshold)), False)
         return t.filter(keep).select(["id_a", "id_b"])
 
-    # union-find over passing EDGES only (needs id_a too, so not _drop_set)
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
     edges = verified.map_batches(passing_edges, batch_format="pyarrow")
-    for b in edges.iter_batches(batch_format="pyarrow", batch_size=65536):
-        t = b if isinstance(b, pa.Table) else pa.table(b)
-        ia = t.column("id_a").to_pylist()
-        ib = t.column("id_b").to_pylist()
-        for a_, b_ in zip(ia, ib):
-            ra, rb = find(a_), find(b_)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-    roots = {x: find(x) for x in list(parent)}
-    ref = ray.put(roots)
-
-    def annotate(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids = batch.column(id_col).to_pylist()
-        cl = [m.get(i, i) for i in ids]
-        return batch.append_column(
-            "cluster_id", pa.array(cl, batch.schema.field(id_col).type))
-
-    return ds.map_batches(annotate, batch_format="pyarrow")
+    return attach_components(ds, id_col, edges,
+                             broadcast_max=broadcast_max_docs)
 
 
 class SimHashBuckets:

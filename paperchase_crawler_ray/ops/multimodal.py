@@ -560,7 +560,9 @@ def _phash_band_explode(phash_col: str, id_col: str, band_bits: int):
 
 def image_neardup_clusters(ds: ray.data.Dataset, id_col: str = "image_id",
                            phash_col: str = "phash", hamming_max: int = 6,
-                           band_bits: int = 8) -> ray.data.Dataset:
+                           band_bits: int = 8,
+                           broadcast_max: int = 2_000_000
+                           ) -> ray.data.Dataset:
     """Near-duplicate image CLUSTER assignment over perceptual hashes:
     every row gets ``cluster_id`` = the smallest image id of its
     connected near-dup component (singletons keep their own id).
@@ -574,16 +576,16 @@ def image_neardup_clusters(ds: ray.data.Dataset, id_col: str = "image_id",
     all-pairs popcount check runs over WHOLE blocks (bucket boundaries
     found vectorized inside the sorted block — the shape that replaced
     every ``groupby.map_groups(pandas)`` in r3; this was the last
-    survivor, r3 verdict wrong #4). Verified pairs are near-dup-sized,
-    so the union-find runs on the driver and the (id -> root) map for
-    non-trivial components broadcasts via ``ray.put``. band_bits=8
-    guarantees recall at hamming <= 7; use band_bits=16 (4 bands,
-    hamming <= 3) when bucket fan-in at corpus scale matters more than
-    the radius."""
+    survivor, r3 verdict wrong #4). Cluster assignment runs through the
+    shared ``attach_components`` tail: distributed connected components
+    (keyed-join mode above 2M edges) + size-switched attach — no driver
+    union-find. band_bits=8 guarantees recall at hamming <= 7; use
+    band_bits=16 (4 bands, hamming <= 3) when bucket fan-in at corpus
+    scale matters more than the radius."""
     import ray
 
     from ..functions.phash import hamming64
-    from .dedup import _hash_shuffle
+    from .dedup import _hash_shuffle, attach_components
     from .relational import cap_join_partitions
 
     def block_bucket_pairs(b: pa.Table) -> pa.Table:
@@ -618,47 +620,14 @@ def image_neardup_clusters(ds: ray.data.Dataset, id_col: str = "image_id",
         _phash_band_explode(phash_col, id_col, band_bits),
         batch_format="pyarrow")
 
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
     with _hash_shuffle(exploded):
         pairs = (exploded
                  .repartition(num_blocks=cap_join_partitions(16),
                               keys=["band_key"])
                  .map_batches(block_bucket_pairs, batch_format="pyarrow",
-                              batch_size=None))
-        for b in pairs.iter_batches(batch_format="pyarrow",
-                                    batch_size=65536):
-            t = b if isinstance(b, pa.Table) else pa.table(b)
-            for a_, b_ in zip(t.column("id_a").to_pylist(),
-                              t.column("id_b").to_pylist()):
-                ra, rb = find(a_), find(b_)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-                    parent[hi] = lo
-    roots = {x: find(x) for x in list(parent)}
-    ref = ray.put(roots)
-
-    class Attach:
-        def __init__(self, roots_ref):
-            self.roots = ray.get(roots_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            cl = [self.roots.get(i, i) for i in ids]
-            return pa.table({id_col: batch.column(id_col),
-                             "cluster_id": pa.array(cl)})
-
-    return ds.select_columns([id_col]).map_batches(
-        Attach, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=(1, 4))
+                              batch_size=None)).materialize()
+    return attach_components(ds.select_columns([id_col]), id_col, pairs,
+                             broadcast_max=broadcast_max)
 
 
 def bilinear_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -3097,3 +3097,25 @@ def test_distinct_rows_matches_pandas():
     key = lambda df: sorted(map(tuple, df.fillna(-999).to_numpy().tolist()))
     assert key(got) == key(want)
     assert len(got) == len(want)
+
+
+def test_image_neardup_clusters_join_attach_path():
+    """broadcast_max=0 forces the left-outer-join cluster attach (the
+    100-TB path through attach_components): identical assignment to the
+    broadcast path, including singletons keeping their own id."""
+    from paperchase_crawler_ray.ops.multimodal import image_neardup_clusters
+    rng = np.random.default_rng(13)
+    base = rng.integers(-(1 << 62), 1 << 62, 30, dtype=np.int64)
+    ph = list(base) + [np.int64(np.uint64(base[i]) ^ np.uint64(1))
+                       for i in range(0, 30, 6)]
+    ids = [f"im{i:03d}" for i in range(30)] + \
+          [f"im{i:03d}+d" for i in range(0, 30, 6)]
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "phash": pa.array(ph, pa.int64())})).repartition(num_blocks=4)
+    a = image_neardup_clusters(ds, hamming_max=6).to_pandas()
+    b = image_neardup_clusters(ds, hamming_max=6,
+                               broadcast_max=0).to_pandas()
+    assert dict(zip(a["image_id"], a["cluster_id"])) == \
+        dict(zip(b["image_id"], b["cluster_id"]))
+    assert any(a["image_id"] != a["cluster_id"])  # real clusters exist
