@@ -227,8 +227,11 @@ def _committed(out_dir: str, wave: int) -> bool:
 def _write_frontier(table: pa.Table, out_dir: str, wave: int) -> None:
     d = os.path.join(_wave_dir(out_dir, wave), "frontier")
     os.makedirs(d, exist_ok=True)
+    # 2048-row groups: parquet reads split at ROW GROUPS, and the next
+    # wave's canonicalize chain gets one task per group — 4096 capped a
+    # 128k-row wave at ~22 tasks on 32 CPUs (measured)
     pq.write_table(table.select(FRONTIER_FILE_COLS), os.path.join(d, "part-0.parquet"),
-                   row_group_size=4096)
+                   row_group_size=2048)
 
 
 def _save_seen(handles: list, out_dir: str, wave: int) -> None:
@@ -441,9 +444,23 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
             # All stateless per-row stages run as TASK-based map_batches
             # (no actor-pool spinup per wave); only eager-mode fetch
             # keeps an actor pool (its URL index is per-actor state).
+            # Fan-out control (measured on the 128k-row bench wave):
+            # this Ray build's parquet read does not split within files,
+            # and an explicit batch_size makes the map operator BUNDLE
+            # input blocks until it has >= batch_size rows per task — a
+            # 22-file frontier ran the ~100us/row canonicalize chain
+            # 22-wide on 32 CPUs either way. An unkeyed split
+            # repartition to fetch_parallelism blocks + whole-block
+            # batches gives one task per block, CPU-bound fan-out.
+            try:
+                n_files = len(fr.input_files())
+            except Exception:
+                n_files = run.fetch_parallelism
+            if n_files < run.fetch_parallelism:
+                fr = fr.repartition(num_blocks=run.fetch_parallelism)
             prep = fr.map_batches(CanonicalizeBatch(cfg),
                                   batch_format="pyarrow",
-                                  batch_size=run.frontier_batch_size)
+                                  batch_size=None)
             # COMBINER (skew mitigation, BASELINE.json:14): block-local
             # pre-dedup before the shuffle. dedup_block keeps the
             # min-ordered winner per url_hash, so block-local-then-global
@@ -482,6 +499,8 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                              batch_format="pyarrow", batch_size=None)
             sched = sched.materialize()  # wave working set, no bodies
             n_sched = sched.count()
+            if os.environ.get("PC_PROFILE") == "3":
+                print("PCSTATS sched chain:\n", sched.stats(), flush=True)
         _mark("sched_materialize")
 
         admitted = sched.map_batches(
@@ -700,7 +719,11 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         nf_dir = os.path.join(_wave_dir(out_dir, wave + 1), "frontier")
         if os.path.isdir(nf_dir):
             shutil.rmtree(nf_dir, ignore_errors=True)
-        nxt.write_parquet(nf_dir)
+        # row_group_size matches _write_frontier: parquet reads split at
+        # ROW GROUPS, so coarse default groups cap the next wave's
+        # canonicalize chain at ~1 task per file (22-way on 32 CPUs at
+        # bench scale — measured; 4096-row groups restore full fan-out)
+        nxt.write_parquet(nf_dir, row_group_size=2048)
         _mark("links_union")
         n_next = (ray.data.read_parquet(nf_dir).count()
                   if os.path.isdir(nf_dir) and os.listdir(nf_dir) else 0)
