@@ -178,6 +178,15 @@ def _q_distinct(sf: str):
     return pd.DataFrame({"n_langs": np.array([len(langs)], np.int64)})
 
 
+def _q_distinct_pairs(sf: str):
+    """Exact multi-column DISTINCT via the `distinct_rows` kernel
+    (block distinct -> capped key-hash repartition -> block distinct;
+    no per-group count columns, no 200-partition default aggregate)."""
+    from paperchase_crawler_ray.ops.relational import distinct_rows
+    li = _rp(sf, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return distinct_rows(li, ["l_partkey", "l_suppkey"])
+
+
 def _q_embedding_norm(sf: str):
     emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
 
@@ -2392,8 +2401,8 @@ def _q_image_ann(sf: str):
 def _q_image_neardup(sf: str):
     """Image near-dup clustering: originals + their brightness/hflip
     augmentations, banded-phash candidate buckets, hamming<=6 verify,
-    driver union-find (pairs are near-dup-sized) — cluster_id = min
-    member id."""
+    distributed connected components (attach_components) — cluster_id
+    = min member id."""
     from paperchase_crawler_ray.fixtures import make_image_rows
     from paperchase_crawler_ray.ops.multimodal import (image_augment,
                                                        image_features,
@@ -3534,6 +3543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_wave": _q_window_wave,
         "q_props_json": _q_props_json,
         "q_distinct": _q_distinct,
+        "q_distinct_pairs": _q_distinct_pairs,
         "q_agg_stats": _q_agg_stats,
         "q_minmax": _q_minmax,
         "q_grouped_median": _q_grouped_median,
@@ -4018,6 +4028,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1",
         "q_distinct":
             "SELECT COUNT(DISTINCT lang) AS n_langs FROM documents",
+        "q_distinct_pairs":
+            "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
         "q_agg_stats":
             "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
             "COUNT(*) AS count_order FROM lineitem "
