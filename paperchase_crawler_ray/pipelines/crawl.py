@@ -427,6 +427,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         counters["frontier_rows"] += n_frontier
         _mark("frontier_read")
 
+        sched_hosts_local = None  # set on the driver-local wave path
         if n_frontier <= run.driver_wave_max:
             # ADAPTIVE small-wave path (crawl ramp waves are tiny): the
             # frontier plane runs driver-local with the SAME block
@@ -440,6 +441,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
             sched_t = schedule_block(dedup_block(t), cfg)
             sched = ray.data.from_arrow(sched_t)
             n_sched = sched_t.num_rows
+            sched_hosts_local = sched_t.column("host")
         else:
             # All stateless per-row stages run as TASK-based map_batches
             # (no actor-pool spinup per wave); only eager-mode fetch
@@ -749,14 +751,22 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                                               pa.string()),
                              "n": pa.array(cnts[order], pa.int64())})
 
-        cand: list = []
-        for b in sched.select_columns(["host"]).map_batches(
-                _host_block_top, batch_format="pyarrow",
-                batch_size=None).iter_batches(batch_format="pyarrow",
-                                              batch_size=None):
-            t = b if isinstance(b, pa.Table) else pa.table(b)
-            cand.extend(zip(t.column("host").to_pylist(),
+        if sched_hosts_local is not None:
+            # driver-local wave: the plane is already on the driver —
+            # no Ray execution for a tiny np.unique
+            t = pa.table({"host": sched_hosts_local})
+            t = _host_block_top(t)
+            cand = list(zip(t.column("host").to_pylist(),
                             (int(x) for x in t.column("n").to_pylist())))
+        else:
+            cand = []
+            for b in sched.select_columns(["host"]).map_batches(
+                    _host_block_top, batch_format="pyarrow",
+                    batch_size=None).iter_batches(batch_format="pyarrow",
+                                                  batch_size=None):
+                t = b if isinstance(b, pa.Table) else pa.table(b)
+                cand.extend(zip(t.column("host").to_pylist(),
+                                (int(x) for x in t.column("n").to_pylist())))
         hot = sorted(cand, key=lambda kv: (-kv[1], kv[0]))[:10]
         _mark("hot_hosts")
         counters.setdefault("hot_hosts", {})[wave] = hot
