@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_kth_value", "q_heavy_hitters", "q_bloom_semi", "q_lev_join",
     "q_snapshot_diff", "q_zorder",
     "q_bucket_join", "q_pruned_scan", "q_hash_split", "q_expectations",
+    "q_distinct_pairs",
     "q_dup_spans", "q_local_supplier_qty",
     "q_exists_orders", "q_big_orders", "q_promo_share",
     "q_volume_shipping", "q_custdist", "q_supplier_parts",
