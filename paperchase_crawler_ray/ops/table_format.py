@@ -43,7 +43,7 @@ import ray.data
 
 __all__ = ["append_table", "overwrite_table", "read_table",
            "delete_where_keys", "compact_table", "table_versions",
-           "current_version"]
+           "current_version", "expire_snapshots"]
 
 
 def _vdir(root: str) -> str:
@@ -225,3 +225,51 @@ def compact_table(root: str) -> int:
     ray.get(futures)
     return _commit(root, v, {"fragments": new_frags, "deletes": [],
                              "key_col": m["key_col"]})
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Snapshot expiry + vacuum (the Iceberg ``expire_snapshots`` /
+    ``remove_orphan_files`` pair): drop all but the newest
+    ``keep_last`` version manifests (the ``_LATEST``-pointed version is
+    always kept), then delete every data fragment / deletion vector no
+    remaining manifest references — including orphans left by a crash
+    between fragment write and commit — and any stale staging dirs.
+
+    Ordering is the crash-safe direction: manifests go first (an
+    expired version becomes unreadable before its files disappear), so
+    a crash mid-vacuum only leaves orphans for the next run. Single-
+    admin operation: do not run concurrently with a writer (a live
+    ``_stage-*`` dir would be swept).
+
+    Returns ``{"removed_versions": [...], "removed_files": N}``.
+    """
+    import shutil
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = current_version(root)
+    if cur is None:
+        return {"removed_versions": [], "removed_files": 0}
+    versions = table_versions(root)
+    keep = set(versions[-keep_last:]) | {cur}
+    drop = [v for v in versions if v not in keep]
+    for v in drop:
+        os.remove(_manifest_path(root, v))
+    referenced: set = set()
+    for v in sorted(keep):
+        m = _load_manifest(root, v)
+        referenced.update(m["fragments"])
+        referenced.update(m["deletes"])
+    removed_files = 0
+    for sub in ("data", "_deletes"):
+        d = os.path.join(root, sub)
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            rel = os.path.join(sub, f)
+            if f.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(root, rel))
+                removed_files += 1
+    for f in sorted(os.listdir(root)):
+        if f.startswith("_stage-"):
+            shutil.rmtree(os.path.join(root, f), ignore_errors=True)
+    return {"removed_versions": drop, "removed_files": removed_files}

@@ -3119,3 +3119,39 @@ def test_image_neardup_clusters_join_attach_path():
     assert dict(zip(a["image_id"], a["cluster_id"])) == \
         dict(zip(b["image_id"], b["cluster_id"]))
     assert any(a["image_id"] != a["cluster_id"])  # real clusters exist
+
+
+def test_versioned_table_expire_snapshots(tmp_path, ray_session):
+    """expire_snapshots keeps the newest N versions readable, makes the
+    expired ones unreadable, and vacuums every file (fragments, delete
+    vectors, crash-orphan stage dirs) no kept manifest references."""
+    import os
+    from paperchase_crawler_ray.ops import table_format as T
+    root = str(tmp_path / "vt_expire")
+    mk = lambda lo, hi: pa.table({
+        "image_id": pa.array([f"k{i}" for i in range(lo, hi)], pa.string()),
+        "v": pa.array(list(range(lo, hi)), pa.int64())})
+    v1 = T.append_table(ray.data.from_arrow(mk(0, 8)), root)
+    v2 = T.append_table(ray.data.from_arrow(mk(8, 12)), root)
+    v3 = T.delete_where_keys(root, [f"k{i}" for i in range(0, 3)])
+    v4 = T.compact_table(root)
+    # crash orphan: a stage dir left behind
+    os.makedirs(os.path.join(root, "_stage-deadbeef"))
+    before = sorted(T.table_versions(root))
+    assert before == [v1, v2, v3, v4]
+    want = sorted(T.read_table(root).to_pandas()["image_id"])
+
+    res = T.expire_snapshots(root, keep_last=1)
+    assert sorted(res["removed_versions"]) == [v1, v2, v3]
+    assert res["removed_files"] > 0
+    assert T.table_versions(root) == [v4]
+    assert sorted(T.read_table(root).to_pandas()["image_id"]) == want
+    with pytest.raises(FileNotFoundError):
+        T.read_table(root, version=v2)
+    assert not any(f.startswith("_stage-") for f in os.listdir(root))
+    # every surviving file is referenced; second expire is a no-op
+    res2 = T.expire_snapshots(root, keep_last=1)
+    assert res2 == {"removed_versions": [], "removed_files": 0}
+    # keep_last is validated
+    with pytest.raises(ValueError):
+        T.expire_snapshots(root, keep_last=0)
