@@ -3429,6 +3429,10 @@ def _q_versioned_table(sf: str):
             if k % 5 == 0]
     T.delete_where_keys(root, dead)
     T.compact_table(root)
+    # expire the pre-compaction history: the latest view must be
+    # bit-identical after GC (the deterministic invariant this
+    # rows-only query carries; pytest has the full expiry goldens)
+    T.expire_snapshots(root, keep_last=1)
     out = T.read_table(root, columns=["image_id", "w", "h", "phash"]) \
         .sort("image_id")
     return out
