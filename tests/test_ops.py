@@ -3155,3 +3155,32 @@ def test_versioned_table_expire_snapshots(tmp_path, ray_session):
     # keep_last is validated
     with pytest.raises(ValueError):
         T.expire_snapshots(root, keep_last=0)
+
+
+def test_grouped_topk_two_level_prune_matches_pandas():
+    """Per-group top-k (two-level prune + group-keyed shuffle) ==
+    pandas nlargest with deterministic tie-break, including a hot
+    group spread across many blocks."""
+    from paperchase_crawler_ray.ops.relational import grouped_topk
+    rng = np.random.default_rng(9)
+    n = 4000
+    g = np.where(rng.random(n) < 0.7, "hot",
+                 rng.choice(["a", "b", "c"], n)).astype(object)
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "grp": pa.array(list(g), pa.string()),
+        "val": pa.array(rng.integers(0, 50, n).astype(float))})  # many ties
+    ds = ray.data.from_arrow(t).repartition(9)
+    got = grouped_topk(ds, "grp", "val", 5, descending=True,
+                       tie_col="id").to_pandas()
+    df = t.to_pandas()
+    want = (df.sort_values(["grp", "val", "id"],
+                           ascending=[True, False, True])
+            .groupby("grp").head(5))
+    key = lambda d: sorted(map(tuple, d[["grp", "val", "id"]].to_numpy()))
+    assert key(got) == key(want)
+    # ascending variant
+    got2 = grouped_topk(ds, "grp", "val", 2, descending=False,
+                        tie_col="id").to_pandas()
+    want2 = (df.sort_values(["grp", "val", "id"]).groupby("grp").head(2))
+    assert key(got2) == key(want2)
