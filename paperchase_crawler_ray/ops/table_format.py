@@ -43,7 +43,7 @@ import ray.data
 
 __all__ = ["append_table", "overwrite_table", "read_table",
            "delete_where_keys", "compact_table", "table_versions",
-           "current_version", "expire_snapshots"]
+           "current_version", "expire_snapshots", "upsert_table"]
 
 
 def _vdir(root: str) -> str:
@@ -154,11 +154,27 @@ def delete_where_keys(root: str, keys: pa.Array | list) -> int:
                              "key_col": m["key_col"]})
 
 
-def _delete_keys(root: str, m: dict) -> np.ndarray | None:
-    if not m["deletes"]:
+def _name_version(rel: str) -> int:
+    """Snapshot version embedded in a fragment / delete file name
+    (``data/v<N>-...`` / ``_deletes/v<N>.parquet``)."""
+    base = os.path.basename(rel)
+    return int(base[1:].split("-")[0].split(".")[0])
+
+
+def _delete_keys(root: str, m: dict,
+                 frag_version: int | None = None) -> np.ndarray | None:
+    """Union of the manifest's deletion vectors. Sequence-number rule
+    (what makes ``upsert_table`` correct): a delete vector applies only
+    to fragments OLDER than it — pass ``frag_version`` to get the dead
+    set for one fragment generation; ``None`` unions everything (the
+    pre-upsert behavior, still right for ``delete_where_keys``-only
+    tables where every fragment predates every delete)."""
+    rel = [d for d in m["deletes"]
+           if frag_version is None or _name_version(d) > frag_version]
+    if not rel:
         return None
     parts = [pq.read_table(os.path.join(root, d)).column("key")
-             .to_numpy(zero_copy_only=False) for d in m["deletes"]]
+             .to_numpy(zero_copy_only=False) for d in rel]
     return np.unique(np.concatenate(parts))
 
 
@@ -170,28 +186,45 @@ def read_table(root: str, version: int | None = None,
     fetched when deletes exist (and dropped after the filter if it was
     not requested)."""
     m = _load_manifest(root, version)
-    files = [os.path.join(root, f) for f in m["fragments"]]
-    dead = _delete_keys(root, m)
     key_col = m["key_col"]
-    if not files:
+    if not m["fragments"]:
         return ray.data.from_arrow(pa.table({}))
-    read_cols = columns
-    drop_key = False
-    if dead is not None and columns is not None and key_col not in columns:
-        read_cols = columns + [key_col]
-        drop_key = True
-    ds = ray.data.read_parquet(files, columns=read_cols)
-    if dead is None:
-        return ds
-    ref = ray.put(dead)
+    # group fragments by the snapshot that wrote them: each generation
+    # gets the union of the delete vectors NEWER than it (the sequence-
+    # number rule upsert_table relies on); generations = versions, so
+    # the union below is O(snapshots), not O(fragments)
+    by_ver: dict[int, list[str]] = {}
+    for f in m["fragments"]:
+        by_ver.setdefault(_name_version(f), []).append(
+            os.path.join(root, f))
 
-    def alive(b: pa.Table) -> pa.Table:
-        d = ray.get(ref)
-        k = b.column(key_col).to_numpy(zero_copy_only=False)
-        out = b.filter(pa.array(~np.isin(k, d)))
-        return out.drop_columns([key_col]) if drop_key else out
+    def _read_gen(files: list[str], dead: np.ndarray | None
+                  ) -> ray.data.Dataset:
+        read_cols = columns
+        drop_key = False
+        if dead is not None and columns is not None \
+                and key_col not in columns:
+            read_cols = columns + [key_col]
+            drop_key = True
+        ds = ray.data.read_parquet(files, columns=read_cols)
+        if dead is None:
+            return ds
+        ref = ray.put(dead)
 
-    return ds.map_batches(alive, batch_format="pyarrow")
+        def alive(b: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            k = b.column(key_col).to_numpy(zero_copy_only=False)
+            out = b.filter(pa.array(~np.isin(k, d)))
+            return out.drop_columns([key_col]) if drop_key else out
+
+        return ds.map_batches(alive, batch_format="pyarrow")
+
+    gens = [_read_gen(files, _delete_keys(root, m, frag_version=fv))
+            for fv, files in sorted(by_ver.items())]
+    out = gens[0]
+    for g in gens[1:]:
+        out = out.union(g)
+    return out
 
 
 @ray.remote
@@ -209,18 +242,27 @@ def compact_table(root: str) -> int:
     version bump when there is nothing to fold."""
     m = _load_manifest(root, None)
     v = m["version"] + 1
-    dead = _delete_keys(root, m)
-    if dead is None:
+    if not m["deletes"]:
         return _commit(root, v, {"fragments": m["fragments"],
                                  "deletes": [], "key_col": m["key_col"]})
-    dead_ref = ray.put(dead)
+    # per-generation dead sets (sequence-number rule — see read_table):
+    # a fragment is only filtered by delete vectors newer than it
+    dead_refs: dict[int, object] = {}
     data_dir = os.path.join(root, "data")
     new_frags, futures = [], []
     for i, frag in enumerate(m["fragments"]):
+        fv = _name_version(frag)
+        if fv not in dead_refs:
+            d = _delete_keys(root, m, frag_version=fv)
+            dead_refs[fv] = None if d is None else ray.put(d)
         name = f"v{v}-{i:05d}.parquet"
+        dst = os.path.join(data_dir, name)
+        if dead_refs[fv] is None:
+            # untouched generation: carry the fragment over as-is
+            new_frags.append(frag)
+            continue
         futures.append(_rewrite_fragment.remote(
-            os.path.join(root, frag), os.path.join(data_dir, name),
-            m["key_col"], dead_ref))
+            os.path.join(root, frag), dst, m["key_col"], dead_refs[fv]))
         new_frags.append(os.path.join("data", name))
     ray.get(futures)
     return _commit(root, v, {"fragments": new_frags, "deletes": [],
@@ -273,3 +315,41 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
         if f.startswith("_stage-"):
             shutil.rmtree(os.path.join(root, f), ignore_errors=True)
     return {"removed_versions": drop, "removed_files": removed_files}
+
+
+def upsert_table(ds: ray.data.Dataset, root: str,
+                 key_col: str | None = None) -> int:
+    """Merge-on-read UPSERT in ONE commit: rows of ``ds`` replace any
+    existing rows with the same key (a deletion vector over the incoming
+    keys) and append as new fragments. Readers of the previous version
+    are undisturbed; the new snapshot carries carried-over fragments +
+    the new delete file + the new fragments, all committed atomically by
+    the single ``_LATEST`` flip. First call on an empty table degrades
+    to a plain append. ``compact_table`` folds the accumulated delete
+    vectors when merge debt builds up (the merge-on-read contract)."""
+    cur = current_version(root)
+    if cur is None:
+        return append_table(ds, root, key_col=key_col or "image_id")
+    m = _load_manifest(root, cur)
+    key_col = key_col or m["key_col"]
+    if key_col != m["key_col"]:
+        raise ValueError(f"table is keyed by {m['key_col']!r}, "
+                         f"got {key_col!r}")
+    v = cur + 1
+    # incoming keys -> one deletion vector (distinct; collected per
+    # block — the key plane of ONE ingest batch, not the table)
+    parts = [pa.table(b) if not isinstance(b, pa.Table) else b
+             for b in ds.select_columns([key_col])
+             .iter_batches(batch_format="pyarrow", batch_size=None)]
+    keys = pc.unique(pa.concat_tables(parts).column(key_col)) if parts \
+        else pa.array([])
+    ddir = os.path.join(root, "_deletes")
+    os.makedirs(ddir, exist_ok=True)
+    name = os.path.join("_deletes", f"v{v}.parquet")
+    pq.write_table(pa.table({"key": keys}), os.path.join(root, name))
+    frags = _write_fragments(ds, root, v)
+    return _commit(root, v, {
+        "fragments": m["fragments"] + frags,
+        "deletes": m["deletes"] + [name],
+        "key_col": key_col,
+    })

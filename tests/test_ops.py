@@ -3184,3 +3184,47 @@ def test_grouped_topk_two_level_prune_matches_pandas():
                         tie_col="id").to_pandas()
     want2 = (df.sort_values(["grp", "val", "id"]).groupby("grp").head(2))
     assert key(got2) == key(want2)
+
+
+def test_versioned_table_upsert_merge_on_read(tmp_path, ray_session):
+    """upsert_table: incoming rows replace same-key rows in one atomic
+    commit (sequence-number rule: the upsert's delete vector must NOT
+    swallow its own fragments), time travel still sees the pre-upsert
+    view, and compaction folds the merge debt without changing the
+    reader view."""
+    from paperchase_crawler_ray.ops import table_format as T
+    root = str(tmp_path / "vt_upsert")
+    mk = lambda ks, vs: pa.table({
+        "image_id": pa.array(ks, pa.string()),
+        "v": pa.array(vs, pa.int64())})
+    v1 = T.append_table(ray.data.from_arrow(
+        mk([f"k{i}" for i in range(10)], list(range(10)))), root)
+    # upsert: overwrite k3..k6 with new values, add k10/k11
+    up_keys = [f"k{i}" for i in range(3, 7)] + ["k10", "k11"]
+    v2 = T.upsert_table(ray.data.from_arrow(
+        mk(up_keys, [100 + i for i in range(6)])), root)
+    want = {f"k{i}": i for i in range(10)}
+    want.update({k: 100 + i for i, k in enumerate(up_keys)})
+    view = T.read_table(root).to_pandas()
+    assert dict(zip(view["image_id"], view["v"])) == want
+    assert len(view) == 12
+    # time travel: v1 unchanged
+    old = T.read_table(root, version=v1).to_pandas()
+    assert dict(zip(old["image_id"], old["v"])) == \
+        {f"k{i}": i for i in range(10)}
+    # a plain delete AFTER the upsert kills the new row too
+    T.delete_where_keys(root, ["k10"])
+    view2 = T.read_table(root).to_pandas()
+    assert "k10" not in set(view2["image_id"]) and len(view2) == 11
+    # compact folds everything; reader view identical; upsert again
+    T.compact_table(root)
+    view3 = T.read_table(root).to_pandas()
+    assert dict(zip(view3["image_id"], view3["v"])) == \
+        dict(zip(view2["image_id"], view2["v"]))
+    T.upsert_table(ray.data.from_arrow(mk(["k0"], [999])), root)
+    view4 = T.read_table(root).to_pandas()
+    assert dict(zip(view4["image_id"], view4["v"]))["k0"] == 999
+    # key-column mismatch fails loudly
+    with pytest.raises(ValueError):
+        T.upsert_table(ray.data.from_arrow(mk(["x"], [1])), root,
+                       key_col="other")
