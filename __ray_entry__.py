@@ -3438,6 +3438,25 @@ def _q_versioned_table(sf: str):
     return out
 
 
+def _q_upsert_table(sf: str):
+    """Merge-on-read UPSERT lifecycle on the versioned table (rows-only:
+    binary payloads; pytest carries the replace/insert/time-travel/
+    compaction goldens): append -> upsert replacing half the keys and
+    adding new ones -> compact -> latest metadata view. Deterministic:
+    fixture rows + fixed key split."""
+    import tempfile
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops import table_format as T
+    rows = make_image_rows(60)
+    root = tempfile.mkdtemp(prefix="pc_vt_up_")
+    T.append_table(ray.data.from_arrow(rows.slice(0, 40)), root)
+    # upsert: rows 20-59 — replaces 20-39, inserts 40-59
+    T.upsert_table(ray.data.from_arrow(rows.slice(20, 40)), root)
+    T.compact_table(root)
+    return T.read_table(root, columns=["image_id", "w", "h", "phash"]) \
+        .sort("image_id")
+
+
 def _q_incremental_dedup(sf: str):
     """Incremental ingest dedup: new shard minus documents whose TEXT
     already exists in the prior corpus (derived split: doc_id%3==0 is
@@ -3616,6 +3635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_market_share": _q_market_share,
         "q_product_profit": _q_product_profit,
         "q_versioned_table": _q_versioned_table,
+        "q_upsert_table": _q_upsert_table,
         "q_incremental_dedup": _q_incremental_dedup,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
