@@ -184,7 +184,15 @@ def read_table(root: str, version: int | None = None,
     stream as a parquet read; deletion vectors apply as one broadcast
     anti filter. ``columns`` prunes at the read, but the key column is
     fetched when deletes exist (and dropped after the filter if it was
-    not requested)."""
+    not requested).
+
+    SCHEMA EVOLUTION: an append/upsert may add columns. Each fragment
+    generation is read with its OWN schema and padded with typed nulls
+    to the union schema (newest generation wins on type) before the
+    union — old snapshots stay byte-identical on disk, old readers see
+    old schemas (time travel), new readers see nulls for pre-evolution
+    rows. Column metadata comes from one parquet footer per generation
+    (O(snapshots) metadata reads, no data)."""
     m = _load_manifest(root, version)
     key_col = m["key_col"]
     if not m["fragments"]:
@@ -198,28 +206,45 @@ def read_table(root: str, version: int | None = None,
         by_ver.setdefault(_name_version(f), []).append(
             os.path.join(root, f))
 
-    def _read_gen(files: list[str], dead: np.ndarray | None
+    # union schema across generations, newest generation's type wins
+    gen_schema: dict[int, pa.Schema] = {
+        fv: pq.read_schema(files[0]) for fv, files in by_ver.items()}
+    target_fields: dict[str, pa.Field] = {}
+    for fv in sorted(gen_schema):
+        for fld in gen_schema[fv]:
+            target_fields[fld.name] = fld
+    target_names = list(target_fields)
+    want = target_names if columns is None else list(columns)
+    unknown = [c for c in want if c not in target_fields]
+    if unknown:
+        raise KeyError(f"column(s) {unknown} not in table schema "
+                       f"{target_names}")
+
+    def _read_gen(fv: int, files: list[str], dead: np.ndarray | None
                   ) -> ray.data.Dataset:
-        read_cols = columns
-        drop_key = False
-        if dead is not None and columns is not None \
-                and key_col not in columns:
-            read_cols = columns + [key_col]
-            drop_key = True
+        have = set(gen_schema[fv].names)
+        present = [c for c in want if c in have]
+        read_cols = present
+        if dead is not None and key_col not in read_cols:
+            read_cols = present + [key_col]
         ds = ray.data.read_parquet(files, columns=read_cols)
-        if dead is None:
-            return ds
-        ref = ray.put(dead)
+        ref = None if dead is None else ray.put(dead)
 
-        def alive(b: pa.Table) -> pa.Table:
-            d = ray.get(ref)
-            k = b.column(key_col).to_numpy(zero_copy_only=False)
-            out = b.filter(pa.array(~np.isin(k, d)))
-            return out.drop_columns([key_col]) if drop_key else out
+        def fix(b: pa.Table) -> pa.Table:
+            if ref is not None:
+                d = ray.get(ref)
+                k = b.column(key_col).to_numpy(zero_copy_only=False)
+                b = b.filter(pa.array(~np.isin(k, d)))
+            cols = []
+            for c in want:
+                cols.append(b.column(c) if c in b.column_names
+                            else pa.nulls(b.num_rows,
+                                          target_fields[c].type))
+            return pa.table(dict(zip(want, cols)))
 
-        return ds.map_batches(alive, batch_format="pyarrow")
+        return ds.map_batches(fix, batch_format="pyarrow")
 
-    gens = [_read_gen(files, _delete_keys(root, m, frag_version=fv))
+    gens = [_read_gen(fv, files, _delete_keys(root, m, frag_version=fv))
             for fv, files in sorted(by_ver.items())]
     out = gens[0]
     for g in gens[1:]:
@@ -227,11 +252,23 @@ def read_table(root: str, version: int | None = None,
     return out
 
 
+def _pad_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project ``t`` to ``schema``'s column set/order, padding columns
+    it lacks with typed nulls (the read/compact half of schema
+    evolution)."""
+    cols = [t.column(f.name) if f.name in t.column_names
+            else pa.nulls(t.num_rows, f.type) for f in schema]
+    return pa.table(dict(zip(schema.names, cols)))
+
+
 @ray.remote
-def _rewrite_fragment(src: str, dst: str, key_col: str, dead_ref) -> int:
+def _rewrite_fragment(src: str, dst: str, key_col: str, dead_ref,
+                      schema_ref=None) -> int:
     t = pq.read_table(src)
     k = t.column(key_col).to_numpy(zero_copy_only=False)
     kept = t.filter(pa.array(~np.isin(k, dead_ref)))
+    if schema_ref is not None:
+        kept = _pad_to_schema(kept, schema_ref)
     pq.write_table(kept, dst, compression="none")
     return kept.num_rows
 
@@ -246,7 +283,21 @@ def compact_table(root: str) -> int:
         return _commit(root, v, {"fragments": m["fragments"],
                                  "deletes": [], "key_col": m["key_col"]})
     # per-generation dead sets (sequence-number rule — see read_table):
-    # a fragment is only filtered by delete vectors newer than it
+    # a fragment is only filtered by delete vectors newer than it.
+    # Rewritten fragments all join the NEW generation, so they are
+    # padded to the table's union schema (schema evolution) — one
+    # footer read per source generation decides it, newest wins.
+    gen_schema: dict[int, pa.Schema] = {}
+    for frag in m["fragments"]:
+        fv = _name_version(frag)
+        if fv not in gen_schema:
+            gen_schema[fv] = pq.read_schema(os.path.join(root, frag))
+    target_fields: dict[str, pa.Field] = {}
+    for fv in sorted(gen_schema):
+        for fld in gen_schema[fv]:
+            target_fields[fld.name] = fld
+    target_schema = pa.schema(list(target_fields.values()))
+    schema_ref = ray.put(target_schema)
     dead_refs: dict[int, object] = {}
     data_dir = os.path.join(root, "data")
     new_frags, futures = [], []
@@ -258,11 +309,13 @@ def compact_table(root: str) -> int:
         name = f"v{v}-{i:05d}.parquet"
         dst = os.path.join(data_dir, name)
         if dead_refs[fv] is None:
-            # untouched generation: carry the fragment over as-is
+            # untouched generation: carry the fragment over as-is (it
+            # keeps its version name, so its own schema stays valid)
             new_frags.append(frag)
             continue
         futures.append(_rewrite_fragment.remote(
-            os.path.join(root, frag), dst, m["key_col"], dead_refs[fv]))
+            os.path.join(root, frag), dst, m["key_col"], dead_refs[fv],
+            schema_ref))
         new_frags.append(os.path.join("data", name))
     ray.get(futures)
     return _commit(root, v, {"fragments": new_frags, "deletes": [],

@@ -3228,3 +3228,39 @@ def test_versioned_table_upsert_merge_on_read(tmp_path, ray_session):
     with pytest.raises(ValueError):
         T.upsert_table(ray.data.from_arrow(mk(["x"], [1])), root,
                        key_col="other")
+
+
+def test_versioned_table_schema_evolution(tmp_path, ray_session):
+    """Appends/upserts may ADD columns: old fragments stay untouched on
+    disk, the latest read pads pre-evolution rows with typed nulls,
+    time travel sees the old schema, column pruning works across
+    generations, and compaction after evolution is reader-invariant."""
+    from paperchase_crawler_ray.ops import table_format as T
+    root = str(tmp_path / "vt_evo")
+    old = pa.table({"image_id": pa.array(["a", "b"], pa.string()),
+                    "v": pa.array([1, 2], pa.int64())})
+    new = pa.table({"image_id": pa.array(["c", "b"], pa.string()),
+                    "v": pa.array([3, 20], pa.int64()),
+                    "lang": pa.array(["en", "fr"], pa.string())})
+    v1 = T.append_table(ray.data.from_arrow(old), root)
+    T.upsert_table(ray.data.from_arrow(new), root)
+    df = T.read_table(root).to_pandas().set_index("image_id")
+    assert sorted(df.index) == ["a", "b", "c"]
+    assert df.loc["b", "v"] == 20 and df.loc["b", "lang"] == "fr"
+    assert pd.isna(df.loc["a", "lang"])           # padded null
+    # time travel: v1 has no lang column
+    assert "lang" not in T.read_table(root, version=v1).schema().names
+    # pruned reads across generations
+    assert sorted(T.read_table(root, columns=["lang"]).to_pandas()
+                  ["lang"].fillna("-")) == ["-", "en", "fr"]
+    with pytest.raises(KeyError):
+        T.read_table(root, columns=["nope"])
+    # delete + compact after evolution: view unchanged
+    T.delete_where_keys(root, ["c"])
+    want = T.read_table(root).to_pandas().sort_values("image_id") \
+        .reset_index(drop=True)
+    T.compact_table(root)
+    got = T.read_table(root).to_pandas().sort_values("image_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
