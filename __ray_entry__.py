@@ -3457,6 +3457,36 @@ def _q_upsert_table(sf: str):
         .sort("image_id")
 
 
+def _q_table_changes(sf: str):
+    """Change-data-feed over the versioned table (rows-only: lifecycle
+    op; pytest carries the replay-invariant golden): snapshot F ->
+    upsert + append + delete inside the window -> read_table_changes
+    emits the catch-up changelog (insert rows + retract keys) a
+    downstream incremental consumer applies instead of rescanning.
+    Deterministic: fixture rows + fixed key split."""
+    import tempfile
+    from paperchase_crawler_ray.fixtures import make_image_rows
+    from paperchase_crawler_ray.ops import table_format as T
+    rows = make_image_rows(60)
+    root = tempfile.mkdtemp(prefix="pc_vt_cdc_")
+    F = T.append_table(ray.data.from_arrow(rows.slice(0, 40)), root)
+    T.upsert_table(ray.data.from_arrow(rows.slice(20, 20)), root)
+    T.append_table(ray.data.from_arrow(rows.slice(40, 20)), root)
+    dead = [i for k, i in enumerate(
+        rows.column("image_id").to_pylist()) if k % 10 == 0]
+    T.delete_where_keys(root, dead)
+    ch = T.read_table_changes(root, F)
+    ins = ch["appended"].select_columns(["image_id"]).map_batches(
+        lambda b: b.append_column("change",
+                                  pa.array(["insert"] * b.num_rows)),
+        batch_format="pyarrow")
+    dels = ch["deleted_keys"].map_batches(
+        lambda b: pa.table({"image_id": b.column("key"),
+                            "change": pa.array(["delete"] * b.num_rows)}),
+        batch_format="pyarrow")
+    return ins.union(dels).sort(["image_id", "change"])
+
+
 def _q_incremental_dedup(sf: str):
     """Incremental ingest dedup: new shard minus documents whose TEXT
     already exists in the prior corpus (derived split: doc_id%3==0 is
@@ -3636,6 +3666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_product_profit": _q_product_profit,
         "q_versioned_table": _q_versioned_table,
         "q_upsert_table": _q_upsert_table,
+        "q_table_changes": _q_table_changes,
         "q_incremental_dedup": _q_incremental_dedup,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,

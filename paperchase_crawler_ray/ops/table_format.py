@@ -43,7 +43,8 @@ import ray.data
 
 __all__ = ["append_table", "overwrite_table", "read_table",
            "delete_where_keys", "compact_table", "table_versions",
-           "current_version", "expire_snapshots", "upsert_table"]
+           "current_version", "expire_snapshots", "upsert_table",
+           "read_table_changes"]
 
 
 def _vdir(root: str) -> str:
@@ -370,6 +371,127 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     return {"removed_versions": drop, "removed_files": removed_files}
 
 
+def read_table_changes(root: str, from_version: int,
+                       to_version: int | None = None,
+                       columns: list[str] | None = None) -> dict:
+    """Incremental (change-data-feed) read: everything a consumer that
+    has processed snapshot ``from_version`` needs to catch up to
+    ``to_version`` (default: latest) WITHOUT rescanning the table.
+
+    Returns ``{"appended": Dataset, "deleted_keys": Dataset,
+    "from_version": F, "to_version": T}`` where
+
+      * ``appended`` streams the rows of fragments written by snapshots
+        in ``(F, T]``, already filtered by any delete vector in the
+        window that is newer than the fragment (a row appended and then
+        deleted inside the window never surfaces), padded to the same
+        union schema ``read_table(version=T)`` serves;
+      * ``deleted_keys`` is the ``(key,)`` plane of the window's delete
+        vectors (distinct per vector; a key deleted by two window
+        snapshots may appear twice — retraction is idempotent, apply it
+        as a set) — the keys the consumer must retract.
+        An ``upsert_table`` batch therefore appears as the standard CDC
+        pair: its keys in ``deleted_keys`` AND its new rows in
+        ``appended`` (retract-then-insert; apply deletes first).
+
+    Replay invariant (tested): state(F) minus ``deleted_keys`` plus
+    ``appended`` == state(T) as multisets of rows keyed by ``key_col``.
+    Cost is O(changed fragments + window delete vectors) — metadata
+    decides everything; untouched generations are never opened.
+    ``compact_table``/``overwrite_table`` rewrite fragments, so a
+    compaction inside the window degrades to a full re-read (same rule
+    as Iceberg's CDC: use changelog-preserving operations between
+    incremental consumers) — callers can detect it because ``appended``
+    then carries carried-over rows; prefer windows that do not span a
+    compaction.
+    """
+    m = _load_manifest(root, to_version)
+    T = m["version"]
+    if from_version > T:
+        raise ValueError(f"from_version {from_version} is newer than "
+                         f"to_version {T}")
+    key_col = m["key_col"]
+
+    # window fragments, grouped by writing snapshot (generation)
+    by_ver: dict[int, list[str]] = {}
+    for f in m["fragments"]:
+        fv = _name_version(f)
+        if fv > from_version:
+            by_ver.setdefault(fv, []).append(os.path.join(root, f))
+
+    # window delete vectors (vectors carried over from <= F applied
+    # before F's snapshot was consumed — only newer ones are news)
+    win_deletes = [d for d in m["deletes"]
+                   if _name_version(d) > from_version]
+
+    # union schema of the FULL table at T (what read_table(T) serves),
+    # so appended rows line up with the consumer's existing schema
+    gen_all: dict[int, pa.Schema] = {}
+    for f in m["fragments"]:
+        fv = _name_version(f)
+        if fv not in gen_all:
+            gen_all[fv] = pq.read_schema(os.path.join(root, f))
+    target_fields: dict[str, pa.Field] = {}
+    for fv in sorted(gen_all):
+        for fld in gen_all[fv]:
+            target_fields[fld.name] = fld
+    want = list(target_fields) if columns is None else list(columns)
+    unknown = [c for c in want if c not in target_fields]
+    if unknown:
+        raise KeyError(f"column(s) {unknown} not in table schema "
+                       f"{list(target_fields)}")
+
+    def _gen_ds(fv: int, files: list[str]) -> ray.data.Dataset:
+        # deletes newer than this fragment AND inside the window
+        rel = [d for d in win_deletes if _name_version(d) > fv]
+        dead = None
+        if rel:
+            parts = [pq.read_table(os.path.join(root, d)).column("key")
+                     .to_numpy(zero_copy_only=False) for d in rel]
+            dead = np.unique(np.concatenate(parts))
+        have = set(gen_all[fv].names)
+        present = [c for c in want if c in have]
+        read_cols = present if (dead is None or key_col in present) \
+            else present + [key_col]
+        ds = ray.data.read_parquet(files, columns=read_cols)
+        ref = None if dead is None else ray.put(dead)
+
+        def fix(b: pa.Table) -> pa.Table:
+            if ref is not None:
+                k = b.column(key_col).to_numpy(zero_copy_only=False)
+                b = b.filter(pa.array(~np.isin(k, ray.get(ref))))
+            cols = [b.column(c) if c in b.column_names
+                    else pa.nulls(b.num_rows, target_fields[c].type)
+                    for c in want]
+            return pa.table(dict(zip(want, cols)))
+
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    if by_ver:
+        gens = [_gen_ds(fv, files) for fv, files in sorted(by_ver.items())]
+        appended = gens[0]
+        for g in gens[1:]:
+            appended = appended.union(g)
+    else:
+        appended = ray.data.from_arrow(
+            pa.table({c: pa.nulls(0, target_fields[c].type)
+                      for c in want}))
+
+    if win_deletes:
+        deleted = ray.data.read_parquet(
+            [os.path.join(root, d) for d in win_deletes]) \
+            .map_batches(lambda b: pa.table(
+                {"key": pc.unique(b.column("key"))}),
+                batch_format="pyarrow", batch_size=None)
+    else:
+        # typed empty plane (key type comes from the table key column)
+        deleted = ray.data.from_arrow(
+            pa.table({"key": pa.nulls(0, target_fields[key_col].type)}))
+
+    return {"appended": appended, "deleted_keys": deleted,
+            "from_version": from_version, "to_version": T}
+
+
 def upsert_table(ds: ray.data.Dataset, root: str,
                  key_col: str | None = None) -> int:
     """Merge-on-read UPSERT in ONE commit: rows of ``ds`` replace any
@@ -389,18 +511,24 @@ def upsert_table(ds: ray.data.Dataset, root: str,
         raise ValueError(f"table is keyed by {m['key_col']!r}, "
                          f"got {key_col!r}")
     v = cur + 1
-    # incoming keys -> one deletion vector (distinct; collected per
-    # block — the key plane of ONE ingest batch, not the table)
-    parts = [pa.table(b) if not isinstance(b, pa.Table) else b
-             for b in ds.select_columns([key_col])
-             .iter_batches(batch_format="pyarrow", batch_size=None)]
-    keys = pc.unique(pa.concat_tables(parts).column(key_col)) if parts \
-        else pa.array([])
+    # ONE execution of the (possibly expensive) ingest pipeline: stage
+    # the fragments first — they are invisible to every reader until
+    # the manifest commits — then derive the deletion vector from the
+    # staged files' key column (column-pruned footer-level reads, no
+    # recompute), so the delete plane exactly matches the rows written
+    # even if upstream stages are nondeterministic
+    frags = _write_fragments(ds, root, v)
+    key_parts = [pq.read_table(os.path.join(root, f), columns=[key_col])
+                 .column(key_col) for f in frags]
+    keys = pc.unique(pa.concat_tables(
+        [pa.table({key_col: p}) for p in key_parts]).column(key_col)) \
+        if key_parts else pa.array([])
+    # distinct keys of ONE ingest batch — bounded by the batch, not the
+    # table; a crash here leaves orphan fragments for expire_snapshots
     ddir = os.path.join(root, "_deletes")
     os.makedirs(ddir, exist_ok=True)
     name = os.path.join("_deletes", f"v{v}.parquet")
     pq.write_table(pa.table({"key": keys}), os.path.join(root, name))
-    frags = _write_fragments(ds, root, v)
     return _commit(root, v, {
         "fragments": m["fragments"] + frags,
         "deletes": m["deletes"] + [name],

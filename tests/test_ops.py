@@ -3264,3 +3264,66 @@ def test_versioned_table_schema_evolution(tmp_path, ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   want[sorted(want.columns)])
+
+
+def test_versioned_table_change_data_feed(tmp_path, ray_session):
+    """read_table_changes: the replay invariant — state(F) with the
+    window's deleted_keys retracted plus the window's appended rows
+    equals state(T) — across appends, upserts (retract-then-insert
+    pairs), plain deletes, and a schema-evolving append inside the
+    window; a row appended then deleted inside the window never
+    surfaces; the empty window returns empty planes."""
+    from paperchase_crawler_ray.ops import table_format as T
+    root = str(tmp_path / "vt_cdc")
+    mk = lambda ks, vs, **extra: pa.table({
+        "image_id": pa.array(ks, pa.string()),
+        "v": pa.array(vs, pa.int64()),
+        **{c: pa.array(a) for c, a in extra.items()}})
+    F = T.append_table(ray.data.from_arrow(
+        mk([f"k{i}" for i in range(8)], list(range(8)))), root)
+    # window: upsert k2/k3 + new k8, schema-evolving append k9,
+    # plain delete of k5 and k8 (k8 appended AND deleted in-window)
+    T.upsert_table(ray.data.from_arrow(
+        mk(["k2", "k3", "k8"], [102, 103, 108])), root)
+    T.append_table(ray.data.from_arrow(
+        mk(["k9"], [9], lang=["en"])), root)
+    Tv = T.delete_where_keys(root, ["k5", "k8"])
+
+    ch = T.read_table_changes(root, F)
+    assert ch["from_version"] == F and ch["to_version"] == Tv
+    app = ch["appended"].to_pandas()
+    dels = set(ch["deleted_keys"].to_pandas()["key"])
+    # k8 was appended then deleted inside the window: never surfaces
+    assert set(app["image_id"]) == {"k2", "k3", "k9"}
+    assert dict(zip(app["image_id"], app["v"])) == \
+        {"k2": 102, "k3": 103, "k9": 9}
+    # union schema of the table at T (lang padded for pre-evo appends)
+    assert app.loc[app["image_id"] == "k9", "lang"].iloc[0] == "en"
+    assert pd.isna(app.loc[app["image_id"] == "k2", "lang"].iloc[0])
+    # upsert keys retract-then-insert; plain deletes retract only
+    assert dels == {"k2", "k3", "k8", "k5"}
+    # replay invariant: state(F) - deleted + appended == state(T)
+    base = T.read_table(root, version=F).to_pandas()
+    replay = pd.concat([base[~base["image_id"].isin(dels)]
+                        .assign(lang=pd.NA), app], ignore_index=True)
+    now = T.read_table(root).to_pandas()
+    key = lambda d: d.sort_values("image_id")[
+        ["image_id", "v", "lang"]].reset_index(drop=True).astype(
+        {"v": "int64"})
+    a, b = key(replay), key(now)
+    assert list(a["image_id"]) == list(b["image_id"])
+    assert list(a["v"]) == list(b["v"])
+    assert [x if pd.notna(x) else None for x in a["lang"]] == \
+        [x if pd.notna(x) else None for x in b["lang"]]
+    # empty window
+    ch0 = T.read_table_changes(root, Tv)
+    assert ch0["appended"].count() == 0
+    assert ch0["deleted_keys"].count() == 0
+    # column pruning + unknown column fails loudly
+    got = T.read_table_changes(root, F, columns=["image_id"])
+    assert set(got["appended"].to_pandas()["image_id"]) == \
+        {"k2", "k3", "k9"}
+    with pytest.raises(KeyError):
+        T.read_table_changes(root, F, columns=["nope"])
+    with pytest.raises(ValueError):
+        T.read_table_changes(root, Tv + 1, to_version=Tv)
