@@ -3457,6 +3457,184 @@ def _q_upsert_table(sf: str):
         .sort("image_id")
 
 
+def _q_pricing_summary(sf: str):
+    """TPC-H Q1 shape: the canonical pricing-summary scan-aggregate.
+    Every measure is an exact integer (qty; cents; 10^-4 disc-price
+    units; 10^-6 charge units) so the distributed Sum is order-
+    insensitive and bit-matches DuckDB. ONE column-pruned scan, per-row
+    vectorized measures, a 2-key groupby over a handful of groups.
+    (At 10^10-row scale the 10^-6 charge unit would move to 10^-2 to
+    stay inside int64 — the unit is a parameter, the shape is not.)"""
+    from ray.data.aggregate import Count, Sum
+    li = _rp(sf, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate"])
+    cutoff = pd.Timestamp("1999-01-01").value // 1000
+
+    def measures(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(_ts_us_col(b.column("l_shipdate")),
+                             pa.scalar(cutoff, pa.int64())))
+        price_c = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc_c = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        tax_c = np.rint(b.column("l_tax").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc4 = price_c * (100 - disc_c)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            "price_c": pa.array(price_c),
+            "disc4": pa.array(disc4),
+            "charge6": pa.array(disc4 * (100 + tax_c))})
+
+    agg = li.map_batches(measures, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_c", alias_name="sum_base_c"),
+            Sum("disc4", alias_name="sum_disc_c4"),
+            Sum("charge6", alias_name="sum_charge_c6"),
+            Count(alias_name="n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_c", "sum_disc_c4",
+                  "sum_charge_c6", "n"):
+            b = b.set_column(b.column_names.index(c), c,
+                             pc.cast(b.column(c), pa.int64()))
+        return b
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_min_cost_supplier(sf: str):
+    """TPC-H Q2 shape (partsupp stood in by the lineitem part-supplier
+    plane; supply cost = MIN line price in cents): for every qualifying
+    part (LARGE, size >= 25), the EUROPE supplier(s) achieving the
+    part's minimum cost — the correlated-MIN-subquery shape. Dimension
+    chains (supplier|><|nation|><|region, part filter) broadcast; the
+    fact scan is semi-filtered map-side; ONE keyed exchange builds the
+    (part, supplier) cost plane and the per-part MIN re-attaches with a
+    second small keyed join (cost-plane-sized, partsupp-scale)."""
+    from ray.data.aggregate import Min
+
+    from paperchase_crawler_ray.ops.relational import (
+        broadcast_lookup_join, broadcast_semi_join, cap_join_partitions)
+    r = _rp(sf, "region", columns=["r_regionkey", "r_name"]) \
+        .filter(expr="r_name == 'EUROPE'")
+    n = _rp(sf, "nation", columns=["n_nationkey", "n_regionkey"])
+    n_eu = broadcast_semi_join(n, "n_regionkey", r, "r_regionkey")
+    s = _rp(sf, "supplier", columns=["s_suppkey", "s_name",
+                                     "s_nationkey"])
+    s_eu = broadcast_semi_join(s, "s_nationkey", n_eu, "n_nationkey")
+    p = _rp(sf, "part", columns=["p_partkey", "p_type", "p_size"])
+
+    def pfilter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b.column("p_type"), pa.scalar("LARGE")),
+                       pc.greater_equal(b.column("p_size"),
+                                        pa.scalar(25, pa.int32())))
+        return b.filter(keep).select(["p_partkey"])
+
+    pe = p.map_batches(pfilter, batch_format="pyarrow")
+    li = _rp(sf, "lineitem", columns=["l_partkey", "l_suppkey",
+                                      "l_extendedprice"])
+    li = broadcast_semi_join(li, "l_partkey", pe, "p_partkey")
+    li = broadcast_semi_join(li, "l_suppkey", s_eu, "s_suppkey")
+
+    def price(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "price_c": pa.array(c)})
+
+    cost = li.map_batches(price, batch_format="pyarrow") \
+        .groupby(["l_partkey", "l_suppkey"]).aggregate(
+            Min("price_c", alias_name="cost_c"))
+    minp = cost.groupby("l_partkey").aggregate(
+        Min("cost_c", alias_name="min_c"))
+    j = cost.join(minp, join_type="inner",
+                  num_partitions=cap_join_partitions(8),
+                  on=("l_partkey",))
+    j = j.filter(expr="cost_c == min_c")
+    j = broadcast_lookup_join(j, "l_suppkey", s_eu, "s_suppkey",
+                              ["s_name"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b.column("l_partkey"),
+            "s_name": b.column("s_name"),
+            "cost_c": pc.cast(b.column("cost_c"), pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_part_promotion(sf: str):
+    """TPC-H Q20 shape (ps_availqty stood in by the deterministic
+    p_size): suppliers whose 1997 shipments of a 'bolt' part stayed
+    under twice its available quantity — the nested
+    EXISTS-over-aggregate shape, with the qualifying-part count kept
+    per supplier so the value hash discriminates (the bare existential
+    saturates at small SF). The part plane broadcasts (semi filter +
+    availqty lookup); the fact scan takes ONE keyed exchange for the
+    (part, supplier) quantity rollup; the per-supplier count rides the
+    already-distinct rollup rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from paperchase_crawler_ray.ops.relational import (
+        broadcast_lookup_join, broadcast_semi_join)
+    p = _rp(sf, "part", columns=["p_partkey", "p_name", "p_size"])
+
+    def pfilter(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.match_substring(b.column("p_name"), "bolt"))
+        availq2 = pc.multiply(pc.cast(t.column("p_size"), pa.int64()),
+                              pa.scalar(2, pa.int64()))
+        return pa.table({"p_partkey": t.column("p_partkey"),
+                         "availq2": availq2})
+
+    pe = p.map_batches(pfilter, batch_format="pyarrow")
+    li = _rp(sf, "lineitem", columns=["l_partkey", "l_suppkey",
+                                      "l_quantity", "l_shipdate"])
+    lo = pd.Timestamp("1997-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+
+    def window(b: pa.Table) -> pa.Table:
+        d = _ts_us_col(b.column("l_shipdate"))
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.int64())),
+            pc.less(d, pa.scalar(hi, pa.int64()))))
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "qty": pc.cast(b.column("l_quantity"),
+                                        pa.int64())})
+
+    li = broadcast_semi_join(li, "l_partkey", pe, "p_partkey") \
+        .map_batches(window, batch_format="pyarrow")
+    sold = li.groupby(["l_partkey", "l_suppkey"]).aggregate(
+        Sum("qty", alias_name="sold"))
+    sold = broadcast_lookup_join(sold, "l_partkey", pe, "p_partkey",
+                                 ["availq2"])
+
+    def qualify(b: pa.Table) -> pa.Table:
+        keep = pc.less(pc.cast(b.column("sold"), pa.int64()),
+                       b.column("availq2"))
+        return b.filter(keep).select(["l_suppkey"])
+
+    # rollup rows are already distinct (l_partkey, l_suppkey) pairs, so
+    # the qualifying-part count is a plain per-supplier Count
+    supp = sold.map_batches(qualify, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Count(alias_name="n_parts"))
+    s = _rp(sf, "supplier", columns=["s_suppkey", "s_name"])
+    out = broadcast_lookup_join(supp, "l_suppkey", s, "s_suppkey",
+                                ["s_name"])
+    return out.map_batches(
+        lambda b: pa.table({"s_suppkey": b.column("l_suppkey"),
+                            "s_name": b.column("s_name"),
+                            "n_parts": pc.cast(b.column("n_parts"),
+                                               pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_table_changes(sf: str):
     """Change-data-feed over the versioned table (rows-only: lifecycle
     op; pytest carries the replay-invariant golden): snapshot F ->
@@ -3667,6 +3845,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_versioned_table": _q_versioned_table,
         "q_upsert_table": _q_upsert_table,
         "q_table_changes": _q_table_changes,
+        "q_pricing_summary": _q_pricing_summary,
+        "q_min_cost_supplier": _q_min_cost_supplier,
+        "q_part_promotion": _q_part_promotion,
         "q_incremental_dedup": _q_incremental_dedup,
         "q_pca": _q_pca,
         "q_winsorize": _q_winsorize,
@@ -4609,6 +4790,50 @@ def oracle_sql() -> dict[str, str]:
             "b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice "
             "AND (b.p_size > a.p_size OR "
             "b.p_retailprice > a.p_retailprice))",
+        "q_pricing_summary":
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS "
+            "BIGINT) AS sum_base_c, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) "
+            "AS sum_disc_c4, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT)) * "
+            "(100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) "
+            "AS sum_charge_c6, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01' "
+            "GROUP BY l_returnflag, l_linestatus",
+        "q_min_cost_supplier":
+            "WITH elig AS (SELECT s_suppkey, s_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "pe AS (SELECT p_partkey FROM part WHERE p_type = 'LARGE' "
+            "AND p_size >= 25), "
+            "cost AS (SELECT l_partkey, l_suppkey, "
+            "MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cost_c "
+            "FROM lineitem JOIN elig ON l_suppkey = s_suppkey "
+            "JOIN pe ON l_partkey = p_partkey GROUP BY 1, 2), "
+            "m AS (SELECT l_partkey, MIN(cost_c) AS min_c FROM cost "
+            "GROUP BY 1) "
+            "SELECT c.l_partkey AS p_partkey, e.s_name, c.cost_c "
+            "FROM cost c JOIN m ON c.l_partkey = m.l_partkey "
+            "AND c.cost_c = m.min_c "
+            "JOIN elig e ON c.l_suppkey = e.s_suppkey",
+        "q_part_promotion":
+            "WITH pe AS (SELECT p_partkey, CAST(p_size AS BIGINT) * 2 "
+            "AS availq2 FROM part WHERE p_name LIKE '%bolt%'), "
+            "sold AS (SELECT l_partkey, l_suppkey, "
+            "SUM(CAST(l_quantity AS BIGINT)) AS sold FROM lineitem "
+            "JOIN pe ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2) "
+            "SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS "
+            "n_parts FROM sold "
+            "JOIN pe ON sold.l_partkey = pe.p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE sold < availq2 GROUP BY s_suppkey, s_name",
         # q_minhash_dedup / q_simhash_dedup / q_ngram_dedup /
         # q_dup_clusters / q_ivf_ann / q_fingerprint /
         # q_image_features / q_image_augment / q_sample / q_value_stats:

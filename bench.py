@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_filtered_revenue", "q_market_share", "q_product_profit",
     "q_mad", "q_grouped_pct_cont", "q_rolling_distinct",
     "q_cooccurrence", "q_length_buckets", "q_semdedup",
+    "q_pricing_summary", "q_min_cost_supplier", "q_part_promotion",
 ]
 
 
