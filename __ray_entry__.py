@@ -3457,6 +3457,19 @@ def _q_upsert_table(sf: str):
         .sort("image_id")
 
 
+def _q_grouped_approx_distinct(sf: str):
+    """Per-group approximate COUNT(DISTINCT) — HyperLogLog registers
+    per (block, group), ONE fixed-size-row keyed exchange, co-located
+    byte-max merge (rows-only: approximate by design; pytest pins the
+    p=12 error band vs exact and cross-partitioning determinism). The
+    shape that replaces a corpus-wide shuffle when a 10^10-row table
+    needs per-domain distinct users."""
+    from paperchase_crawler_ray.ops.sketch import approx_distinct_by
+    ev = _rp(sf, "events", columns=["event_type", "user_id"])
+    return approx_distinct_by(ev, "event_type", "user_id", p=12) \
+        .sort("event_type")
+
+
 def _q_pricing_summary(sf: str):
     """TPC-H Q1 shape: the canonical pricing-summary scan-aggregate.
     Every measure is an exact integer (qty; cents; 10^-4 disc-price
@@ -3845,6 +3858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_versioned_table": _q_versioned_table,
         "q_upsert_table": _q_upsert_table,
         "q_table_changes": _q_table_changes,
+        "q_grouped_approx_distinct": _q_grouped_approx_distinct,
         "q_pricing_summary": _q_pricing_summary,
         "q_min_cost_supplier": _q_min_cost_supplier,
         "q_part_promotion": _q_part_promotion,

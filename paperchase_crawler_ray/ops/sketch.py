@@ -142,6 +142,80 @@ def approx_distinct(ds: ray.data.Dataset, col: str,
         "approx_distinct": pa.array([est], pa.int64())}))
 
 
+class _HLLGroupPartial:
+    """map_batches combiner for the GROUPED sketch: one register array
+    per (block, group) — rows never leave the block; output is
+    |groups-in-block| x 2^p bytes regardless of row count."""
+
+    def __init__(self, group_col: str, col: str, p: int):
+        self.group_col, self.col, self.p = group_col, col, p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = 1 << self.p
+        h = _hash_column(batch.column(self.col))
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(m - 1)
+        rank = (_clz64(rest) + 1).astype(np.uint8)
+        gvals, ginv = np.unique(
+            np.asarray(batch.column(self.group_col).to_pylist(),
+                       dtype=object), return_inverse=True)
+        # one flat maximum.at over (group_index * m + register_index)
+        regs = np.zeros(len(gvals) * m, np.uint8)
+        np.maximum.at(regs, ginv * m + idx, rank)
+        gtype = batch.schema.field(self.group_col).type
+        return pa.table({
+            self.group_col: pa.array(gvals.tolist(), gtype),
+            "regs": pa.array([regs[i * m:(i + 1) * m].tobytes()
+                              for i in range(len(gvals))], pa.binary())})
+
+
+def approx_distinct_by(ds: ray.data.Dataset, group_col: str, col: str,
+                       p: int = 12,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """Approximate per-group COUNT(DISTINCT col) — HyperLogLog per
+    group key (relative error ~= 1.04 / sqrt(2^p); p=12 -> ~1.6%).
+    Returns ``{group_col, approx_distinct}`` with one row per group.
+
+    Scale shape (the grouped twin of ``approx_distinct``): every block
+    folds its rows into one 2^p-byte register array PER GROUP IN THE
+    BLOCK (a combiner — one vectorized ``maximum.at`` over a flattened
+    (group x register) plane), so the ONE group-keyed exchange carries
+    ``groups-per-block x blocks`` fixed-size rows, never the input
+    rows; co-located registers byte-max inside whole blocks. At 10^10
+    rows x 10^4 groups that is MBs on the wire where the exact
+    distinct would shuffle the corpus. Deterministic across runs and
+    cluster sizes (fixed mixer + order-free byte max)."""
+    from .dedup import _hash_shuffle
+    from .relational import cap_join_partitions
+
+    pre = ds.map_batches(_HLLGroupPartial,
+                         fn_constructor_args=(group_col, col, p),
+                         batch_format="pyarrow", batch_size=None,
+                         concurrency=(1, 8))
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        m = 1 << p
+        gvals, ginv = np.unique(
+            np.asarray(batch.column(group_col).to_pylist(), dtype=object),
+            return_inverse=True)
+        regs = np.zeros((len(gvals), m), np.uint8)
+        for gi, blob in zip(ginv, batch.column("regs").to_pylist()):
+            np.maximum(regs[gi], np.frombuffer(blob, np.uint8),
+                       out=regs[gi])
+        est = pa.array([int(round(hll_estimate(regs[i])))
+                        for i in range(len(gvals))], pa.int64())
+        gtype = batch.schema.field(group_col).type
+        return pa.table({group_col: pa.array(gvals.tolist(), gtype),
+                         "approx_distinct": est})
+
+    with _hash_shuffle(pre):
+        return pre.repartition(
+            num_blocks=cap_join_partitions(num_partitions),
+            keys=[group_col]) \
+            .map_batches(merge_block, batch_format="pyarrow",
+                         batch_size=None).materialize()
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: broadcastable membership sketch for join pruning
 # ---------------------------------------------------------------------------

@@ -841,6 +841,42 @@ def test_approx_distinct_dataset_and_strings():
     assert int(out["approx_distinct"][0]) == int(out2["approx_distinct"][0])
 
 
+def test_approx_distinct_by_groups():
+    """Grouped HLL: per-group estimates within the p=12 error band vs
+    exact per-group distincts, skew-proof (one group holds half the
+    rows), deterministic across runs and partitionings (byte max is
+    order-free), and int64 group keys work alongside strings."""
+    from paperchase_crawler_ray.ops.sketch import approx_distinct_by
+    rng = np.random.default_rng(11)
+    n = 60_000
+    g = rng.choice(["big", "mid", "small"], n, p=[0.5, 0.35, 0.15])
+    base = {"big": 0, "mid": 1_000_000, "small": 2_000_000}
+    v = rng.integers(0, 8_000, n) + np.vectorize(base.get)(g)
+    t = pa.table({"g": pa.array(g.tolist(), pa.string()),
+                  "v": pa.array(v.tolist(), pa.int64())})
+    exact = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
+    ds = ray.data.from_arrow(t).repartition(num_blocks=7)
+    est = approx_distinct_by(ds, "g", "v", p=12).to_pandas() \
+        .set_index("g")["approx_distinct"]
+    assert set(est.index) == set(exact.index)
+    for k in exact.index:
+        assert abs(int(est[k]) - exact[k]) / exact[k] < 0.05, \
+            (k, int(est[k]), exact[k])
+    # determinism under a different partitioning
+    est2 = approx_distinct_by(
+        ray.data.from_arrow(t).repartition(num_blocks=3), "g", "v",
+        p=12).to_pandas().set_index("g")["approx_distinct"]
+    assert est.sort_index().tolist() == est2.sort_index().tolist()
+    # int64 group keys
+    ti = pa.table({"g": pa.array([int(x != "big") for x in g],
+                                 pa.int64()),
+                   "v": t.column("v")})
+    esti = approx_distinct_by(ray.data.from_arrow(ti)
+                              .repartition(num_blocks=5),
+                              "g", "v", p=12).to_pandas()
+    assert set(esti["g"]) == {0, 1}
+
+
 def test_image_quality_golden():
     from paperchase_crawler_ray.functions.codec import png_encode
     from paperchase_crawler_ray.ops.multimodal import image_quality
