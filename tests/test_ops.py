@@ -3363,3 +3363,44 @@ def test_versioned_table_change_data_feed(tmp_path, ray_session):
         T.read_table_changes(root, F, columns=["nope"])
     with pytest.raises(ValueError):
         T.read_table_changes(root, Tv + 1, to_version=Tv)
+
+
+def test_versioned_table_upsert_single_execution(tmp_path, ray_session):
+    """upsert_table executes its input pipeline ONCE: the delete vector
+    is derived from the staged fragments, so even an upstream whose
+    output CHANGES between executions cannot tear the commit (keys
+    deleted == keys written). The counter file counts actual upstream
+    executions."""
+    import os
+
+    from paperchase_crawler_ray.ops import table_format as T
+    root = str(tmp_path / "vt_once")
+    marker = str(tmp_path / "exec_count")
+    T.append_table(ray.data.from_arrow(pa.table({
+        "image_id": pa.array(["k0", "k1"], pa.string()),
+        "v": pa.array([0, 1], pa.int64())})), root)
+
+    def unstable(b: pa.Table) -> pa.Table:
+        # append one byte per execution; a second execution would emit
+        # DIFFERENT keys, so any key-plane/fragment divergence is loud
+        with open(marker, "a") as f:
+            f.write("x")
+        n = os.path.getsize(marker)
+        return pa.table({
+            "image_id": pa.array([f"k{n}"], pa.string()),
+            "v": pa.array([100 + n], pa.int64())})
+
+    src = ray.data.from_arrow(pa.table({"seed": pa.array([1])})) \
+        .map_batches(unstable, batch_format="pyarrow")
+    T.upsert_table(src, root)
+    assert os.path.getsize(marker) == 1      # executed exactly once
+    view = T.read_table(root).to_pandas()
+    got = dict(zip(view["image_id"], view["v"]))
+    assert got == {"k0": 0, "k1": 101}       # k1 replaced by the upsert
+    m = T._load_manifest(root, None)
+    import pyarrow.parquet as _pq
+    del_keys = set()
+    for d in m["deletes"]:
+        del_keys |= set(_pq.read_table(os.path.join(root, d))
+                        .column("key").to_pylist())
+    assert del_keys == {"k1"}                # vector == staged keys
