@@ -3457,6 +3457,30 @@ def _q_upsert_table(sf: str):
         .sort("image_id")
 
 
+def _q_corpus_overlap(sf: str):
+    """Corpus-overlap measurement via KMV sketches (zero-shuffle on
+    both sides; the contamination metric between two 10^10-row corpora
+    at 100 TB): distinct/union/intersection of the TEXT sets of two
+    derived document splits. Oracled: below k=4096 distinct values the
+    sketch provably degenerates to the exact hash set, and the
+    driver's sf0.01 corpus has 500 distinct texts — pytest carries the
+    approximate-regime error bounds."""
+    from paperchase_crawler_ray.ops.sketch import approx_overlap
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+
+    def split(mod: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(k % mod == 0)).select(["text"])
+        return f
+
+    a = docs.map_batches(split(2), batch_format="pyarrow")
+    b = docs.map_batches(split(3), batch_format="pyarrow")
+    return approx_overlap(a, "text", b, k=4096).select_columns(
+        ["distinct_a", "distinct_b", "distinct_union",
+         "distinct_intersection"])
+
+
 def _q_grouped_approx_distinct(sf: str):
     """Per-group approximate COUNT(DISTINCT) — HyperLogLog registers
     per (block, group), ONE fixed-size-row keyed exchange, co-located
@@ -3859,6 +3883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_upsert_table": _q_upsert_table,
         "q_table_changes": _q_table_changes,
         "q_grouped_approx_distinct": _q_grouped_approx_distinct,
+        "q_corpus_overlap": _q_corpus_overlap,
         "q_pricing_summary": _q_pricing_summary,
         "q_min_cost_supplier": _q_min_cost_supplier,
         "q_part_promotion": _q_part_promotion,
@@ -4804,6 +4829,22 @@ def oracle_sql() -> dict[str, str]:
             "b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice "
             "AND (b.p_size > a.p_size OR "
             "b.p_retailprice > a.p_retailprice))",
+        "q_corpus_overlap":
+            # exact regime: the sf0.01 corpus has < 4096 distinct texts
+            # per side, where the KMV sketch degenerates to the exact
+            # distinct sets (pytest carries the approximate-regime
+            # error-bound oracle)
+            "WITH a AS (SELECT DISTINCT text FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "b AS (SELECT DISTINCT text FROM documents "
+            "WHERE doc_id % 3 = 0) "
+            "SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS "
+            "distinct_a, "
+            "CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS distinct_b, "
+            "CAST((SELECT COUNT(*) FROM (SELECT text FROM a UNION "
+            "SELECT text FROM b)) AS BIGINT) AS distinct_union, "
+            "CAST((SELECT COUNT(*) FROM (SELECT text FROM a INTERSECT "
+            "SELECT text FROM b)) AS BIGINT) AS distinct_intersection",
         "q_pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

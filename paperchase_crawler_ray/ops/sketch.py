@@ -216,6 +216,92 @@ def approx_distinct_by(ds: ray.data.Dataset, group_col: str, col: str,
                          batch_size=None).materialize()
 
 
+class _KMVPartial:
+    """map_batches combiner: the k smallest DISTINCT value hashes per
+    block (fixed k x 8 bytes out regardless of block size)."""
+
+    def __init__(self, col: str, k: int):
+        self.col, self.k = col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = np.unique(_hash_column(batch.column(self.col)))
+        return pa.table({"kmv": pa.array([h[:self.k].tobytes()],
+                                         pa.binary())})
+
+
+def _kmv_sketch(ds: ray.data.Dataset, col: str, k: int) -> np.ndarray:
+    """Distributed KMV sketch of one column: per-block partials (each
+    k x 8 bytes), a distributed pairwise-merge pass, then a driver fold
+    over O(merge-tasks) arrays — the exact skeleton of
+    ``approx_distinct``, with sorted-unique-truncate as the merge."""
+    partials = ds.map_batches(_KMVPartial, fn_constructor_args=(col, k),
+                              batch_format="pyarrow", batch_size=None,
+                              concurrency=(1, 8))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        arrs = [np.frombuffer(b, np.uint64)
+                for b in batch.column("kmv").to_pylist()]
+        h = np.unique(np.concatenate(arrs)) if arrs \
+            else np.array([], np.uint64)
+        return pa.table({"kmv": pa.array([h[:k].tobytes()], pa.binary())})
+
+    merged = partials.map_batches(merge, batch_format="pyarrow",
+                                  batch_size=None)
+    final = np.array([], np.uint64)
+    for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in b.column("kmv").to_pylist():
+            final = np.unique(np.concatenate(
+                [final, np.frombuffer(blob, np.uint64)]))[:k]
+    return final
+
+
+def _kmv_estimate(sk: np.ndarray, k: int) -> float:
+    """KMV distinct estimator: exact below k values, else (k-1)/h_k
+    with hashes normalized to [0, 1) (Bar-Yossef et al. 2002 /
+    Beyer et al. 2007)."""
+    if len(sk) < k:
+        return float(len(sk))
+    hk = float(sk[k - 1]) / 2.0 ** 64
+    return (k - 1) / hk if hk > 0 else float(k)
+
+
+def approx_overlap(ds_a: ray.data.Dataset, col_a: str,
+                   ds_b: ray.data.Dataset, col_b: str | None = None,
+                   k: int = 4096) -> ray.data.Dataset:
+    """Approximate DISTINCT-set overlap between two columns via KMV
+    sketches: one row ``{distinct_a, distinct_b, distinct_union,
+    distinct_intersection, jaccard}``. Relative error ~ 1/sqrt(k)
+    (k=4096 -> ~1.6%); EXACT whenever a side has fewer than k distinct
+    values (the sketch degenerates to the full hash set).
+
+    The corpus-contamination measurement at 100 TB: each side folds to
+    k x 8-byte block partials with zero all-to-all (the
+    ``approx_distinct`` skeleton), so comparing two 10^10-row corpora
+    moves O(blocks x k x 8) bytes — no join, no shuffle, and the two
+    sides can live in different tables/formats. Deterministic and
+    partitioning-invariant (fixed mixer; sorted-unique merges are
+    order-free). Jaccard = |K(A∪B) ∩ A_sk ∩ B_sk| / |K(A∪B)| (the
+    standard KMV set-operation estimator); intersection = jaccard x
+    union estimate."""
+    col_b = col_b or col_a
+    sa = _kmv_sketch(ds_a, col_a, k)
+    sb = _kmv_sketch(ds_b, col_b, k)
+    union = np.unique(np.concatenate([sa, sb]))[:k]
+    both = np.intersect1d(sa, sb, assume_unique=True)
+    n_shared = int(np.isin(union, both, assume_unique=True).sum())
+    jac = n_shared / len(union) if len(union) else 1.0
+    est_u = _kmv_estimate(union, k)
+    return ray.data.from_arrow(pa.table({
+        "distinct_a": pa.array([int(round(_kmv_estimate(sa, k)))],
+                               pa.int64()),
+        "distinct_b": pa.array([int(round(_kmv_estimate(sb, k)))],
+                               pa.int64()),
+        "distinct_union": pa.array([int(round(est_u))], pa.int64()),
+        "distinct_intersection": pa.array([int(round(jac * est_u))],
+                                          pa.int64()),
+        "jaccard": pa.array([round(jac, 6)], pa.float64())}))
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: broadcastable membership sketch for join pruning
 # ---------------------------------------------------------------------------

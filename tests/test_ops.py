@@ -3404,3 +3404,36 @@ def test_versioned_table_upsert_single_execution(tmp_path, ray_session):
         del_keys |= set(_pq.read_table(os.path.join(root, d))
                         .column("key").to_pylist())
     assert del_keys == {"k1"}                # vector == staged keys
+
+
+def test_approx_overlap_kmv():
+    """KMV overlap sketch: ~1/sqrt(k) accuracy on a 1/3-Jaccard pair of
+    150k-distinct sides, EXACT degeneration below k distinct values,
+    and partitioning invariance (sorted-unique merges are order-free)."""
+    from paperchase_crawler_ray.ops.sketch import approx_overlap
+    A = ray.data.from_arrow(pa.table(
+        {"v": pa.array([f"k{i}" for i in range(150_000)], pa.string())}
+    )).repartition(num_blocks=9)
+    B = ray.data.from_arrow(pa.table(
+        {"v": pa.array([f"k{i}" for i in range(75_000, 225_000)],
+                       pa.string())})).repartition(num_blocks=5)
+    r = approx_overlap(A, "v", B, k=4096).to_pandas().iloc[0]
+    for col, true in [("distinct_a", 150_000), ("distinct_b", 150_000),
+                      ("distinct_union", 225_000),
+                      ("distinct_intersection", 75_000)]:
+        assert abs(int(r[col]) - true) / true < 0.06, (col, int(r[col]))
+    assert abs(r["jaccard"] - 1 / 3) < 0.02
+    # exact below k (including duplicate input rows)
+    A2 = ray.data.from_arrow(pa.table(
+        {"v": pa.array([i % 100 for i in range(1000)], pa.int64())}))
+    B2 = ray.data.from_arrow(pa.table(
+        {"v": pa.array(list(range(50, 130)), pa.int64())}))
+    r2 = approx_overlap(A2, "v", B2, k=4096).to_pandas().iloc[0]
+    assert (int(r2["distinct_a"]), int(r2["distinct_b"]),
+            int(r2["distinct_union"]),
+            int(r2["distinct_intersection"])) == (100, 80, 130, 50)
+    # partitioning invariance
+    r3 = approx_overlap(A.repartition(num_blocks=3), "v",
+                        B.repartition(num_blocks=11), k=4096) \
+        .to_pandas().iloc[0]
+    assert list(r3) == list(r)
