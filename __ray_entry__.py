@@ -3461,9 +3461,10 @@ def _q_corpus_overlap(sf: str):
     """Corpus-overlap measurement via KMV sketches (zero-shuffle on
     both sides; the contamination metric between two 10^10-row corpora
     at 100 TB): distinct/union/intersection of the TEXT sets of two
-    derived document splits. Oracled: below k=4096 distinct values the
-    sketch provably degenerates to the exact hash set, and the
-    driver's sf0.01 corpus has 500 distinct texts — pytest carries the
+    derived document splits. Oracled: when the UNION of the two text
+    sets has fewer than k=4096 distinct values the sketches provably
+    degenerate to the exact hash sets, and the driver's sf0.01 corpus
+    has 500 distinct texts total — pytest carries the
     approximate-regime error bounds."""
     from paperchase_crawler_ray.ops.sketch import approx_overlap
     docs = _rp(sf, "documents", columns=["doc_id", "text"])
@@ -4830,9 +4831,9 @@ def oracle_sql() -> dict[str, str]:
             "AND (b.p_size > a.p_size OR "
             "b.p_retailprice > a.p_retailprice))",
         "q_corpus_overlap":
-            # exact regime: the sf0.01 corpus has < 4096 distinct texts
-            # per side, where the KMV sketch degenerates to the exact
-            # distinct sets (pytest carries the approximate-regime
+            # exact regime: the sf0.01 corpus' text-set UNION has < 4096
+            # distinct values, where the KMV sketches degenerate to the
+            # exact distinct sets (pytest carries the approximate-regime
             # error-bound oracle)
             "WITH a AS (SELECT DISTINCT text FROM documents "
             "WHERE doc_id % 2 = 0), "

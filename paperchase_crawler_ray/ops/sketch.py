@@ -271,8 +271,10 @@ def approx_overlap(ds_a: ray.data.Dataset, col_a: str,
     """Approximate DISTINCT-set overlap between two columns via KMV
     sketches: one row ``{distinct_a, distinct_b, distinct_union,
     distinct_intersection, jaccard}``. Relative error ~ 1/sqrt(k)
-    (k=4096 -> ~1.6%); EXACT whenever a side has fewer than k distinct
-    values (the sketch degenerates to the full hash set).
+    (k=4096 -> ~1.6%); EXACT whenever |A ∪ B| has fewer than k
+    distinct values (then BOTH sketches and their union are the full
+    hash sets — per-side counts alone being under k is NOT sufficient:
+    two disjoint 3k-distinct sides still truncate the union at k).
 
     The corpus-contamination measurement at 100 TB: each side folds to
     k x 8-byte block partials with zero all-to-all (the

@@ -179,6 +179,71 @@ def _delete_keys(root: str, m: dict,
     return np.unique(np.concatenate(parts))
 
 
+def _fragments_by_generation(root: str,
+                             fragments: list[str]) -> dict[int, list[str]]:
+    """Group fragment paths by the snapshot that wrote them.
+    Generations = versions, so everything keyed by this dict is
+    O(snapshots), not O(fragments)."""
+    by_ver: dict[int, list[str]] = {}
+    for f in fragments:
+        by_ver.setdefault(_name_version(f), []).append(
+            os.path.join(root, f))
+    return by_ver
+
+
+def _generation_schemas(by_ver: dict[int, list[str]]
+                        ) -> tuple[dict[int, pa.Schema],
+                                   dict[str, pa.Field]]:
+    """Per-generation schema (one parquet footer each, no data) and the
+    union schema across generations — newest generation's type wins
+    (the schema-evolution rule)."""
+    gen_schema = {fv: pq.read_schema(files[0])
+                  for fv, files in by_ver.items()}
+    target_fields: dict[str, pa.Field] = {}
+    for fv in sorted(gen_schema):
+        for fld in gen_schema[fv]:
+            target_fields[fld.name] = fld
+    return gen_schema, target_fields
+
+
+def _resolve_columns(target_fields: dict[str, pa.Field],
+                     columns: list[str] | None) -> list[str]:
+    want = list(target_fields) if columns is None else list(columns)
+    unknown = [c for c in want if c not in target_fields]
+    if unknown:
+        raise KeyError(f"column(s) {unknown} not in table schema "
+                       f"{list(target_fields)}")
+    return want
+
+
+def _read_generation(files: list[str], gen_names: set,
+                     want: list[str],
+                     target_fields: dict[str, pa.Field], key_col: str,
+                     dead: np.ndarray | None) -> ray.data.Dataset:
+    """The ONE per-generation reader (shared by ``read_table`` and
+    ``read_table_changes``): column-pruned parquet read (the key column
+    is fetched when deletes apply, dropped after the filter if not
+    requested), broadcast delete-vector anti filter, typed-null padding
+    to the union schema."""
+    present = [c for c in want if c in gen_names]
+    read_cols = present
+    if dead is not None and key_col not in read_cols:
+        read_cols = present + [key_col]
+    ds = ray.data.read_parquet(files, columns=read_cols)
+    ref = None if dead is None else ray.put(dead)
+
+    def fix(b: pa.Table) -> pa.Table:
+        if ref is not None:
+            k = b.column(key_col).to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(~np.isin(k, ray.get(ref))))
+        cols = [b.column(c) if c in b.column_names
+                else pa.nulls(b.num_rows, target_fields[c].type)
+                for c in want]
+        return pa.table(dict(zip(want, cols)))
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def read_table(root: str, version: int | None = None,
                columns: list[str] | None = None) -> ray.data.Dataset:
     """Snapshot read (latest, or time travel to ``version``): fragments
@@ -193,59 +258,19 @@ def read_table(root: str, version: int | None = None,
     union — old snapshots stay byte-identical on disk, old readers see
     old schemas (time travel), new readers see nulls for pre-evolution
     rows. Column metadata comes from one parquet footer per generation
-    (O(snapshots) metadata reads, no data)."""
+    (O(snapshots) metadata reads, no data). Each generation reads with
+    the union of the delete vectors NEWER than it (the sequence-number
+    rule upsert_table relies on)."""
     m = _load_manifest(root, version)
     key_col = m["key_col"]
     if not m["fragments"]:
         return ray.data.from_arrow(pa.table({}))
-    # group fragments by the snapshot that wrote them: each generation
-    # gets the union of the delete vectors NEWER than it (the sequence-
-    # number rule upsert_table relies on); generations = versions, so
-    # the union below is O(snapshots), not O(fragments)
-    by_ver: dict[int, list[str]] = {}
-    for f in m["fragments"]:
-        by_ver.setdefault(_name_version(f), []).append(
-            os.path.join(root, f))
-
-    # union schema across generations, newest generation's type wins
-    gen_schema: dict[int, pa.Schema] = {
-        fv: pq.read_schema(files[0]) for fv, files in by_ver.items()}
-    target_fields: dict[str, pa.Field] = {}
-    for fv in sorted(gen_schema):
-        for fld in gen_schema[fv]:
-            target_fields[fld.name] = fld
-    target_names = list(target_fields)
-    want = target_names if columns is None else list(columns)
-    unknown = [c for c in want if c not in target_fields]
-    if unknown:
-        raise KeyError(f"column(s) {unknown} not in table schema "
-                       f"{target_names}")
-
-    def _read_gen(fv: int, files: list[str], dead: np.ndarray | None
-                  ) -> ray.data.Dataset:
-        have = set(gen_schema[fv].names)
-        present = [c for c in want if c in have]
-        read_cols = present
-        if dead is not None and key_col not in read_cols:
-            read_cols = present + [key_col]
-        ds = ray.data.read_parquet(files, columns=read_cols)
-        ref = None if dead is None else ray.put(dead)
-
-        def fix(b: pa.Table) -> pa.Table:
-            if ref is not None:
-                d = ray.get(ref)
-                k = b.column(key_col).to_numpy(zero_copy_only=False)
-                b = b.filter(pa.array(~np.isin(k, d)))
-            cols = []
-            for c in want:
-                cols.append(b.column(c) if c in b.column_names
-                            else pa.nulls(b.num_rows,
-                                          target_fields[c].type))
-            return pa.table(dict(zip(want, cols)))
-
-        return ds.map_batches(fix, batch_format="pyarrow")
-
-    gens = [_read_gen(fv, files, _delete_keys(root, m, frag_version=fv))
+    by_ver = _fragments_by_generation(root, m["fragments"])
+    gen_schema, target_fields = _generation_schemas(by_ver)
+    want = _resolve_columns(target_fields, columns)
+    gens = [_read_generation(files, set(gen_schema[fv].names), want,
+                             target_fields, key_col,
+                             _delete_keys(root, m, frag_version=fv))
             for fv, files in sorted(by_ver.items())]
     out = gens[0]
     for g in gens[1:]:
@@ -260,6 +285,14 @@ def _pad_to_schema(t: pa.Table, schema: pa.Schema) -> pa.Table:
     cols = [t.column(f.name) if f.name in t.column_names
             else pa.nulls(t.num_rows, f.type) for f in schema]
     return pa.table(dict(zip(schema.names, cols)))
+
+
+@ray.remote
+def _fragment_keys(src: str, key_col: str) -> pa.Array:
+    """Distinct key column of one fragment (upsert's delete-vector
+    derivation — column-pruned read, runs one task per fragment)."""
+    return pc.unique(pq.read_table(src, columns=[key_col])
+                     .column(key_col))
 
 
 @ray.remote
@@ -412,63 +445,28 @@ def read_table_changes(root: str, from_version: int,
                          f"to_version {T}")
     key_col = m["key_col"]
 
-    # window fragments, grouped by writing snapshot (generation)
-    by_ver: dict[int, list[str]] = {}
-    for f in m["fragments"]:
-        fv = _name_version(f)
-        if fv > from_version:
-            by_ver.setdefault(fv, []).append(os.path.join(root, f))
+    # union schema of the FULL table at T (what read_table(T) serves),
+    # so appended rows line up with the consumer's existing schema
+    by_ver_all = _fragments_by_generation(root, m["fragments"])
+    gen_schema, target_fields = _generation_schemas(by_ver_all)
+    want = _resolve_columns(target_fields, columns)
 
-    # window delete vectors (vectors carried over from <= F applied
+    # window fragments; window delete vectors (vectors <= F applied
     # before F's snapshot was consumed — only newer ones are news)
+    by_ver = {fv: files for fv, files in by_ver_all.items()
+              if fv > from_version}
     win_deletes = [d for d in m["deletes"]
                    if _name_version(d) > from_version]
 
-    # union schema of the FULL table at T (what read_table(T) serves),
-    # so appended rows line up with the consumer's existing schema
-    gen_all: dict[int, pa.Schema] = {}
-    for f in m["fragments"]:
-        fv = _name_version(f)
-        if fv not in gen_all:
-            gen_all[fv] = pq.read_schema(os.path.join(root, f))
-    target_fields: dict[str, pa.Field] = {}
-    for fv in sorted(gen_all):
-        for fld in gen_all[fv]:
-            target_fields[fld.name] = fld
-    want = list(target_fields) if columns is None else list(columns)
-    unknown = [c for c in want if c not in target_fields]
-    if unknown:
-        raise KeyError(f"column(s) {unknown} not in table schema "
-                       f"{list(target_fields)}")
-
-    def _gen_ds(fv: int, files: list[str]) -> ray.data.Dataset:
-        # deletes newer than this fragment AND inside the window
-        rel = [d for d in win_deletes if _name_version(d) > fv]
-        dead = None
-        if rel:
-            parts = [pq.read_table(os.path.join(root, d)).column("key")
-                     .to_numpy(zero_copy_only=False) for d in rel]
-            dead = np.unique(np.concatenate(parts))
-        have = set(gen_all[fv].names)
-        present = [c for c in want if c in have]
-        read_cols = present if (dead is None or key_col in present) \
-            else present + [key_col]
-        ds = ray.data.read_parquet(files, columns=read_cols)
-        ref = None if dead is None else ray.put(dead)
-
-        def fix(b: pa.Table) -> pa.Table:
-            if ref is not None:
-                k = b.column(key_col).to_numpy(zero_copy_only=False)
-                b = b.filter(pa.array(~np.isin(k, ray.get(ref))))
-            cols = [b.column(c) if c in b.column_names
-                    else pa.nulls(b.num_rows, target_fields[c].type)
-                    for c in want]
-            return pa.table(dict(zip(want, cols)))
-
-        return ds.map_batches(fix, batch_format="pyarrow")
-
+    # each window generation reads via the SAME reader as read_table:
+    # deletes newer than a window fragment (fv > F) are themselves
+    # inside the window by construction, so the sequence-number dead
+    # set is identical to the snapshot read's
     if by_ver:
-        gens = [_gen_ds(fv, files) for fv, files in sorted(by_ver.items())]
+        gens = [_read_generation(files, set(gen_schema[fv].names), want,
+                                 target_fields, key_col,
+                                 _delete_keys(root, m, frag_version=fv))
+                for fv, files in sorted(by_ver.items())]
         appended = gens[0]
         for g in gens[1:]:
             appended = appended.union(g)
@@ -518,13 +516,16 @@ def upsert_table(ds: ray.data.Dataset, root: str,
     # recompute), so the delete plane exactly matches the rows written
     # even if upstream stages are nondeterministic
     frags = _write_fragments(ds, root, v)
-    key_parts = [pq.read_table(os.path.join(root, f), columns=[key_col])
-                 .column(key_col) for f in frags]
+    # one Ray task per staged fragment re-reads JUST the key column
+    # (column-pruned data pages) and distincts it; the driver unions
+    # the per-fragment distinct planes — parallel, and bounded by ONE
+    # ingest batch's distinct keys, not the table. A crash here leaves
+    # orphan fragments for expire_snapshots
+    key_parts = ray.get([_fragment_keys.remote(os.path.join(root, f),
+                                               key_col) for f in frags])
     keys = pc.unique(pa.concat_tables(
         [pa.table({key_col: p}) for p in key_parts]).column(key_col)) \
         if key_parts else pa.array([])
-    # distinct keys of ONE ingest batch — bounded by the batch, not the
-    # table; a crash here leaves orphan fragments for expire_snapshots
     ddir = os.path.join(root, "_deletes")
     os.makedirs(ddir, exist_ok=True)
     name = os.path.join("_deletes", f"v{v}.parquet")
