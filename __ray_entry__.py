@@ -3457,6 +3457,17 @@ def _q_upsert_table(sf: str):
         .sort("image_id")
 
 
+def _q_grouped_heavy_hitters(sf: str):
+    """EXACT grouped frequent pairs — heavy_hitters with the composite
+    (group, value) item (identical Misra-Gries soundness, n = total
+    rows): (event_type, user_id) pairs occurring more than 15 times.
+    Candidate exchange <= capacity rows per block; pass 2 exact-counts
+    only rows whose item is in the candidate set."""
+    from paperchase_crawler_ray.ops.sketch import heavy_hitters_by
+    ev = _rp(sf, "events", columns=["event_type", "user_id"])
+    return heavy_hitters_by(ev, "event_type", "user_id", threshold=15)
+
+
 def _q_corpus_overlap(sf: str):
     """Corpus-overlap measurement via KMV sketches (zero-shuffle on
     both sides; the contamination metric between two 10^10-row corpora
@@ -3885,6 +3896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_table_changes": _q_table_changes,
         "q_grouped_approx_distinct": _q_grouped_approx_distinct,
         "q_corpus_overlap": _q_corpus_overlap,
+        "q_grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "q_pricing_summary": _q_pricing_summary,
         "q_min_cost_supplier": _q_min_cost_supplier,
         "q_part_promotion": _q_part_promotion,
@@ -4830,6 +4842,10 @@ def oracle_sql() -> dict[str, str]:
             "b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice "
             "AND (b.p_size > a.p_size OR "
             "b.p_retailprice > a.p_retailprice))",
+        "q_grouped_heavy_hitters":
+            "SELECT event_type, user_id AS item, "
+            "CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM events "
+            "GROUP BY event_type, user_id HAVING COUNT(*) > 15",
         "q_corpus_overlap":
             # exact regime: the sf0.01 corpus' text-set UNION has < 4096
             # distinct values, where the KMV sketches degenerate to the

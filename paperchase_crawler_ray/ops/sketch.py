@@ -522,6 +522,125 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, threshold: int,
     return counted.map_batches(thresh, batch_format="pyarrow")
 
 
+def heavy_hitters_by(ds: ray.data.Dataset, group_col: str, col: str,
+                     threshold: int, capacity: int = 4096,
+                     total_n: int | None = None) -> ray.data.Dataset:
+    """EXACT grouped frequent items: all ``(group, value)`` pairs with
+    count > ``threshold`` — ``heavy_hitters`` with the COMPOSITE
+    (group, value) pair as the sketched item, so the identical
+    Misra-Gries soundness argument applies with n = total non-null
+    rows (slack = n // (capacity+1); requires threshold > slack).
+
+    Per block the pair plane is composed vectorized (two ``np.unique``
+    factorizations -> one int64 pair code -> one counting ``unique`` ->
+    MG truncate), so the candidate exchange is <= capacity rows per
+    block. Pass 2 re-scans restricted to the candidate ITEM set (a
+    superset of the heavy pairs' items — membership of the pair itself
+    is not needed: every (group, candidate-item) pair gets an exact
+    count and the final ``> threshold`` filter decides), with the same
+    per-block pre-aggregate combiner. Null group or value rows are
+    excluded (fill beforehand to count them)."""
+    from .relational import count_non_null
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        g, v = batch.column(group_col), batch.column(col)
+        if g.null_count or v.null_count:
+            batch = batch.filter(pc.and_(pc.is_valid(g), pc.is_valid(v)))
+        return batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        gtype = batch.schema.field(group_col).type
+        itype = batch.schema.field(col).type
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        gu, gi = np.unique(g, return_inverse=True)
+        vu, vi = np.unique(v, return_inverse=True)
+        code = gi.astype(np.int64) * len(vu) + vi
+        cu, counts = np.unique(code, return_counts=True)
+        cu, counts = _mg_truncate(cu, counts.astype(np.int64), capacity)
+        gs = gu[(cu // max(len(vu), 1))] if len(cu) else gu[:0]
+        vs = vu[(cu % max(len(vu), 1))] if len(cu) else vu[:0]
+        return pa.table({
+            group_col: (pa.array(gs.tolist()).cast(gtype) if len(gs)
+                        else pa.nulls(0, gtype)),
+            "item": (pa.array(vs.tolist()).cast(itype) if len(vs)
+                     else pa.nulls(0, itype)),
+            "c": pa.array(counts, pa.int64())})
+
+    if total_n is None:
+        total_n = ds.map_batches(
+            lambda b: pa.table({"n": pa.array([_valid(b).num_rows],
+                                              pa.int64())}),
+            batch_format="pyarrow", batch_size=None) \
+            .sum("n") or 0
+    slack = total_n // (capacity + 1)
+    if threshold <= slack:
+        raise ValueError(
+            f"threshold {threshold} <= MG slack {slack}; raise capacity")
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby([group_col, "item"]).sum("c"))
+
+    def keep_possible(batch: pa.Table) -> pa.Table:
+        cname = "sum(c)" if "sum(c)" in batch.column_names else "c"
+        return batch.filter(pc.greater(
+            pc.add(batch.column(cname), pa.scalar(slack, pa.int64())),
+            pa.scalar(threshold, pa.int64())))
+
+    cand_items: set = set()
+    for b in summed.map_batches(keep_possible, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        cand_items.update(b.column("item").to_pylist())
+    cand = np.array(sorted(cand_items))
+    ref = ray.put(cand)
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        gtype = batch.schema.field(group_col).type
+        itype = batch.schema.field(col).type
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        keep = np.isin(v, ray.get(ref))
+        batch = batch.filter(pa.array(keep))
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = v[keep]
+        gu, gi = np.unique(g, return_inverse=True)
+        vu, vi = np.unique(v, return_inverse=True)
+        code = gi.astype(np.int64) * max(len(vu), 1) + vi
+        cu, counts = np.unique(code, return_counts=True)
+        gs = gu[(cu // max(len(vu), 1))] if len(cu) else gu[:0]
+        vs = vu[(cu % max(len(vu), 1))] if len(cu) else vu[:0]
+        return pa.table({
+            group_col: (pa.array(gs.tolist()).cast(gtype) if len(gs)
+                        else pa.nulls(0, gtype)),
+            "item": (pa.array(vs.tolist()).cast(itype) if len(vs)
+                     else pa.nulls(0, itype)),
+            "c2": pa.array(counts.astype(np.int64), pa.int64())})
+
+    counted = (ds.select_columns([group_col, col])
+               .map_batches(count_cand, batch_format="pyarrow",
+                            batch_size=None)
+               .groupby([group_col, "item"]).sum("c2"))
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        if group_col not in batch.column_names:
+            # Ray 2.49 can emit a schema-less empty block from an
+            # empty aggregate (zero candidates)
+            return pa.table({group_col: pa.nulls(0),
+                             "item": pa.nulls(0),
+                             "n_occurrences": pa.nulls(0, pa.int64())})
+        cname = "sum(c2)" if "sum(c2)" in batch.column_names else "c2"
+        t = batch.filter(pc.greater(batch.column(cname),
+                                    pa.scalar(threshold)))
+        return pa.table({group_col: t.column(group_col),
+                         "item": t.column("item"),
+                         "n_occurrences": pc.cast(t.column(cname),
+                                                  pa.int64())})
+
+    return counted.map_batches(thresh, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Order-independent table checksum: replica/anti-entropy validation
 # ---------------------------------------------------------------------------

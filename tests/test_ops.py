@@ -3437,3 +3437,39 @@ def test_approx_overlap_kmv():
                         B.repartition(num_blocks=11), k=4096) \
         .to_pandas().iloc[0]
     assert list(r3) == list(r)
+
+
+def test_heavy_hitters_by_exact():
+    """Grouped frequent pairs: exact equality with the pandas
+    groupby-size truth on a zipf-skewed corpus (composite-item MG
+    soundness), MG-precondition error, null exclusion, and the
+    zero-candidate path."""
+    from paperchase_crawler_ray.ops.sketch import heavy_hitters_by
+    rng = np.random.default_rng(3)
+    n = 50_000
+    g = rng.choice(["x", "y", "z"], n, p=[0.6, 0.3, 0.1])
+    v = (rng.zipf(1.5, n) % 300).astype(np.int64)
+    truth = pd.DataFrame({"g": g, "v": v}).groupby(["g", "v"]).size()
+    thr = 150
+    want = {(a, b): c for (a, b), c in truth.items() if c > thr}
+    ds = ray.data.from_arrow(pa.table(
+        {"g": pa.array(g.tolist(), pa.string()),
+         "v": pa.array(v.tolist(), pa.int64())})) \
+        .repartition(num_blocks=11)
+    out = heavy_hitters_by(ds, "g", "v", threshold=thr,
+                           capacity=1024).to_pandas()
+    got = {(r.g, r.item): r.n_occurrences for r in out.itertuples()}
+    assert got == want and len(want) > 0
+    # nulls excluded
+    ds_n = ray.data.from_arrow(pa.table(
+        {"g": pa.array(["x", "x", None, "x"], pa.string()),
+         "v": pa.array([1, 1, 1, None], pa.int64())}))
+    assert heavy_hitters_by(ds_n, "g", "v", threshold=1,
+                            capacity=64).to_pandas().to_dict("records") \
+        == [{"g": "x", "item": 1, "n_occurrences": 2}]
+    # precondition: threshold must clear the MG slack
+    with pytest.raises(ValueError):
+        heavy_hitters_by(ds, "g", "v", threshold=1, capacity=8)
+    # zero candidates
+    assert len(heavy_hitters_by(ds, "g", "v", threshold=n,
+                                capacity=1024).to_pandas()) == 0
