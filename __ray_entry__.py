@@ -3506,6 +3506,20 @@ def _q_grouped_approx_distinct(sf: str):
         .sort("event_type")
 
 
+def _q_grouped_approx_quantiles(sf: str):
+    """Per-group histogram quantile sketch (rows-only: approximate by
+    design; pytest pins the per-group one-bin error bound vs the exact
+    discrete quantile plus cross-partitioning determinism). Sparse
+    (group, bin, count) combiner rows are the ONLY exchange — the
+    shape that replaces a corpus sort when a 10^10-row table needs
+    per-domain latency/price percentiles."""
+    from paperchase_crawler_ray.ops.sketch import approx_quantiles_by
+    li = _rp(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return approx_quantiles_by(li, "l_returnflag", "l_extendedprice",
+                               ps=(0.25, 0.5, 0.75, 0.95), nbins=4096) \
+        .sort(["l_returnflag", "p"])
+
+
 def _q_pricing_summary(sf: str):
     """TPC-H Q1 shape: the canonical pricing-summary scan-aggregate.
     Every measure is an exact integer (qty; cents; 10^-4 disc-price
@@ -3895,6 +3909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_upsert_table": _q_upsert_table,
         "q_table_changes": _q_table_changes,
         "q_grouped_approx_distinct": _q_grouped_approx_distinct,
+        "q_grouped_approx_quantiles": _q_grouped_approx_quantiles,
         "q_corpus_overlap": _q_corpus_overlap,
         "q_grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "q_pricing_summary": _q_pricing_summary,

@@ -871,3 +871,119 @@ def remove_dup_spans(ds: "ray.data.Dataset", id_col: str = "doc_id",
                                  pa.array(removed, pa.int64()))
 
     return j.map_batches(clean_joined, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169 — public method; original implementation not consulted)
+# ---------------------------------------------------------------------------
+
+def _dsir_feature_hashes(texts: list[str], buckets: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed unigram+bigram feature stream for a batch: flat
+    (doc_index, bucket) pairs. Tokenizer is the corpus-wide ASCII
+    word regex (parity with the unigram-LM vocab builder); the bucket
+    is a stable cross-process blake2b hash, so features are identical
+    at any parallelism."""
+    di: list[int] = []
+    bk: list[int] = []
+    for i, t in enumerate(texts):
+        toks = _ASCII_WORD_RE.findall(t.lower())
+        hs = [stable_hash64(w) % buckets for w in toks]
+        hs += [stable_hash64(a + " " + b) % buckets
+               for a, b in zip(toks, toks[1:])]
+        di.extend([i] * len(hs))
+        bk.extend(hs)
+    return (np.asarray(di, np.int64), np.asarray(bk, np.int64))
+
+
+def _hashed_ngram_dist(ds: ray.data.Dataset, text_col: str,
+                       buckets: int) -> np.ndarray:
+    """Dense hashed-feature count vector of a corpus: one ``bincount``
+    per block (fixed ``buckets x 8`` bytes out regardless of rows),
+    a 64-way distributed tree-add, then a driver fold over
+    O(merge-tasks) arrays — the histogram-sketch reduce skeleton."""
+    def partial(batch: pa.Table) -> pa.Table:
+        _, bk = _dsir_feature_hashes(_texts(batch, text_col), buckets)
+        cnt = np.bincount(bk, minlength=buckets).astype(np.int64)
+        return pa.table({"c": pa.array([cnt.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def add_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(buckets, np.int64)
+        for w in batch.column("c").to_pylist():
+            acc += np.frombuffer(w, np.int64)
+        return pa.table({"c": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = parts.map_batches(add_merge, batch_format="pyarrow",
+                              batch_size=64)
+    acc = np.zeros(buckets, np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.table(b)
+        for w in t.column("c").to_pylist():
+            acc += np.frombuffer(w, np.int64)
+    return acc
+
+
+def dsir_logweights(raw: ray.data.Dataset, target: ray.data.Dataset,
+                    text_col: str = "text", buckets: int = 8192,
+                    alpha: float = 1.0,
+                    out_col: str = "dsir_logw") -> ray.data.Dataset:
+    """Score every raw document with its DSIR importance log-weight:
+    ``log w_i = sum_b c_ib (log p_b - log q_b)`` over hashed
+    unigram+bigram buckets, where p/q are the Laplace-``alpha``-
+    smoothed target/raw bucket distributions (Xie et al. 2023). Two
+    corpus reduces (each a fixed ``buckets``-vector tree-add; the
+    bucket table is ~64 KB at 8192 — broadcast once), then a stateless
+    scoring map; the per-doc float sum is row-local with fixed token
+    order, so scores are deterministic at any parallelism (the driver
+    float policy). Documents with no tokens score 0 (weight 1)."""
+    p_cnt = _hashed_ngram_dist(target, text_col, buckets)
+    q_cnt = _hashed_ngram_dist(raw, text_col, buckets)
+    logp = np.log(p_cnt + alpha) - np.log(p_cnt.sum() + alpha * buckets)
+    logq = np.log(q_cnt + alpha) - np.log(q_cnt.sum() + alpha * buckets)
+    ref = ray.put((logp - logq).astype(np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        texts = _texts(batch, text_col)
+        di, bk = _dsir_feature_hashes(texts, buckets)
+        out = np.zeros(len(texts), np.float64)
+        if len(di):
+            np.add.at(out, di, r[bk])
+        return batch.append_column(out_col, pa.array(out, pa.float64()))
+
+    return raw.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(raw: ray.data.Dataset, target: ray.data.Dataset, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                buckets: int = 8192, alpha: float = 1.0,
+                seed: int = 42) -> ray.data.Dataset:
+    """DSIR data selection: sample ``k`` raw documents WITHOUT
+    replacement with probability proportional to their importance
+    weight ``exp(dsir_logw)`` — the Gumbel-top-k trick, entirely in
+    log space (no exp overflow at extreme ratios). Each doc's Gumbel
+    noise derives from a stable seeded hash of its id, so the sample
+    is deterministic at any parallelism; the selection itself is one
+    pruned top-k exchange (``global_topk``), never a driver row pass.
+    Returns the selected rows with ``dsir_logw`` attached."""
+    from .relational import global_topk
+
+    scored = dsir_logweights(raw, target, text_col=text_col,
+                             buckets=buckets, alpha=alpha)
+
+    def gumbel(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h = np.array([stable_hash64(f"{seed}:{i}") for i in ids],
+                     np.int64).astype(np.uint64)
+        u = (h.astype(np.float64) + 2.0) / (2.0 ** 64 + 4.0)  # in (0,1)
+        g = -np.log(-np.log(u))
+        pri = batch.column("dsir_logw").to_numpy(zero_copy_only=False) + g
+        return batch.append_column("_pri", pa.array(pri, pa.float64()))
+
+    prio = scored.map_batches(gumbel, batch_format="pyarrow")
+    return global_topk(prio, [("_pri", True), (id_col, False)], k) \
+        .drop_columns(["_pri"])

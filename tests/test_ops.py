@@ -3473,3 +3473,130 @@ def test_heavy_hitters_by_exact():
     # zero candidates
     assert len(heavy_hitters_by(ds, "g", "v", threshold=n,
                                 capacity=1024).to_pandas()) == 0
+
+
+def test_approx_quantiles_by_bound_and_edges():
+    """Grouped histogram quantile sketch: the per-group one-bin error
+    bound vs the exact discrete quantile, inf-only and constant
+    groups, null-key exclusion, and cross-partitioning determinism."""
+    from paperchase_crawler_ray.ops.sketch import approx_quantiles_by
+    rng = np.random.default_rng(7)
+    n = 60_000
+    g = rng.choice(["a", "b", "c", "d"], n, p=[0.5, 0.3, 0.15, 0.05])
+    v = np.where(g == "a", rng.normal(100, 15, n), rng.lognormal(3, 1, n))
+    g = np.concatenate([g, ["e"] * 50, ["f"] * 10])
+    v = np.concatenate([v, np.full(50, 42.0),
+                        [np.inf] * 6 + [-np.inf] * 4])
+    t = pa.table({"g": pa.array(g.tolist() + [None], pa.string()),
+                  "v": pa.array(v.tolist() + [1.0], pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(num_blocks=9)
+    ps, nbins = (0.1, 0.5, 0.9), 1024
+    out = approx_quantiles_by(ds, "g", "v", ps=ps, nbins=nbins).to_pandas()
+    assert sorted(out.g.unique()) == ["a", "b", "c", "d", "e", "f"]
+    assert len(out) == 6 * len(ps)
+    df = pd.DataFrame({"g": g, "v": v})
+    for gval, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        fin = vals[np.isfinite(vals)]
+        bw = ((fin.max() - fin.min()) / nbins
+              if len(fin) and fin.max() > fin.min() else 0.0)
+        for p in ps:
+            exact = vals[min(max(int(np.ceil(p * len(vals))), 1),
+                             len(vals)) - 1]
+            got = out[(out.g == gval) & (out.p == p)]["value"].iloc[0]
+            if np.isfinite(exact):
+                assert abs(got - exact) <= bw + 1e-9, (gval, p)
+            else:
+                assert got == exact, (gval, p)
+    # constant group is exact; inf-only group rank-exact
+    assert (out[out.g == "e"]["value"] == 42.0).all()
+    assert (out[out.g == "f"]["value"] == np.inf).sum() == 2
+    # determinism across partitionings
+    out2 = approx_quantiles_by(ds.repartition(num_blocks=3), "g", "v",
+                               ps=ps, nbins=nbins).to_pandas()
+    a = out.sort_values(["g", "p"]).reset_index(drop=True)
+    b = out2.sort_values(["g", "p"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # empty input
+    empty = approx_quantiles_by(
+        ray.data.from_arrow(t.slice(0, 0)), "g", "v", ps=ps).to_pandas()
+    assert len(empty) == 0
+
+
+def test_dsir_logweights_and_select():
+    """DSIR importance resampling: exact log-weight equality with a
+    pure-Python twin (same tokenizer/hash/smoothing), deterministic
+    Gumbel-top-k selection at two parallelism levels, and the
+    distribution-shift sanity (target-like docs enriched)."""
+    import math
+    from paperchase_crawler_ray.functions.texthash import stable_hash64
+    from paperchase_crawler_ray.ops.textstats import (
+        _ASCII_WORD_RE, dsir_logweights, dsir_select)
+    rng = np.random.default_rng(11)
+    food = ["fresh bread olive oil tomato soup", "garlic pasta dinner",
+            "roast chicken lemon herb", "chocolate cake butter sugar"]
+    tech = ["gpu kernel memory bandwidth", "compiler register allocation",
+            "distributed hash shuffle", "network packet latency"]
+    raw_texts, kinds = [], []
+    for i in range(400):
+        src = food if i % 2 == 0 else tech
+        words = " ".join(rng.choice(" ".join(src).split(), 8))
+        raw_texts.append(words)
+        kinds.append("food" if i % 2 == 0 else "tech")
+    tgt_texts = [" ".join(rng.choice(" ".join(food).split(), 8))
+                 for _ in range(200)]
+    raw = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(400), pa.int64()),
+         "text": pa.array(raw_texts, pa.string())})) \
+        .repartition(num_blocks=7)
+    tgt = ray.data.from_arrow(pa.table(
+        {"text": pa.array(tgt_texts, pa.string())})) \
+        .repartition(num_blocks=3)
+    B, alpha = 512, 1.0
+
+    # pure-Python twin
+    def feats(t):
+        toks = _ASCII_WORD_RE.findall(t.lower())
+        return ([stable_hash64(w) % B for w in toks]
+                + [stable_hash64(a + " " + b) % B
+                   for a, b in zip(toks, toks[1:])])
+    pc_, qc_ = np.zeros(B), np.zeros(B)
+    for t in tgt_texts:
+        for b in feats(t):
+            pc_[b] += 1
+    for t in raw_texts:
+        for b in feats(t):
+            qc_[b] += 1
+    logp = np.log(pc_ + alpha) - np.log(pc_.sum() + alpha * B)
+    logq = np.log(qc_ + alpha) - np.log(qc_.sum() + alpha * B)
+    r = (logp - logq).astype(np.float64)   # same association as the op
+    want = {}
+    for i, t in enumerate(raw_texts):
+        out = np.zeros(1, np.float64)
+        fs = feats(t)
+        if fs:
+            np.add.at(out, np.zeros(len(fs), np.int64),
+                      r[np.array(fs)])
+        want[i] = float(out[0])
+
+    got = dsir_logweights(raw, tgt, buckets=B, alpha=alpha).to_pandas()
+    assert len(got) == 400
+    for row in got.itertuples():
+        assert row.dsir_logw == want[row.doc_id], row.doc_id
+
+    sel = dsir_select(raw, tgt, k=50, buckets=B, alpha=alpha).to_pandas()
+    assert len(sel) == 50
+    n_food = sum(1 for d in sel.doc_id if kinds[d] == "food")
+    assert n_food >= 45           # target-like docs dominate the sample
+    # twin selection: same Gumbel priorities -> same ids
+    pri = {}
+    for i in range(400):
+        h = np.uint64(stable_hash64(f"42:{i}"))
+        u = (np.float64(h) + 2.0) / (2.0 ** 64 + 4.0)
+        pri[i] = want[i] + float(-np.log(-np.log(u)))
+    want_ids = set(sorted(pri, key=lambda i: (-pri[i], i))[:50])
+    assert set(sel.doc_id) == want_ids
+    # parallelism invariance
+    sel2 = dsir_select(raw.repartition(num_blocks=2), tgt, k=50,
+                       buckets=B, alpha=alpha).to_pandas()
+    assert set(sel2.doc_id) == want_ids
