@@ -3264,6 +3264,82 @@ def _q_video_frames(sf: str):
               .sort(["media_id", "frame_idx"])
 
 
+def _q_quality_classifier(sf: str):
+    """Model-in-the-loop quality filtering: train a hashed-ngram
+    logistic classifier against a quality-marker label (docs
+    containing the corpus' "slow" marker token) with full-batch
+    distributed Adagrad — fixed 16 KB gradient partials per block per
+    epoch, content-sorted driver fold — then score the corpus with
+    one broadcast + stateless map (rows-only: float weights by
+    design; pytest pins numpy-twin weight equality, held-out
+    accuracy, and fixed-partitioning bit-identity). The lang label is
+    NOT used: every language in the synthetic corpus shares one
+    vocabulary, so it carries no text signal; "contains slow" is the
+    corpus' only per-doc text-derivable label, and the separating
+    feature (the marker's hash bucket) is ~0.02-valued, which is
+    exactly the conditioning regime Adagrad exists for."""
+    from paperchase_crawler_ray.ops.textstats import (
+        score_text_classifier, train_text_classifier)
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    labeled = docs.add_column(
+        "label",
+        lambda df: df["text"].str.contains("slow").astype("int64"),
+        batch_format="pandas")
+    model = train_text_classifier(labeled, buckets=2048, epochs=12,
+                                  lr=20.0)
+    out = score_text_classifier(labeled, model)
+    return out.add_column(
+        "pred", lambda df: (df["quality_prob"] > 0.5).astype("int64"),
+        batch_format="pandas") \
+        .select_columns(["doc_id", "label", "pred"]).sort("doc_id")
+
+
+def _q_video_keyframes(sf: str):
+    """Content-based video keyframe extraction: sequential phash scan
+    per MJPEG payload — static shots collapse to one frame, scene
+    cuts survive (rows-only: binary frame payloads; pytest pins exact
+    equality with the sequential naive twin). Per-video state only —
+    embarrassingly parallel across a 100-TB video corpus, no
+    cross-video exchange."""
+    from paperchase_crawler_ray.fixtures import make_shot_video_rows
+    from paperchase_crawler_ray.ops.multimodal import VideoKeyframes
+    ds = ray.data.from_arrow(make_shot_video_rows(30))
+    out = ds.map_batches(VideoKeyframes,
+                         fn_constructor_kwargs={"hamming_max": 10,
+                                                "backend": "real"},
+                         batch_format="pyarrow", batch_size=8,
+                         concurrency=(1, 4))
+    return out.select_columns(["media_id", "frame_idx", "w", "h",
+                               "n_frames"]) \
+              .sort(["media_id", "frame_idx"])
+
+
+def _q_train_shards(sf: str):
+    """Deterministic global training shuffle into 8 shards (md5
+    shard + within-shard md5 rank): the permutation every training
+    export ends with, fully SQL-auditable including the ORDER (seq is
+    a value column) — one shard-keyed hash exchange, whole-block
+    lexsort, no global sort."""
+    from paperchase_crawler_ray.ops.relational import shuffle_to_shards
+    c = _rp(sf, "customer", columns=["c_custkey"])
+    return shuffle_to_shards(c, "c_custkey", 8)
+
+
+def _q_kn_score(sf: str):
+    """CCNet-shape perplexity filter, bigram order: fit an
+    interpolated Kneser-Ney bigram LM on the corpus (one distributed
+    bigram count; derived tables folded in sorted key order), score
+    every doc with its mean token log-probability (rows-only: float
+    log-probs by design; pytest pins exact naive-twin equality and
+    parallelism invariance)."""
+    from paperchase_crawler_ray.ops.textstats import (kneser_ney_fit,
+                                                      kneser_ney_score)
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    model = kneser_ney_fit(docs)
+    return kneser_ney_score(docs, model) \
+        .select_columns(["doc_id", "kn_logprob"]).sort("doc_id")
+
+
 def _q_dup_spans(sf: str):
     """Substring-level dedup diagnostic (Lee et al. shape): per-doc
     count of token positions whose 5-gram occurs >= 2 times anywhere in
@@ -3518,6 +3594,23 @@ def _q_grouped_approx_quantiles(sf: str):
     return approx_quantiles_by(li, "l_returnflag", "l_extendedprice",
                                ps=(0.25, 0.5, 0.75, 0.95), nbins=4096) \
         .sort(["l_returnflag", "p"])
+
+
+def _q_dsir_select(sf: str):
+    """DSIR data selection (Xie et al. 2023): sample 100 documents
+    from the full corpus with probability proportional to the hashed
+    n-gram importance ratio against the English subset as the target
+    distribution (rows-only: the log-weights are float by design;
+    pytest pins exact twin equality and parallelism invariance). Two
+    fixed-size bucket-vector reduces + a stateless scoring map + one
+    pruned top-k exchange — no driver row pass at any corpus size."""
+    from paperchase_crawler_ray.ops.textstats import dsir_select
+    docs = _rp(sf, "documents", columns=["doc_id", "text", "lang"])
+    target = docs.filter(expr="lang == 'en'")
+    sel = dsir_select(docs, target, k=100, id_col="doc_id",
+                      text_col="text", buckets=4096)
+    return sel.select_columns(["doc_id", "lang", "dsir_logw"]) \
+        .sort("doc_id")
 
 
 def _q_pricing_summary(sf: str):
@@ -3888,6 +3981,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_prep": _q_image_prep,
         "q_audio_features": _q_audio_features,
         "q_video_frames": _q_video_frames,
+        "q_video_keyframes": _q_video_keyframes,
+        "q_quality_classifier": _q_quality_classifier,
+        "q_train_shards": _q_train_shards,
+        "q_kn_score": _q_kn_score,
         "q_dup_spans": _q_dup_spans,
         "q_clean_spans": _q_clean_spans,
         "q_grouped_distinct": _q_grouped_distinct,
@@ -3910,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_table_changes": _q_table_changes,
         "q_grouped_approx_distinct": _q_grouped_approx_distinct,
         "q_grouped_approx_quantiles": _q_grouped_approx_quantiles,
+        "q_dsir_select": _q_dsir_select,
         "q_corpus_overlap": _q_corpus_overlap,
         "q_grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "q_pricing_summary": _q_pricing_summary,
@@ -4760,6 +4858,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, value FROM events "
             "WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), "
             "1, 8)) AS UBIGINT) % 100 < 8",
+        "q_train_shards":
+            "SELECT c_custkey, shard, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY shard ORDER BY pos, c_custkey) - 1 AS BIGINT)"
+            " AS seq FROM (SELECT c_custkey, CAST(CAST(('0x' || "
+            "substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)"
+            " % 8 AS BIGINT) AS shard, CAST(('0x' || substr(md5('p:' ||"
+            " CAST(c_custkey AS VARCHAR)), 1, 16)) AS UBIGINT) AS pos "
+            "FROM customer)",
         "q_hash_split":
             "SELECT c_custkey, CASE WHEN b < 80 THEN 'train' "
             "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("

@@ -67,6 +67,38 @@ def make_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
     return np.clip(_grad_base(w, h) + noise, 0, 255).astype(np.uint8)
 
 
+def make_shot_video_rows(n: int, seed: int = 42, frame_w: int = 24,
+                         frame_h: int = 16) -> pa.Table:
+    """Deterministic motion-JPEG videos with SHOT structure (for the
+    keyframe extractor): 2-4 shots per video, each a base gradient
+    frame repeated 3-5 times with tiny (+-2) per-frame noise — so
+    within-shot phash distances are near zero and scene cuts are
+    large. Same VIDEO_SCHEMA shape as ``make_video_rows``."""
+    from .functions.av import mjpeg_encode
+    ids, payloads, fps, nframes = [], [], [], []
+    for k in range(n):
+        mid = f"shotvid{k:06d}"
+        rng = _rng_for(seed, mid)
+        frames = []
+        for s in range(int(rng.integers(2, 5))):
+            base = make_pixels(f"{mid}/shot{s}", frame_w, frame_h, seed)
+            for _ in range(int(rng.integers(3, 6))):
+                jitter = rng.integers(-2, 3, size=base.shape)
+                frames.append(np.clip(base.astype(np.int64) + jitter,
+                                      0, 255).astype(np.uint8))
+        ids.append(mid)
+        payloads.append(mjpeg_encode(frames, quality=90))
+        fps.append(10.0)
+        nframes.append(len(frames))
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "codec": pa.array(["mjpeg"] * n, pa.string()),
+        "fps": pa.array(fps, pa.float32()),
+        "n_frames": pa.array(nframes, pa.int32()),
+    })
+
+
 def make_image_rows(n: int, seed: int = 42, seed_id: int = 0) -> pa.Table:
     """Standalone image_caption table rows (FIXTURES.md §1)."""
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []

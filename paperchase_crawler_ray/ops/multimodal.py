@@ -192,6 +192,83 @@ class VideoFrameSample:
         })
 
 
+class VideoKeyframes:
+    """Actor stage: content-based keyframe extraction — video payload
+    -> one row per KEYFRAME (media_id, frame_idx, frame_bytes, phash,
+    w, h, n_frames). A frame is a keyframe iff its 64-bit DCT phash
+    differs from the LAST KEPT keyframe by more than ``hamming_max``
+    bits (frame 0 is always kept) — the sequential shot-boundary scan,
+    so a static shot collapses to its first frame while scene cuts
+    survive. Per-video state only (embarrassingly parallel across
+    videos; no cross-video exchange); decode is the engine's own
+    baseline-JPEG codec, phash the same DCT hash the image near-dup
+    path uses, so downstream image stages and the phash-bucket dedup
+    consume keyframes directly.
+
+    ``backend="real"`` (default): motion-JPEG payloads via marker-scan
+    split; every frame IS decoded (content-based selection needs
+    pixels — that is the op's cost, ~1.7 ms/frame with the compiled
+    walker). ``backend="fake"`` derives a deterministic pseudo-phash
+    per frame without pixel work (plumbing tests)."""
+
+    def __init__(self, hamming_max: int = 10, backend: str = "real"):
+        if backend not in ("real", "fake"):
+            raise ValueError(f"unknown video backend {backend!r}")
+        self.hamming_max = hamming_max
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.phash import hamming64, phash64
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_bytes = [], [], []
+        out_ph, out_w, out_h, out_nf = [], [], [], []
+        for i, data in enumerate(payloads):
+            if self.backend == "real":
+                from ..functions.av import mjpeg_split
+                from ..functions.jpeg import jpeg_decode
+                frames = mjpeg_split(data)
+                phs = []
+                dims = []
+                for fb in frames:
+                    px = jpeg_decode(fb)
+                    phs.append(phash64(px))
+                    dims.append((px.shape[1], px.shape[0]))
+            else:
+                nf = int(batch.column("n_frames")
+                         .to_numpy(zero_copy_only=False)[i])
+                seed = _payload_seed(data)
+                frames = [b""] * nf
+                phs = [int(np.uint64((seed * 1099511628211 + f)
+                                     & 0xFFFFFFFFFFFFFFFF)
+                           .astype(np.int64))
+                       for f in range(nf)]
+                dims = [(0, 0)] * nf
+            last = None
+            for f, ph in enumerate(phs):
+                if last is not None and int(hamming64(
+                        np.array([last]), np.array([ph]))[0]) \
+                        <= self.hamming_max:
+                    continue
+                last = ph
+                out_id.append(ids[i])
+                out_idx.append(f)
+                out_bytes.append(frames[f])
+                out_ph.append(ph)
+                out_w.append(dims[f][0])
+                out_h.append(dims[f][1])
+                out_nf.append(len(phs))
+        return pa.table({
+            "media_id": pa.array(out_id, pa.string()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "frame_bytes": pa.array(out_bytes, pa.binary()),
+            "phash": pa.array(out_ph, pa.int64()),
+            "w": pa.array(out_w, pa.int32()),
+            "h": pa.array(out_h, pa.int32()),
+            "n_frames": pa.array(out_nf, pa.int32()),
+        })
+
+
 class ImageAugment:
     """Actor stage: deterministic training-data image augmentations over
     the binary payload — decode, transform (hflip / center-crop /

@@ -2338,6 +2338,65 @@ def hash_split(ds: ray.data.Dataset, key_col: str,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def shuffle_to_shards(ds: ray.data.Dataset, key_col: str, n_shards: int,
+                      shard_col: str = "shard",
+                      seq_col: str = "seq") -> ray.data.Dataset:
+    """Deterministic global training shuffle into ``n_shards``: every
+    row gets ``shard = md5(key) % n_shards`` and a within-shard
+    position ``seq`` = rank of ``md5('p:' + key)`` (ties broken by the
+    key) — the "shuffle once, stream shards in order" layout every
+    training export ends with. ONE shard-keyed hash exchange co-locates
+    each shard (hash partitioning guarantees all rows of a shard land
+    in one block), then a whole-block vectorized lexsort assigns seq —
+    NO global sort at any scale; the exchange moves each row exactly
+    once. Row-local md5 hashing means the SAME permutation on any
+    cluster, any partitioning, any run — and the permutation is
+    reproducible in SQL (md5 + ROW_NUMBER), so the training order
+    itself is auditable. Shard sizes are binomial around n/n_shards
+    (md5 is uniform), so no shard skew beyond sqrt(n). Returns a
+    MATERIALIZED dataset (the scoped hash-shuffle strategy must be
+    drained in scope)."""
+    import hashlib
+
+    from .dedup import _hash_shuffle
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ks = pc.cast(batch.column(key_col), pa.string()).to_pylist()
+        shard = np.array([int.from_bytes(
+            hashlib.md5(k.encode()).digest()[:4], "big") % n_shards
+            for k in ks], np.int64)
+        pos = np.array([int.from_bytes(
+            hashlib.md5(("p:" + k).encode()).digest()[:8], "big")
+            for k in ks], np.uint64)
+        out = batch.append_column(shard_col, pa.array(shard, pa.int64()))
+        return out.append_column("_pos", pa.array(pos, pa.uint64()))
+
+    def rank_within_shard(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.drop_columns(["_pos"]).append_column(
+                seq_col, pa.array([], pa.int64()))
+        # one lexsort orders (shard, pos, key); seq restarts per shard
+        idx = pc.sort_indices(b, sort_keys=[(shard_col, "ascending"),
+                                            ("_pos", "ascending"),
+                                            (key_col, "ascending")])
+        b = b.take(idx)
+        sh = b.column(shard_col).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        seq = np.arange(len(sh), dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.r_[starts, len(sh)]))
+        return b.drop_columns(["_pos"]).append_column(
+            seq_col, pa.array(seq, pa.int64()))
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow")
+    with _hash_shuffle(keyed):
+        out = keyed.repartition(
+            num_blocks=cap_join_partitions(n_shards),
+            keys=[shard_col]) \
+            .map_batches(rank_within_shard, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    return out
+
+
 def distinct_rows(ds: ray.data.Dataset, keys: list[str],
                   num_partitions: int = 16) -> ray.data.Dataset:
     """Exact DISTINCT over ``keys`` without the aggregate machinery:

@@ -240,6 +240,109 @@ def unigram_logprob_score(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+_KN_BOS = "\x02"          # out-of-alphabet BOS context marker
+
+
+def kneser_ney_fit(ds: ray.data.Dataset, text_col: str = "text",
+                   discount: float = 0.75) -> dict:
+    """Fit an interpolated Kneser-Ney BIGRAM LM on the corpus (public
+    method: Kneser & Ney 1995; Chen & Goodman 1999) — one model order
+    up from ``unigram_logprob_score``, the CCNet-style perplexity
+    filter's actual shape. ONE distributed bigram count (explode ->
+    groupby sum; each doc contributes (BOS, w0) plus its consecutive
+    pairs), then every derived table — context totals c(v), context
+    fan-out N1+(v, .), continuation counts N1+(., w) — folds from the
+    bigram table on the driver in SORTED key order (deterministic
+    floats). The bigram table is vocabulary-bounded, not
+    corpus-bounded (Zipf), the same broadcast-size assumption the
+    unigram LM documents; at a vocabulary where it no longer fits,
+    the scoring join becomes a keyed join — the size switch the
+    relational kit already provides. Returns the plain-dict model."""
+    from ray.data.aggregate import Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        vs, ws = [], []
+        for t in _texts(b, text_col):
+            toks = _ASCII_WORD_RE.findall(t.lower())
+            if not toks:
+                continue
+            vs.append(_KN_BOS)
+            vs.extend(toks[:-1])
+            ws.extend(toks)
+        return pa.table({
+            "v": pa.array(vs, pa.string()),
+            "w": pa.array(ws, pa.string()),
+            "c": pa.array(np.ones(len(vs), np.int64))})
+
+    counts = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["v", "w"]).aggregate(Sum("c", alias_name="n"))
+    big: dict[tuple[str, str], int] = {}
+    for t in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = t if isinstance(t, pa.Table) else pa.table(t)
+        for v, w, n in zip(t.column("v").to_pylist(),
+                           t.column("w").to_pylist(),
+                           t.column("n").to_pylist()):
+            big[(v, w)] = int(n)
+    ctx_total: dict[str, int] = {}
+    ctx_fanout: dict[str, int] = {}
+    cont: dict[str, int] = {}
+    for (v, w) in sorted(big):
+        n = big[(v, w)]
+        ctx_total[v] = ctx_total.get(v, 0) + n
+        ctx_fanout[v] = ctx_fanout.get(v, 0) + 1
+        cont[w] = cont.get(w, 0) + 1
+    return {"bigrams": big, "ctx_total": ctx_total,
+            "ctx_fanout": ctx_fanout, "cont": cont,
+            "n_bigram_types": len(big), "discount": float(discount)}
+
+
+def kn_logprob(model: dict, v: str, w: str) -> float:
+    """Interpolated-KN bigram log-probability of ``w`` given context
+    ``v``: max(c(v,w)-d, 0)/c(v) + d*N1+(v,.)/c(v) * Pcont(w), with
+    Pcont(w) = N1+(., w)/|bigram types| and add-one smoothing on the
+    continuation table so unseen words score finitely. An unseen
+    context backs off to Pcont alone."""
+    d = model["discount"]
+    bt = model["n_bigram_types"]
+    p_cont = (model["cont"].get(w, 0) + 1.0) / (bt + len(model["cont"])
+                                                + 1.0)
+    cv = model["ctx_total"].get(v, 0)
+    if cv == 0:
+        return float(np.log(p_cont))
+    cvw = model["bigrams"].get((v, w), 0)
+    lam = d * model["ctx_fanout"][v] / cv
+    return float(np.log(max(cvw - d, 0.0) / cv + lam * p_cont))
+
+
+def kneser_ney_score(ds: ray.data.Dataset, model: dict,
+                     text_col: str = "text",
+                     out_col: str = "kn_logprob") -> ray.data.Dataset:
+    """Per-doc mean interpolated-KN bigram log-probability (the
+    perplexity-filter score): broadcast the fitted tables once via
+    ``ray.put``, stateless row-local map — per-doc fixed-order float
+    sums, deterministic at any parallelism (the driver-contract float
+    policy). Empty docs score 0."""
+    ref = ray.put(model)
+
+    def score(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        texts = _texts(b, text_col)
+        out = np.zeros(len(texts), np.float64)
+        for i, t in enumerate(texts):
+            toks = _ASCII_WORD_RE.findall(t.lower())
+            if not toks:
+                continue
+            lp = 0.0
+            prev = _KN_BOS
+            for w in toks:
+                lp += kn_logprob(m, prev, w)
+                prev = w
+            out[i] = lp / len(toks)
+        return b.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def weighted_sample(ds: ray.data.Dataset, id_col: str, weight_col: str,
                     k: int, seed: int = 42) -> ray.data.Dataset:
     """Distributed weighted sampling WITHOUT replacement
@@ -987,3 +1090,169 @@ def dsir_select(raw: ray.data.Dataset, target: ray.data.Dataset, k: int,
     prio = scored.map_batches(gumbel, batch_format="pyarrow")
     return global_topk(prio, [("_pri", True), (id_col, False)], k) \
         .drop_columns(["_pri"])
+
+
+# ---------------------------------------------------------------------------
+# Model-in-the-loop quality filtering: distributed logistic regression
+# over hashed n-gram features (fastText-style linear text classifier —
+# public method; no external implementation consulted)
+# ---------------------------------------------------------------------------
+
+def _featurize_text(ds: ray.data.Dataset, text_col: str, buckets: int,
+                    keep_cols: tuple = ()) -> ray.data.Dataset:
+    """One featurize pass: per doc, token-count-normalized hashed
+    unigram+bigram features as parallel list columns (f_idx, f_val).
+    Row-local float normalization with fixed token order, so features
+    are deterministic at any parallelism. The compact plane is what
+    the training epochs scan — texts are read ONCE."""
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = _texts(batch, text_col)
+        idx_col, val_col = [], []
+        for t in texts:
+            di, bk = _dsir_feature_hashes([t], buckets)
+            if len(bk):
+                u, cnt = np.unique(bk, return_counts=True)
+                v = cnt.astype(np.float64) / np.float64(len(bk))
+            else:
+                u, v = np.empty(0, np.int64), np.empty(0, np.float64)
+            idx_col.append(u.astype(np.int32))
+            val_col.append(v.astype(np.float32))
+        out = pa.table({c: batch.column(c) for c in keep_cols})
+        out = out.append_column("f_idx", pa.array(
+            [x.tolist() for x in idx_col], pa.list_(pa.int32())))
+        return out.append_column("f_val", pa.array(
+            [x.tolist() for x in val_col], pa.list_(pa.float32())))
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def _sparse_block(batch: pa.Table) -> tuple:
+    """Flatten a featurized block to (doc_idx, bucket, value, n_docs)."""
+    fi = batch.column("f_idx")
+    lens = pc.list_value_length(fi).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    di = np.repeat(np.arange(len(fi), dtype=np.int64), lens)
+    bk = pc.list_flatten(fi).to_numpy(zero_copy_only=False).astype(np.int64)
+    vv = pc.list_flatten(batch.column("f_val")) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    return di, bk, vv, len(fi)
+
+
+def train_text_classifier(ds: ray.data.Dataset, label_col: str = "label",
+                          text_col: str = "text", buckets: int = 8192,
+                          epochs: int = 30, lr: float = 2.0,
+                          l2: float = 1e-6,
+                          optimizer: str = "adagrad") -> dict:
+    """Train a binary logistic-regression text classifier on hashed
+    n-gram features with FULL-BATCH gradient descent: each epoch
+    broadcasts (w, b) once via ``ray.put``, every block computes its
+    gradient partial fully vectorized (one sparse accumulate in, one
+    out — fixed ``buckets``-vector output regardless of rows), and the
+    driver folds partials in a CONTENT-SORTED order (lexicographic by
+    serialized bytes), so a fixed partitioning reproduces bit-identical
+    weights regardless of block arrival order. Texts are featurized
+    ONCE into a compact materialized plane; each epoch is one scan of
+    that plane. At corpus scale the exchange per epoch is
+    blocks x 64 KB — the scans, not the exchange, are the cost, so cap
+    ``epochs`` (or pre-sample) exactly as a fastText-style filter run
+    would.
+
+    ``optimizer="adagrad"`` (default) applies the diagonal Adagrad
+    preconditioner to the driver-side update — essential here because
+    token-normalized hashed features (values ~1/doc_len ≈ 0.02) are
+    ~50x smaller-scale than the implicit bias feature (1.0), so any
+    plain-GD lr large enough to move the weights makes the bias
+    oscillate. Adagrad's accumulator runs over the already-folded
+    deterministic gradient, so reproducibility is unchanged.
+    ``optimizer="gd"`` keeps the plain update. Returns
+    {"w", "bias", "losses", "buckets"}."""
+    if optimizer not in ("adagrad", "gd"):
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+    feat = _featurize_text(ds, text_col, buckets,
+                           keep_cols=(label_col,)).materialize()
+    n_total = feat.count()
+    if n_total == 0:
+        raise ValueError("train_text_classifier: empty input")
+    w = np.zeros(buckets, np.float64)
+    bias = 0.0
+    acc_w = np.zeros(buckets, np.float64)
+    acc_b = 0.0
+    losses: list[float] = []
+    for _ in range(epochs):
+        ref = ray.put((w, bias))
+
+        def grad_partial(batch: pa.Table) -> pa.Table:
+            wv, bv = ray.get(ref)
+            di, bk, vv, nd = _sparse_block(batch)
+            y = batch.column(label_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            z = np.full(nd, bv, np.float64)
+            np.add.at(z, di, wv[bk] * vv)
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            g = np.zeros(buckets, np.float64)
+            np.add.at(g, bk, r[di] * vv)
+            loss = float(np.sum(np.logaddexp(0.0, z) - y * z))
+            return pa.table({
+                "g": pa.array([g.tobytes()], pa.binary()),
+                "gb": pa.array([float(np.sum(r))], pa.float64()),
+                "loss": pa.array([loss], pa.float64())})
+
+        blobs = []
+        for b in feat.map_batches(grad_partial, batch_format="pyarrow",
+                                  batch_size=None).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            t = b if isinstance(b, pa.Table) else pa.table(b)
+            for gi, gbi, li in zip(t.column("g").to_pylist(),
+                                   t.column("gb").to_pylist(),
+                                   t.column("loss").to_pylist()):
+                blobs.append((gi, gbi, li))
+        blobs.sort(key=lambda x: (x[0], x[1]))   # content order: exact
+        g = np.zeros(buckets, np.float64)
+        gb = 0.0
+        loss = 0.0
+        for gi, gbi, li in blobs:
+            g += np.frombuffer(gi, np.float64)
+            gb += gbi
+            loss += li
+        gw = g / n_total + l2 * w
+        gbm = gb / n_total
+        if optimizer == "adagrad":
+            acc_w += gw * gw
+            acc_b += gbm * gbm
+            w -= lr * gw / np.sqrt(acc_w + 1e-8)
+            bias -= lr * gbm / np.sqrt(acc_b + 1e-8)
+        else:
+            w -= lr * gw
+            bias -= lr * gbm
+        losses.append(loss / n_total)
+    return {"w": w, "bias": bias, "losses": losses, "buckets": buckets}
+
+
+def score_text_classifier(ds: ray.data.Dataset, model: dict,
+                          text_col: str = "text",
+                          out_col: str = "quality_prob"
+                          ) -> ray.data.Dataset:
+    """Score documents with a trained classifier: broadcast (w, bias)
+    once, stateless row-local sigmoid map (deterministic at any
+    parallelism — per-doc fixed-order float sums)."""
+    buckets = int(model["buckets"])
+    ref = ray.put((np.asarray(model["w"], np.float64),
+                   float(model["bias"])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        wv, bv = ray.get(ref)
+        texts = _texts(batch, text_col)
+        out = np.empty(len(texts), np.float64)
+        for i, t in enumerate(texts):
+            di, bk = _dsir_feature_hashes([t], buckets)
+            if len(bk):
+                u, cnt = np.unique(bk, return_counts=True)
+                z = bv + np.float64(
+                    np.sum(wv[u] * (cnt.astype(np.float64) / len(bk))))
+            else:
+                z = bv
+            out[i] = 1.0 / (1.0 + np.exp(-z))
+        return batch.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

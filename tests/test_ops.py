@@ -3600,3 +3600,191 @@ def test_dsir_logweights_and_select():
     sel2 = dsir_select(raw.repartition(num_blocks=2), tgt, k=50,
                        buckets=B, alpha=alpha).to_pandas()
     assert set(sel2.doc_id) == want_ids
+
+
+def test_video_keyframes_matches_naive():
+    """Content-based keyframe extraction: exact (media_id, frame_idx)
+    equality with the sequential naive twin over shot-structured
+    MJPEG fixtures, real compression (static shots collapse, scene
+    cuts survive), keyframe bytes decode to the source dims, and the
+    fake backend's plumbing shape."""
+    from paperchase_crawler_ray.fixtures import make_shot_video_rows
+    from paperchase_crawler_ray.functions.av import mjpeg_split
+    from paperchase_crawler_ray.functions.jpeg import jpeg_decode
+    from paperchase_crawler_ray.functions.phash import hamming64, phash64
+    from paperchase_crawler_ray.ops.multimodal import VideoKeyframes
+    rows = make_shot_video_rows(12)
+    want, total, cuts = set(), 0, 0
+    for mid, payload in zip(rows.column("media_id").to_pylist(),
+                            rows.column("payload").to_pylist()):
+        last = None
+        for f, fb in enumerate(mjpeg_split(payload)):
+            total += 1
+            ph = phash64(jpeg_decode(fb))
+            if last is None or int(hamming64(np.array([last]),
+                                             np.array([ph]))[0]) > 10:
+                want.add((mid, f))
+                last = ph
+                if f:
+                    cuts += 1
+    ds = ray.data.from_arrow(rows).repartition(num_blocks=5)
+    out = ds.map_batches(VideoKeyframes,
+                         fn_constructor_kwargs={"hamming_max": 10,
+                                                "backend": "real"},
+                         batch_format="pyarrow", batch_size=4,
+                         concurrency=(1, 4)).to_pandas()
+    assert set(zip(out.media_id, out.frame_idx)) == want
+    assert cuts > 0                      # some mid-video keyframes kept
+    assert len(want) < total / 2         # static shots really collapse
+    # keyframe bytes are self-contained JPEG frames at source dims
+    r0 = out.iloc[0]
+    px = jpeg_decode(r0.frame_bytes)
+    assert (px.shape[0], px.shape[1]) == (r0.h, r0.w)
+    # fake backend: per-frame pseudo-phash, no pixel work, same rule
+    fake = ray.data.from_arrow(rows) \
+        .map_batches(VideoKeyframes,
+                     fn_constructor_kwargs={"backend": "fake"},
+                     batch_format="pyarrow", batch_size=None,
+                     concurrency=(1, 2)).to_pandas()
+    assert (fake.groupby("media_id").frame_idx.min() == 0).all()
+    assert (fake.w == 0).all()
+
+
+def test_text_classifier_quality_filter():
+    """Distributed logistic-regression quality classifier: weights
+    allclose to a single-matrix numpy twin (same features, epochs,
+    lr), >=97% accuracy on separable synthetic corpora, bit-identical
+    reruns on a fixed partitioning, and deterministic scoring."""
+    from paperchase_crawler_ray.ops.textstats import (
+        _dsir_feature_hashes, score_text_classifier,
+        train_text_classifier)
+    rng = np.random.default_rng(5)
+    food = "bread olive tomato soup garlic pasta roast chicken lemon cake".split()
+    tech = "gpu kernel memory compiler register shuffle packet latency cache bus".split()
+    texts, labels = [], []
+    for i in range(600):
+        words = food if i % 2 == 0 else tech
+        texts.append(" ".join(rng.choice(words, 10)))
+        labels.append(1 if i % 2 == 0 else 0)
+    t = pa.table({"doc_id": pa.array(range(600), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "label": pa.array(labels, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(num_blocks=6)
+    B, E_, LR = 256, 25, 2.0
+    model = train_text_classifier(ds, buckets=B, epochs=E_, lr=LR,
+                                  l2=0.0)
+
+    # numpy twin: identical featurization, dense full-batch Adagrad
+    X = np.zeros((600, B))
+    for i, txt in enumerate(texts):
+        _, bk = _dsir_feature_hashes([txt], B)
+        u, cnt = np.unique(bk, return_counts=True)
+        X[i, u] = cnt / len(bk)
+    y = np.array(labels, np.float64)
+    w, b = np.zeros(B), 0.0
+    aw, ab = np.zeros(B), 0.0
+    for _ in range(E_):
+        z = X @ w + b
+        r = 1.0 / (1.0 + np.exp(-z)) - y
+        gw = (X.T @ r) / 600
+        gb = r.sum() / 600
+        aw += gw * gw
+        ab += gb * gb
+        w -= LR * gw / np.sqrt(aw + 1e-8)
+        b -= LR * gb / np.sqrt(ab + 1e-8)
+    assert np.allclose(model["w"], w, atol=1e-8)
+    assert abs(model["bias"] - b) < 1e-8
+    assert model["losses"][-1] < model["losses"][0]
+
+    # plain-GD mode: twin equality on one epoch of vanilla descent
+    mgd = train_text_classifier(ds, buckets=B, epochs=1, lr=LR, l2=0.0,
+                                optimizer="gd")
+    z0 = np.zeros(600)
+    r0 = 1.0 / (1.0 + np.exp(-z0)) - y
+    assert np.allclose(mgd["w"], -LR * (X.T @ r0) / 600, atol=1e-12)
+
+    scored = score_text_classifier(ds, model).to_pandas()
+    acc = ((scored.quality_prob > 0.5).astype(int)
+           == scored.label).mean()
+    assert acc >= 0.97
+    # held-out generalization
+    ho = [" ".join(rng.choice(food, 10)) for _ in range(50)] \
+        + [" ".join(rng.choice(tech, 10)) for _ in range(50)]
+    ho_ds = ray.data.from_arrow(pa.table({"text": pa.array(ho)}))
+    probs = score_text_classifier(ho_ds, model).to_pandas().quality_prob
+    assert (probs[:50] > 0.5).mean() >= 0.95
+    assert (probs[50:] < 0.5).mean() >= 0.95
+    # fixed partitioning -> bit-identical retrain
+    m2 = train_text_classifier(ds, buckets=B, epochs=E_, lr=LR, l2=0.0)
+    assert (m2["w"] == model["w"]).all() and m2["bias"] == model["bias"]
+
+
+def test_shuffle_to_shards_matches_naive():
+    """Deterministic training shuffle: exact (shard, seq) equality
+    with the md5 twin, every shard a contiguous 0..n-1 sequence,
+    and partitioning invariance."""
+    import collections
+    import hashlib
+
+    from paperchase_crawler_ray.ops.relational import shuffle_to_shards
+    ids = list(range(1, 501))
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(ids, pa.int64())}))
+
+    def md5i(s, nb):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:nb],
+                              "big")
+
+    by_shard = collections.defaultdict(list)
+    for k in ids:
+        by_shard[md5i(str(k), 4) % 8].append((md5i(f"p:{k}", 8), k))
+    want = {k: (sh, i) for sh, lst in by_shard.items()
+            for i, (_, k) in enumerate(sorted(lst))}
+    for nb in (1, 7):
+        out = shuffle_to_shards(ds.repartition(num_blocks=nb),
+                                "k", 8).to_pandas()
+        assert {r.k: (r.shard, r.seq)
+                for r in out.itertuples()} == want
+        seqs = out.groupby("shard").seq.agg(["min", "max", "count"])
+        assert (seqs["min"] == 0).all()
+        assert (seqs["max"] == seqs["count"] - 1).all()
+
+
+def test_kneser_ney_lm_matches_naive():
+    """Interpolated-KN bigram LM: fitted tables equal the sequential
+    twin's, per-doc scores equal the twin's scoring loop bit-exactly,
+    unseen words/contexts score finitely, and a corpus-frequent bigram
+    outscores an unseen one."""
+    from paperchase_crawler_ray.ops.textstats import (
+        _ASCII_WORD_RE, _KN_BOS, kn_logprob, kneser_ney_fit,
+        kneser_ney_score)
+    texts = ["the cat sat on the mat", "the dog sat", "a cat ran",
+             "", "the the the", "dog and cat and dog"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(num_blocks=3)
+    m = kneser_ney_fit(ds)
+    big = {}
+    for txt in texts:
+        toks = _ASCII_WORD_RE.findall(txt.lower())
+        prev = _KN_BOS
+        for w in toks:
+            big[(prev, w)] = big.get((prev, w), 0) + 1
+            prev = w
+    assert m["bigrams"] == big
+    assert m["ctx_total"][_KN_BOS] == 5          # 5 non-empty docs
+    sc = kneser_ney_score(ds, m).to_pandas().sort_values("doc_id")
+    for i, txt in enumerate(texts):
+        toks = _ASCII_WORD_RE.findall(txt.lower())
+        exp, prev = 0.0, _KN_BOS
+        for w in toks:
+            exp += kn_logprob(m, prev, w)
+            prev = w
+        exp = exp / len(toks) if toks else 0.0
+        assert sc.kn_logprob.iloc[i] == exp
+    assert kn_logprob(m, "the", "cat") > kn_logprob(m, "cat", "dog")
+    assert np.isfinite(kn_logprob(m, "zzz", "qqq"))
+    # parallelism invariance: driver fold is sorted, scoring row-local
+    m2 = kneser_ney_fit(ds.repartition(num_blocks=1))
+    sc2 = kneser_ney_score(ds, m2).to_pandas().sort_values("doc_id")
+    assert (sc2.kn_logprob.values == sc.kn_logprob.values).all()
