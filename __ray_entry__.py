@@ -3340,6 +3340,36 @@ def _q_kn_score(sf: str):
         .select_columns(["doc_id", "kn_logprob"]).sort("doc_id")
 
 
+def _q_budget_select(sf: str):
+    """Token-budget corpus selection: rank docs by a quality key
+    (distinct-token count DESC, doc_id), keep the prefix whose
+    RUNNING token total fits the budget — the 'best docs until the
+    token budget is spent' curation primitive. Pure composition:
+    integer token stats -> ONE global sort + block-local prefix-sum
+    scan with O(blocks) carries -> stateless filter. Exact integers
+    end-to-end, so the running total itself is SQL-value-checked."""
+    from paperchase_crawler_ray.ops.relational import grouped_prefix_sum
+    from paperchase_crawler_ray.ops.textstats import _WORD_RE
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        toks = [_WORD_RE.findall(t) for t in texts]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array([len(t) for t in toks], pa.int64()),
+            "n_distinct": pa.array([len(set(t)) for t in toks],
+                                   pa.int64()),
+            "_g": pa.array(np.zeros(len(texts), np.int64))})
+
+    prepped = docs.map_batches(stats, batch_format="pyarrow")
+    run = grouped_prefix_sum(prepped, "_g",
+                             [("n_distinct", True), ("doc_id", False)],
+                             "n_tokens", out_col="running")
+    out = run.filter(expr="running <= 8000")
+    return out.select_columns(["doc_id", "n_tokens", "running"])
+
+
 def _q_dup_spans(sf: str):
     """Substring-level dedup diagnostic (Lee et al. shape): per-doc
     count of token positions whose 5-gram occurs >= 2 times anywhere in
@@ -3985,6 +4015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_classifier": _q_quality_classifier,
         "q_train_shards": _q_train_shards,
         "q_kn_score": _q_kn_score,
+        "q_budget_select": _q_budget_select,
         "q_dup_spans": _q_dup_spans,
         "q_clean_spans": _q_clean_spans,
         "q_grouped_distinct": _q_grouped_distinct,
@@ -4858,6 +4889,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, value FROM events "
             "WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), "
             "1, 8)) AS UBIGINT) % 100 < 8",
+        "q_budget_select":
+            "SELECT doc_id, n_tokens, running FROM ("
+            "SELECT doc_id, n_tokens, SUM(n_tokens) OVER ("
+            "ORDER BY n_distinct DESC, doc_id) AS running FROM ("
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\w+')) "
+            "AS BIGINT) AS n_tokens, CAST(len(list_distinct("
+            "regexp_extract_all(text, '\\w+'))) AS BIGINT) AS n_distinct"
+            " FROM documents)) WHERE running <= 8000",
         "q_train_shards":
             "SELECT c_custkey, shard, CAST(ROW_NUMBER() OVER ("
             "PARTITION BY shard ORDER BY pos, c_custkey) - 1 AS BIGINT)"
