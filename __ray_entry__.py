@@ -3873,6 +3873,29 @@ def _q_incremental_dedup(sf: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_paragraph_dedup(sf: str):
+    """Corpus-wide exact paragraph dedup (RefinedWeb/Gopher line-dedup
+    shape): keep the first occurrence of each non-empty paragraph,
+    reassemble surviving paragraphs per document. Winner plane =
+    exact_dedup on (hash64, para); reassembly = the stitched
+    grouped_string_agg — exact string output, fully SQL-oracled."""
+    from paperchase_crawler_ray.ops.textstats import paragraph_dedup
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return paragraph_dedup(docs).select_columns(["doc_id", "clean_text"])
+
+
+def _q_gopher_filter(sf: str):
+    """Gopher-rule quality components + combined pass flag, every field
+    an exact BIGINT (ratios as integer cross-multiplications) so the
+    DuckDB twin value-hashes bit-for-bit."""
+    from paperchase_crawler_ray.ops.textstats import gopher_stats
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return gopher_stats(docs).select_columns(
+        ["doc_id", "n_words", "sum_word_len", "n_alpha_words",
+         "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+         "n_stop_distinct", "pass_gopher"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -4016,6 +4039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_train_shards": _q_train_shards,
         "q_kn_score": _q_kn_score,
         "q_budget_select": _q_budget_select,
+        "q_paragraph_dedup": _q_paragraph_dedup,
+        "q_gopher_filter": _q_gopher_filter,
         "q_dup_spans": _q_dup_spans,
         "q_clean_spans": _q_clean_spans,
         "q_grouped_distinct": _q_grouped_distinct,
@@ -4897,6 +4922,57 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_tokens, CAST(len(list_distinct("
             "regexp_extract_all(text, '\\w+'))) AS BIGINT) AS n_distinct"
             " FROM documents)) WHERE running <= 8000",
+        "q_paragraph_dedup":
+            # explode via zipped unnest (1-based idx = range() parity
+            # with the Ray side), first-occurrence winners via
+            # row_number over (doc_id, idx), empties kept as structure,
+            # ordered string_agg reassembly
+            "WITH p AS (SELECT doc_id, unnest(lst) AS para, "
+            "unnest(range(1, len(lst)+1)) AS idx FROM ("
+            "SELECT doc_id, string_split(text, chr(10)) AS lst "
+            "FROM documents)), w AS (SELECT doc_id, idx, para, "
+            "row_number() OVER (PARTITION BY para ORDER BY doc_id, idx)"
+            " AS rn FROM p WHERE para <> ''), kept AS ("
+            "SELECT doc_id, idx, para FROM w WHERE rn = 1 "
+            "UNION ALL SELECT doc_id, idx, para FROM p WHERE para = '')"
+            " SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) "
+            "AS clean_text FROM kept GROUP BY doc_id",
+        "q_gopher_filter":
+            # same rule constants as ops/textstats.gopher_stats_batch;
+            # '...' count via non-overlapping replace (str.count parity)
+            "WITH s AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\w+') AS words, "
+            "string_split(text, chr(10)) AS lines, "
+            "CAST((len(text) - len(replace(text, '...', ''))) // 3 "
+            "AS BIGINT) AS n_ell, "
+            "CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) "
+            "AS n_hash FROM documents), c AS (SELECT doc_id, "
+            "CAST(len(words) AS BIGINT) AS n_words, "
+            "CAST(coalesce(list_sum(list_transform(words, "
+            "w -> len(w))), 0) AS BIGINT) AS sum_word_len, "
+            "CAST(len(list_filter(words, w -> regexp_matches(w, "
+            "'[a-zA-Z]'))) AS BIGINT) AS n_alpha_words, "
+            "n_hash + n_ell AS n_symbols, "
+            "CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(list_filter(lines, x -> x LIKE '- %' OR "
+            "x LIKE '* %')) AS BIGINT) AS n_bullet_lines, "
+            "CAST(len(list_filter(lines, x -> x LIKE '%...')) "
+            "AS BIGINT) AS n_ellipsis_lines, "
+            "CAST(len(list_distinct(list_filter(list_transform(words, "
+            f"w -> lower(w)), w -> w IN {_STOP_SQL}))) AS BIGINT) "
+            "AS n_stop_distinct FROM s) "
+            "SELECT doc_id, n_words, sum_word_len, n_alpha_words, "
+            "n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines, "
+            "n_stop_distinct, CAST(CASE WHEN "
+            "n_words BETWEEN 50 AND 100000 "
+            "AND 3*n_words <= sum_word_len "
+            "AND sum_word_len <= 10*n_words "
+            "AND 10*n_symbols <= n_words "
+            "AND 10*n_bullet_lines <= 9*n_lines "
+            "AND 10*n_ellipsis_lines <= 3*n_lines "
+            "AND 10*n_alpha_words >= 8*n_words "
+            "AND n_stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS pass_gopher FROM c",
         "q_train_shards":
             "SELECT c_custkey, shard, CAST(ROW_NUMBER() OVER ("
             "PARTITION BY shard ORDER BY pos, c_custkey) - 1 AS BIGINT)"

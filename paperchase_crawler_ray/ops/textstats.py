@@ -1256,3 +1256,147 @@ def score_text_classifier(ds: ray.data.Dataset, model: dict,
         return batch.append_column(out_col, pa.array(out, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (the RefinedWeb / Gopher line-dedup shape:
+# public method — corpus-wide removal of repeated paragraphs/lines)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n"
+                    ) -> ray.data.Dataset:
+    """Corpus-wide exact paragraph dedup: split each document on ``sep``,
+    keep only the FIRST occurrence — smallest ``(doc_id, idx)`` — of each
+    non-empty paragraph corpus-wide, keep empty paragraphs unconditionally
+    (they are document structure, not content), and reassemble each
+    document's survivors in original order as ``clean_text``. A document
+    whose every paragraph was dropped has no kept rows and disappears,
+    matching the SQL GROUP-BY twin (q_paragraph_dedup).
+
+    Scale shape: the explode is a stateless ``map_batches``; the winner
+    plane is `exact_dedup` keyed on ``(hash64(para), para)`` — the 64-bit
+    hash leads the composite so the keyed exchange partitions uniformly
+    even when paragraphs share long prefixes, while the paragraph string
+    rides along for exactness (no collision risk) and is needed by the
+    reassembly anyway; reassembly is the stitched `grouped_string_agg`
+    (ONE global sort + per-block partials + keyed stitch). Nothing
+    corpus-sized ever lands on the driver. At a 10^10-doc corpus the
+    dominant cost is the two keyed exchanges over the paragraph plane,
+    both pre-shrunk by the block-local winner combiner inside
+    `exact_dedup`."""
+    from .relational import exact_dedup, grouped_string_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        ids: list = []
+        iis: list[int] = []
+        paras: list[str] = []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          _texts(batch, text_col)):
+            ps = t.split(sep)
+            ids.extend([did] * len(ps))
+            iis.extend(range(1, len(ps) + 1))  # 1-based, SQL range() parity
+            paras.extend(ps)
+        hs = np.fromiter((stable_hash64(p) for p in paras), np.int64,
+                         len(paras))
+        return pa.table({id_col: pa.array(ids, id_type),
+                         "idx": pa.array(iis, pa.int64()),
+                         "para": pa.array(paras, pa.string()),
+                         "ph": pa.array(hs, pa.int64())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    nonempty = exploded.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("para"), "")),
+        batch_format="pyarrow")
+    empties = exploded.map_batches(
+        lambda b: b.filter(pc.equal(b.column("para"), "")),
+        batch_format="pyarrow")
+    winners = exact_dedup(nonempty, keys=["ph", "para"],
+                          order_by=[(id_col, False), ("idx", False)])
+    kept = winners.union(empties).map_batches(
+        lambda b: b.drop_columns(["ph"]), batch_format="pyarrow")
+    return grouped_string_agg(kept, id_col, [("idx", False)], "para",
+                              sep=sep, out_col="clean_text")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, arXiv:2112.11446 —
+# public rule family; thresholds below are this op's own spec, mirrored
+# bit-for-bit by the SQL twin via integer cross-multiplied comparisons)
+# ---------------------------------------------------------------------------
+
+_BULLET_PREFIXES = ("- ", "* ")
+_ALPHA_RE = re.compile(r"[a-zA-Z]")
+
+
+def gopher_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer Gopher-rule components per document (all BIGINT so the
+    SQL oracle compares exactly) plus the combined ``pass_gopher`` flag.
+
+    Rules (ratios expressed as integer cross-multiplications):
+      50 <= n_words <= 100000            word-count band
+      3*n_words <= sum_word_len <= 10*n_words   mean word length in [3,10]
+      10*n_symbols <= n_words            '#'/'...' symbol-to-word <= 0.1
+      10*n_bullet_lines <= 9*n_lines     bullet-line fraction <= 0.9
+      10*n_ellipsis_lines <= 3*n_lines   '...'-ending lines <= 0.3
+      10*n_alpha_words >= 8*n_words      >= 80% words contain a letter
+      n_stop_distinct >= 2               >= 2 distinct stopwords present
+    """
+    texts = _texts(batch, text_col)
+    n = len(texts)
+    cols = {k: np.empty(n, np.int64) for k in
+            ("n_words", "sum_word_len", "n_alpha_words", "n_symbols",
+             "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+             "n_stop_distinct", "pass_gopher")}
+    stop = set(STOPWORDS)
+    for i, t in enumerate(texts):
+        words = _WORD_RE.findall(t)
+        lines = t.split("\n")
+        nw = len(words)
+        swl = sum(len(w) for w in words)
+        na = sum(1 for w in words if _ALPHA_RE.search(w))
+        nsym = t.count("#") + t.count("...")
+        nl = len(lines)
+        nb = sum(1 for x in lines if x.startswith(_BULLET_PREFIXES))
+        ne = sum(1 for x in lines if x.endswith("..."))
+        nsd = len({w for w in (w.lower() for w in words) if w in stop})
+        ok = (50 <= nw <= 100000 and 3 * nw <= swl <= 10 * nw
+              and 10 * nsym <= nw and 10 * nb <= 9 * nl
+              and 10 * ne <= 3 * nl and 10 * na >= 8 * nw and nsd >= 2)
+        for k, v in (("n_words", nw), ("sum_word_len", swl),
+                     ("n_alpha_words", na), ("n_symbols", nsym),
+                     ("n_lines", nl), ("n_bullet_lines", nb),
+                     ("n_ellipsis_lines", ne), ("n_stop_distinct", nsd),
+                     ("pass_gopher", int(ok))):
+            cols[k][i] = v
+    out = batch
+    for k in ("n_words", "sum_word_len", "n_alpha_words", "n_symbols",
+              "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+              "n_stop_distinct", "pass_gopher"):
+        out = out.append_column(k, pa.array(cols[k], pa.int64()))
+    return out
+
+
+def gopher_stats(ds: ray.data.Dataset, text_col: str = "text"
+                 ) -> ray.data.Dataset:
+    """Per-document Gopher-rule components (stateless map_batches)."""
+    return ds.map_batches(lambda b: gopher_stats_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def gopher_filter(ds: ray.data.Dataset, text_col: str = "text"
+                  ) -> ray.data.Dataset:
+    """Keep only documents passing every Gopher rule; drops the helper
+    component columns (the filter a 100-TB curation chain composes
+    before dedup)."""
+    stats_cols = ["n_words", "sum_word_len", "n_alpha_words", "n_symbols",
+                  "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+                  "n_stop_distinct", "pass_gopher"]
+
+    def keep(b: pa.Table) -> pa.Table:
+        s = gopher_stats_batch(b, text_col)
+        return s.filter(pc.equal(s.column("pass_gopher"), 1)) \
+                .drop_columns(stats_cols)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -3788,3 +3788,43 @@ def test_kneser_ney_lm_matches_naive():
     m2 = kneser_ney_fit(ds.repartition(num_blocks=1))
     sc2 = kneser_ney_score(ds, m2).to_pandas().sort_values("doc_id")
     assert (sc2.kn_logprob.values == sc.kn_logprob.values).all()
+
+
+def test_paragraph_dedup_matches_duckdb(ray_session):
+    """Corpus-wide first-occurrence paragraph dedup + reassembly."""
+    assert _duckdb_twin("q_paragraph_dedup") == 500
+
+
+def test_gopher_filter_matches_duckdb(ray_session):
+    """Gopher-rule integer components + combined pass flag."""
+    assert _duckdb_twin("q_gopher_filter") == 500
+
+
+def test_paragraph_dedup_semantics(ray_session):
+    """First occurrence kept, empties preserved as structure, a doc
+    whose every paragraph was seen earlier disappears."""
+    from paperchase_crawler_ray.ops.textstats import paragraph_dedup
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["aa\nbb\n\ncc", "bb\ndd\naa", "aa\ncc"]),
+    })
+    got = paragraph_dedup(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")["clean_text"].to_dict()
+    # doc1 keeps everything incl. the empty line; doc2 loses aa/bb;
+    # doc3 loses both paragraphs -> no row
+    assert got == {1: "aa\nbb\n\ncc", 2: "dd"}
+
+
+def test_gopher_filter_selects_pass_rows(ray_session):
+    """gopher_filter == rows whose pass_gopher flag is 1, original
+    columns only."""
+    from paperchase_crawler_ray.ops.textstats import (gopher_filter,
+                                                      gopher_stats)
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    s = gopher_stats(docs).to_pandas()
+    kept = gopher_filter(docs).to_pandas()
+    assert set(kept.columns) == {"doc_id", "text"}
+    assert sorted(kept["doc_id"]) == sorted(
+        s.loc[s["pass_gopher"] == 1, "doc_id"])
+    assert 0 < len(kept) < len(s)
