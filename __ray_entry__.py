@@ -3873,6 +3873,30 @@ def _q_incremental_dedup(sf: str):
         .select_columns(["doc_id", "text"])
 
 
+def _q_group_sample(sf: str):
+    """Deterministic per-class sample (eval-set carve-out): k=100 rows
+    per event_type selected by md5 order — the same rows on any
+    cluster/partitioning/run (row-local hashing), computed on the
+    grouped_topk two-level prune (never a global sort), and the
+    SELECTION itself is SQL-auditable via the md5 + ROW_NUMBER twin."""
+    import hashlib
+
+    from paperchase_crawler_ray.ops.relational import grouped_topk
+    ev = _rp(sf, "events", columns=["event_id", "event_type"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("event_id"), pa.string()).to_pylist()
+        pos = np.array([int.from_bytes(
+            hashlib.md5(("s:" + k).encode()).digest()[:8], "big")
+            for k in ids], np.uint64)
+        return batch.append_column("_pos", pa.array(pos, pa.uint64()))
+
+    out = grouped_topk(ev.map_batches(key, batch_format="pyarrow"),
+                       "event_type", "_pos", 100, descending=False,
+                       tie_col="event_id")
+    return out.select_columns(["event_id", "event_type"])
+
+
 def _q_paragraph_dedup(sf: str):
     """Corpus-wide exact paragraph dedup (RefinedWeb/Gopher line-dedup
     shape): keep the first occurrence of each non-empty paragraph,
@@ -4041,6 +4065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_budget_select": _q_budget_select,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_gopher_filter": _q_gopher_filter,
+        "q_group_sample": _q_group_sample,
         "q_dup_spans": _q_dup_spans,
         "q_clean_spans": _q_clean_spans,
         "q_grouped_distinct": _q_grouped_distinct,
@@ -4922,6 +4947,13 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_tokens, CAST(len(list_distinct("
             "regexp_extract_all(text, '\\w+'))) AS BIGINT) AS n_distinct"
             " FROM documents)) WHERE running <= 8000",
+        "q_group_sample":
+            "SELECT event_id, event_type FROM ("
+            "SELECT event_id, event_type, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "CAST(('0x' || substr(md5('s:' || CAST(event_id AS "
+            "VARCHAR)), 1, 16)) AS UBIGINT), event_id) AS rn "
+            "FROM events) t WHERE rn <= 100",
         "q_paragraph_dedup":
             # explode via zipped unnest (1-based idx = range() parity
             # with the Ray side), first-occurrence winners via

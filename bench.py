@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "q_cooccurrence", "q_length_buckets", "q_semdedup",
     "q_pricing_summary", "q_min_cost_supplier", "q_part_promotion",
     "q_train_shards", "q_kn_score", "q_quality_classifier",
+    "q_paragraph_dedup", "q_gopher_filter",
 ]
 
 

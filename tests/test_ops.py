@@ -3828,3 +3828,8 @@ def test_gopher_filter_selects_pass_rows(ray_session):
     assert sorted(kept["doc_id"]) == sorted(
         s.loc[s["pass_gopher"] == 1, "doc_id"])
     assert 0 < len(kept) < len(s)
+
+
+def test_group_sample_matches_duckdb(ray_session):
+    """Deterministic md5-ordered k-per-class sample (5 types x 100)."""
+    assert _duckdb_twin("q_group_sample") == 500
