@@ -3920,6 +3920,75 @@ def _q_gopher_filter(sf: str):
          "n_stop_distinct", "pass_gopher"])
 
 
+def _q_c4_filter(sf: str):
+    """C4-rule components (Raffel et al. 2020 §2.2) as exact integers
+    plus the combined pass flag — the second classic heuristic cleaner
+    next to q_gopher_filter, same SQL-twin design."""
+    from paperchase_crawler_ray.ops.textstats import c4_stats
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return c4_stats(docs).select_columns(
+        ["doc_id", "n_lines", "n_kept_lines", "n_sentences",
+         "has_lorem", "has_brace", "pass_c4"])
+
+
+def _q_keep_best(sf: str):
+    """Canonical-document selection: ONE winner per exact-duplicate
+    cluster, chosen by QUALITY (longest doc wins, doc_id breaks ties)
+    rather than first occurrence — the RefinedWeb/FineWeb 'keep the
+    best copy' dedup policy. Pure composition: fingerprint -> the
+    combiner-shuffled exact_dedup with a score order."""
+    from paperchase_crawler_ray.ops.relational import exact_dedup
+    from paperchase_crawler_ray.ops.textstats import fingerprint_batch
+    docs = _rp(sf, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    hashed = docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+    out = exact_dedup(hashed, ["text_hash"],
+                      [("n_chars", True), ("doc_id", False)])
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def _q_jsonl_roundtrip(sf: str):
+    """Source-format breadth: documents -> task-parallel JSONL sink ->
+    streaming JSONL source -> the full table. The oracle is the
+    original parquet — a value-hash match proves every int64/string
+    survives the JSON hop bit-exactly."""
+    from paperchase_crawler_ray.sources import read_jsonl, write_jsonl
+    tag = _cache_tag(sf, ("documents",))
+    out = f"/tmp/pc_q_cache/{tag}/jsonl"
+    marker = f"{out}_DONE"
+    if not os.path.exists(marker):
+        write_jsonl(_rp(sf, "documents"), out)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return read_jsonl(out).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _q_ipc_roundtrip(sf: str):
+    """Arrow IPC (Feather v2) sink + source roundtrip over orders —
+    including the timestamp column, surfaced as exact epoch
+    microseconds. IPC is the bit-exact Arrow interchange format; the
+    parquet original is the oracle."""
+    from paperchase_crawler_ray.sources import read_arrow_ipc, \
+        write_arrow_ipc
+    tag = _cache_tag(sf, ("orders",))
+    out = f"/tmp/pc_q_cache/{tag}/ipc"
+    marker = f"{out}_DONE"
+    if not os.path.exists(marker):
+        write_arrow_ipc(
+            _rp(sf, "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_orderpriority", "o_orderdate"]), out)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    def us(b: pa.Table) -> pa.Table:
+        od = _ts_us_col(b.column("o_orderdate"))
+        return b.drop_columns(["o_orderdate"]).append_column("od_us", od)
+
+    return read_arrow_ipc(out).map_batches(us, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -4065,6 +4134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_budget_select": _q_budget_select,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_gopher_filter": _q_gopher_filter,
+        "q_c4_filter": _q_c4_filter,
+        "q_keep_best": _q_keep_best,
+        "q_jsonl_roundtrip": _q_jsonl_roundtrip,
+        "q_ipc_roundtrip": _q_ipc_roundtrip,
         "q_group_sample": _q_group_sample,
         "q_dup_spans": _q_dup_spans,
         "q_clean_spans": _q_clean_spans,
@@ -5005,6 +5078,44 @@ def oracle_sql() -> dict[str, str]:
             "AND 10*n_alpha_words >= 8*n_words "
             "AND n_stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) "
             "AS pass_gopher FROM c",
+        "q_c4_filter":
+            # same rule constants as ops/textstats.c4_stats_batch; a
+            # kept line ends in . ! ? or ", has >=5 \w+ words, and has
+            # no word-bounded 'javascript'; sentence count = terminal
+            # punctuation chars
+            "WITH s AS (SELECT doc_id, "
+            "string_split(text, chr(10)) AS lines, "
+            "CAST(len(text) - len(replace(text, '.', '')) "
+            "+ len(text) - len(replace(text, '!', '')) "
+            "+ len(text) - len(replace(text, '?', '')) AS BIGINT) "
+            "AS n_sentences, "
+            "CAST(CASE WHEN contains(lower(text), 'lorem ipsum') "
+            "THEN 1 ELSE 0 END AS BIGINT) AS has_lorem, "
+            "CAST(CASE WHEN contains(text, '{') OR contains(text, '}')"
+            " THEN 1 ELSE 0 END AS BIGINT) AS has_brace "
+            "FROM documents), c AS (SELECT doc_id, "
+            "CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(list_filter(lines, x -> "
+            "(x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR "
+            "x LIKE '%\"') "
+            "AND len(regexp_extract_all(x, '\\w+')) >= 5 "
+            "AND NOT regexp_matches(lower(x), "
+            "'\\bjavascript\\b'))) AS BIGINT) AS n_kept_lines, "
+            "n_sentences, has_lorem, has_brace FROM s) "
+            "SELECT doc_id, n_lines, n_kept_lines, n_sentences, "
+            "has_lorem, has_brace, CAST(CASE WHEN n_sentences >= 3 "
+            "AND has_lorem = 0 AND has_brace = 0 AND n_kept_lines >= 1"
+            " THEN 1 ELSE 0 END AS BIGINT) AS pass_c4 FROM c",
+        "q_keep_best":
+            "SELECT doc_id, lang, n_chars FROM documents QUALIFY "
+            "ROW_NUMBER() OVER (PARTITION BY text "
+            "ORDER BY n_chars DESC, doc_id) = 1",
+        "q_jsonl_roundtrip":
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "q_ipc_roundtrip":
+            "SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "o_orderpriority, CAST(epoch_us(o_orderdate) AS BIGINT) "
+            "AS od_us FROM orders",
         "q_train_shards":
             "SELECT c_custkey, shard, CAST(ROW_NUMBER() OVER ("
             "PARTITION BY shard ORDER BY pos, c_custkey) - 1 AS BIGINT)"

@@ -1400,3 +1400,82 @@ def gopher_filter(ds: ray.data.Dataset, text_col: str = "text"
                 .drop_columns(stats_cols)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# -- C4-style heuristic cleaning (Raffel et al. 2020, "Exploring the
+#    Limits of Transfer Learning with a Unified Text-to-Text
+#    Transformer", public §2.2 rule list) -------------------------------
+
+_C4_TERMINALS = ('.', '!', '?', '"')
+_C4_JS_RE = re.compile(r"\bjavascript\b", re.ASCII)
+_C4_STATS_COLS = ["n_lines", "n_kept_lines", "n_sentences",
+                  "has_lorem", "has_brace", "pass_c4"]
+
+
+def c4_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer C4-rule components per document (all BIGINT so the SQL
+    oracle compares exactly) plus the combined ``pass_c4`` flag.
+
+    Rules (the paper's public heuristics, deterministically pinned):
+      * a LINE is kept iff it ends in a terminal punctuation mark
+        ('.', '!', '?', '"'), has >= 5 words, and does not contain the
+        word "javascript" (case-insensitive, ASCII word boundary);
+      * n_sentences counts terminal '.'/'!'/'?' characters in the doc
+        (the paper's "at least 3 sentences" gate, made exact);
+      * the DOC passes iff n_sentences >= 3, it contains no curly
+        brace, no "lorem ipsum" (case-insensitive), and at least one
+        line survives the line filter.
+    """
+    texts = _texts(batch, text_col)
+    n = len(texts)
+    cols = {k: np.empty(n, np.int64) for k in _C4_STATS_COLS}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        nk = 0
+        for x in lines:
+            if (x.endswith(_C4_TERMINALS)
+                    and len(_WORD_RE.findall(x)) >= 5
+                    and not _C4_JS_RE.search(x.lower())):
+                nk += 1
+        ns = t.count(".") + t.count("!") + t.count("?")
+        low = t.lower()
+        lorem = int("lorem ipsum" in low)
+        brace = int("{" in t or "}" in t)
+        ok = ns >= 3 and not lorem and not brace and nk >= 1
+        for k, v in (("n_lines", len(lines)), ("n_kept_lines", nk),
+                     ("n_sentences", ns), ("has_lorem", lorem),
+                     ("has_brace", brace), ("pass_c4", int(ok))):
+            cols[k][i] = v
+    out = batch
+    for k in _C4_STATS_COLS:
+        out = out.append_column(k, pa.array(cols[k], pa.int64()))
+    return out
+
+
+def c4_stats(ds: ray.data.Dataset, text_col: str = "text"
+             ) -> ray.data.Dataset:
+    """Per-document C4-rule components (stateless map_batches)."""
+    return ds.map_batches(lambda b: c4_stats_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def c4_clean(ds: ray.data.Dataset, text_col: str = "text",
+             out_col: str = "clean_text") -> ray.data.Dataset:
+    """The full C4 transform: drop failing documents, and within the
+    survivors keep only the surviving lines, reassembled in order with
+    '\\n' (the corpus a downstream tokenizer actually sees)."""
+    def clean(b: pa.Table) -> pa.Table:
+        s = c4_stats_batch(b, text_col)
+        s = s.filter(pc.equal(s.column("pass_c4"), 1))
+        texts = _texts(s, text_col)
+        kept = []
+        for t in texts:
+            ls = [x for x in t.split("\n")
+                  if (x.endswith(_C4_TERMINALS)
+                      and len(_WORD_RE.findall(x)) >= 5
+                      and not _C4_JS_RE.search(x.lower()))]
+            kept.append("\n".join(ls))
+        out = s.drop_columns(_C4_STATS_COLS + [text_col])
+        return out.append_column(out_col, pa.array(kept, pa.string()))
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -175,3 +175,79 @@ def compact_images(out_dir: str) -> int:
 
 def image_sink_schema() -> pa.Schema:
     return IMAGE_CAPTION
+
+
+# ---------------------------------------------------------------------------
+# Interchange formats beyond parquet (SURVEY.md §2.1 source breadth):
+# newline-delimited JSON (the lingua franca of public text-corpus dumps)
+# and Arrow IPC / Feather (zero-copy interchange between Arrow engines).
+# Both write ONE FILE PER BLOCK inside tasks — the write parallelizes
+# like any map stage and a partial run leaves whole-file units a resumed
+# run can skip — and both read back into a streaming Dataset.
+# ---------------------------------------------------------------------------
+
+
+def write_jsonl(ds: ray.data.Dataset, path: str) -> None:
+    """Write a Dataset as a directory of newline-delimited JSON files
+    (one per block, written task-parallel by Ray's JSON datasink).
+    Exact for int64 / string / bool columns — the shapes a text corpus
+    exports (binary / timestamp columns should ship as parquet or IPC).
+    """
+    ds.write_json(path)
+
+
+def read_jsonl(path: str) -> ray.data.Dataset:
+    """Read a directory (or single file) of newline-delimited JSON into
+    a streaming Dataset (pyarrow's block-wise JSON parser; types are
+    inferred per block and reconciled by Ray at the schema boundary)."""
+    return ray.data.read_json(path)
+
+
+def write_arrow_ipc(ds: ray.data.Dataset, path: str) -> int:
+    """Write a Dataset as a directory of Arrow IPC (Feather v2) files,
+    one per block, inside map tasks. IPC is the BIT-EXACT interchange
+    format: every Arrow type (timestamps, decimals, binary, nested
+    lists) round-trips unchanged, unlike JSON. Files are named by the
+    block's content hash (a retried task rewrites the same bytes to the
+    same name) and land via pid-suffixed temp + ``os.replace`` so a
+    killed task never leaves a truncated file at a canonical name.
+    Returns the number of rows written."""
+    import hashlib
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        buf = sink.getvalue()
+        key = hashlib.blake2b(buf, digest_size=10).hexdigest()
+        dst = os.path.join(path, f"part-{key}.arrow")
+        tmp = f"{dst}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, dst)
+        return pa.table({"rows": pa.array([tbl.num_rows], pa.int64())})
+
+    counts = ds.map_batches(_write_block, batch_format="pyarrow",
+                            batch_size=None)
+    return int(sum(r["rows"] for r in counts.take_all()))
+
+
+def read_arrow_ipc(path: str) -> ray.data.Dataset:
+    """Read a directory of Arrow IPC files as a streaming Dataset: the
+    binary-file read parallelizes per file and each file decodes to its
+    table zero-copy from the read buffer (``pa.ipc.open_file`` maps the
+    record batches without re-decoding values)."""
+    raw = ray.data.read_binary_files(path)
+
+    def _decode(b: pa.Table) -> pa.Table:
+        tables = []
+        for v in b.column("bytes"):   # a handful of FILES, not rows
+            reader = pa.ipc.open_file(pa.BufferReader(v.as_py()))
+            tables.append(reader.read_all())
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return raw.map_batches(_decode, batch_format="pyarrow")

@@ -3833,3 +3833,73 @@ def test_gopher_filter_selects_pass_rows(ray_session):
 def test_group_sample_matches_duckdb(ray_session):
     """Deterministic md5-ordered k-per-class sample (5 types x 100)."""
     assert _duckdb_twin("q_group_sample") == 500
+
+
+def test_c4_filter_matches_duckdb(ray_session):
+    """C4-rule integer components + combined pass flag (SQL twin)."""
+    assert _duckdb_twin("q_c4_filter") == 500
+
+
+def test_c4_stats_rich_text(ray_session):
+    """Every C4 rule exercised on punctuation-rich synthetic docs
+    (the corpus fixture has no punctuation, so the sf twin alone
+    cannot distinguish the rule constants)."""
+    from paperchase_crawler_ray.ops.textstats import c4_stats
+    texts = [
+        # 3 sentences, two keepable lines -> pass
+        "one two three four five.\nshort line.\nsix seven eight nine ten!",
+        # javascript word kills the only long line; still >=3 sentences
+        # but zero kept lines -> fail
+        "enable javascript one two three four.\nno. no. no.",
+        # lorem ipsum -> fail even with good lines
+        "lorem ipsum dolor sit amet consectetur.\nmore good words here ok.",
+        # curly brace -> fail
+        "var x = {a: 1} one two three four five.\nclean line here today ok.",
+        # only 2 sentences -> fail
+        "one two three four five.\nsix seven eight nine ten",
+        # quote-terminated line counts as kept
+        'he said "one two three four five."\nagain. again. again.',
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    s = c4_stats(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(s["pass_c4"]) == [1, 0, 0, 0, 0, 1]
+    # doc0: 'short line.' has 2 words -> dropped; the 5-word '.' and
+    # '!' lines survive
+    assert s.loc[0, "n_kept_lines"] == 2
+    assert s.loc[1, "n_kept_lines"] == 0       # javascript line killed
+    assert list(s["has_lorem"]) == [0, 0, 1, 0, 0, 0]
+    assert list(s["has_brace"]) == [0, 0, 0, 1, 0, 0]
+    assert s.loc[5, "n_sentences"] == 4        # three '.' + one '.'
+
+    from paperchase_crawler_ray.ops.textstats import c4_clean
+    c = c4_clean(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")["clean_text"].to_dict()
+    assert c == {
+        0: "one two three four five.\nsix seven eight nine ten!",
+        5: 'he said "one two three four five."',
+    }
+
+
+def test_keep_best_matches_duckdb(ray_session):
+    """Quality-argmax canonical dedup (longest copy wins)."""
+    assert _duckdb_twin("q_keep_best") > 0
+
+
+def test_keep_best_picks_highest_quality(ray_session):
+    """Among exact duplicates the LONGEST doc survives (ties -> lowest
+    doc_id), unlike the first-occurrence policy of q_text_hash_dedup."""
+    from paperchase_crawler_ray.ops.relational import exact_dedup
+    from paperchase_crawler_ray.ops.textstats import fingerprint_batch
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["dup", "dup", "uniq", "dup", "other"]),
+        "n_chars": pa.array([3, 9, 4, 9, 5], pa.int64()),
+    })
+    hashed = ray.data.from_arrow(t).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    out = exact_dedup(hashed, ["text_hash"],
+                      [("n_chars", True), ("doc_id", False)]).to_pandas()
+    # 'dup' cluster: docs 2 and 4 tie on n_chars=9 -> doc 2 wins
+    assert sorted(out["doc_id"]) == [2, 3, 5]

@@ -2,6 +2,7 @@
 
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 import ray.data
@@ -148,3 +149,52 @@ def test_dataset_tombstone_dir_roundtrip(tmp_path):
     after = res.images_dataset().to_pandas()
     assert set(after["image_id"]) == kept
     assert compact_images(out) == 0
+
+
+def test_jsonl_roundtrip_exact(tmp_path):
+    import ray.data
+
+    from paperchase_crawler_ray.sources import read_jsonl, write_jsonl
+    t = pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": pa.array(["a b\nc", 'quote " brace', "unicode é"],
+                         pa.string()),
+        "flag": pa.array([True, False, True]),
+    })
+    out = str(tmp_path / "jl")
+    write_jsonl(ray.data.from_arrow(t), out)
+    back = read_jsonl(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    orig = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back[orig.columns.tolist()].equals(orig)
+
+
+def test_arrow_ipc_roundtrip_bit_exact(tmp_path):
+    import numpy as np
+    import ray.data
+
+    from paperchase_crawler_ray.sources import (read_arrow_ipc,
+                                                write_arrow_ipc)
+    # IPC must carry what JSON cannot: timestamps, binary, list<float>
+    t = pa.table({
+        "k": pa.array(range(100), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(100)],
+                       pa.timestamp("us")),
+        "payload": pa.array([bytes([i, 255 - i]) for i in range(100)],
+                            pa.binary()),
+        "vec": pa.array([[float(i), i / 3.0] for i in range(100)],
+                        pa.list_(pa.float32())),
+    })
+    out = str(tmp_path / "ipc")
+    n = write_arrow_ipc(
+        ray.data.from_arrow(t).repartition(4), out)
+    assert n == 100
+    files = [f for f in os.listdir(out) if f.endswith(".arrow")]
+    assert len(files) >= 2 and not any(".tmp" in f for f in files)
+    back = read_arrow_ipc(out).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    orig = t.to_pandas()
+    assert back["ts"].equals(orig["ts"])
+    assert list(back["payload"]) == list(orig["payload"])
+    assert all(np.array_equal(a, b)
+               for a, b in zip(back["vec"], orig["vec"]))
