@@ -3989,6 +3989,34 @@ def _q_ipc_roundtrip(sf: str):
     return read_arrow_ipc(out).map_batches(us, batch_format="pyarrow")
 
 
+def _q_webdataset_roundtrip(sf: str):
+    """WebDataset-style tar-shard sink + source (the public image+
+    caption training-corpus convention: per-sample <key>.txt /
+    <key>.json members grouped in tar shards, one shard per block,
+    written task-parallel). The parquet original is the oracle — a
+    value-hash match proves every text byte and metadata field
+    survives the tar hop."""
+    from paperchase_crawler_ray.sources import (read_webdataset,
+                                                write_webdataset)
+    tag = _cache_tag(sf, ("documents",))
+    out = f"/tmp/pc_q_cache/{tag}/wds"
+    marker = f"{out}_DONE"
+    if not os.path.exists(marker):
+        write_webdataset(_rp(sf, "documents"), out, key_col="doc_id",
+                         text_col="text",
+                         meta_cols=["lang", "source", "n_chars"])
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    def restore(b: pa.Table) -> pa.Table:
+        did = pc.cast(b.column("key"), pa.int64())
+        return b.drop_columns(["key"]).append_column("doc_id", did)
+
+    return read_webdataset(out).map_batches(
+        restore, batch_format="pyarrow").select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -4138,6 +4166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keep_best": _q_keep_best,
         "q_jsonl_roundtrip": _q_jsonl_roundtrip,
         "q_ipc_roundtrip": _q_ipc_roundtrip,
+        "q_webdataset_roundtrip": _q_webdataset_roundtrip,
         "q_group_sample": _q_group_sample,
         "q_dup_spans": _q_dup_spans,
         "q_clean_spans": _q_clean_spans,
@@ -5111,6 +5140,8 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY text "
             "ORDER BY n_chars DESC, doc_id) = 1",
         "q_jsonl_roundtrip":
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "q_webdataset_roundtrip":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_ipc_roundtrip":
             "SELECT o_orderkey, o_custkey, o_orderstatus, "

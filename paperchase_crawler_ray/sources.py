@@ -187,19 +187,50 @@ def image_sink_schema() -> pa.Schema:
 # ---------------------------------------------------------------------------
 
 
-def write_jsonl(ds: ray.data.Dataset, path: str) -> None:
+def write_jsonl(ds: ray.data.Dataset, path: str,
+                compression: str | None = None) -> None:
     """Write a Dataset as a directory of newline-delimited JSON files
-    (one per block, written task-parallel by Ray's JSON datasink).
+    (one per block, written task-parallel).
     Exact for int64 / string / bool columns — the shapes a text corpus
     exports (binary / timestamp columns should ship as parquet or IPC).
-    """
-    ds.write_json(path)
+
+    ``compression="gzip"`` writes ``.jsonl.gz`` files (the format
+    public text dumps actually ship in); serialization stays
+    vectorized (pandas' C ``to_json``), gzip wraps the block once."""
+    if compression is None:
+        ds.write_json(path)
+        return
+    if compression != "gzip":
+        raise ValueError(f"unsupported jsonl compression: {compression}")
+    import gzip
+    import hashlib
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write_block(df) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        raw = gzip.compress(
+            df.to_json(orient="records", lines=True,
+                       force_ascii=False).encode("utf-8"), mtime=0)
+        key = hashlib.blake2b(raw, digest_size=10).hexdigest()
+        dst = os.path.join(path, f"part-{key}.jsonl.gz")
+        tmp = f"{dst}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, dst)
+        return pa.table({"rows": pa.array([len(df)], pa.int64())})
+
+    ds.map_batches(_write_block, batch_format="pandas",
+                   batch_size=None).materialize()
 
 
 def read_jsonl(path: str) -> ray.data.Dataset:
     """Read a directory (or single file) of newline-delimited JSON into
     a streaming Dataset (pyarrow's block-wise JSON parser; types are
-    inferred per block and reconciled by Ray at the schema boundary)."""
+    inferred per block and reconciled by Ray at the schema boundary).
+    ``.jsonl.gz`` files decompress transparently (arrow detects gzip
+    from the extension)."""
     return ray.data.read_json(path)
 
 
@@ -249,5 +280,110 @@ def read_arrow_ipc(path: str) -> ray.data.Dataset:
             reader = pa.ipc.open_file(pa.BufferReader(v.as_py()))
             tables.append(reader.read_all())
         return pa.concat_tables(tables) if tables else pa.table({})
+
+    return raw.map_batches(_decode, batch_format="pyarrow")
+
+
+def write_webdataset(ds: ray.data.Dataset, path: str, key_col: str,
+                     text_col: str | None = None,
+                     bytes_col: str | None = None,
+                     meta_cols: list[str] | None = None) -> int:
+    """Write a Dataset as WebDataset-style tar shards (the public
+    convention for image+caption training corpora: one tar per shard,
+    each sample a group of files sharing a basename — ``<key>.txt`` for
+    the caption/text, ``<key>.bin`` for an opaque payload, ``<key>.json``
+    for scalar metadata). One shard per block, written inside map tasks
+    (task-parallel, content-hash named, atomic replace — a retried task
+    rewrites the same bytes). Returns rows written.
+
+    Deterministic: tar member mtimes are 0 and members are emitted in
+    row order, so a shard's bytes are a pure function of its block."""
+    import hashlib
+    import io
+    import json
+    import tarfile
+
+    os.makedirs(path, exist_ok=True)
+    meta_cols = list(meta_cols or [])
+
+    def _write_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        buf = io.BytesIO()
+        keys = tbl.column(key_col).to_pylist()
+        texts = tbl.column(text_col).to_pylist() if text_col else None
+        blobs = tbl.column(bytes_col).to_pylist() if bytes_col else None
+        metas = {c: tbl.column(c).to_pylist() for c in meta_cols}
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            def add(name: str, data: bytes) -> None:
+                ti = tarfile.TarInfo(name=name)
+                ti.size = len(data)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(data))
+            for i, k in enumerate(keys):
+                base = str(k)
+                if texts is not None:
+                    add(f"{base}.txt", texts[i].encode("utf-8"))
+                if blobs is not None:
+                    add(f"{base}.bin", blobs[i])
+                if meta_cols:
+                    add(f"{base}.json", json.dumps(
+                        {c: metas[c][i] for c in meta_cols},
+                        sort_keys=True).encode("utf-8"))
+        raw = buf.getvalue()
+        h = hashlib.blake2b(raw, digest_size=10).hexdigest()
+        dst = os.path.join(path, f"shard-{h}.tar")
+        tmp = f"{dst}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, dst)
+        return pa.table({"rows": pa.array([tbl.num_rows], pa.int64())})
+
+    counts = ds.map_batches(_write_block, batch_format="pyarrow",
+                            batch_size=None)
+    return int(sum(r["rows"] for r in counts.take_all()))
+
+
+def read_webdataset(path: str) -> ray.data.Dataset:
+    """Read a directory of WebDataset tar shards back into a Dataset
+    with columns ``key`` (string), plus ``text`` / ``payload`` / one
+    column per JSON metadata field, whichever member kinds the shards
+    carry. Shards parse in parallel (one binary-file read per tar)."""
+    import io
+    import json
+    import tarfile
+
+    raw = ray.data.read_binary_files(path)
+
+    def _decode(b: pa.Table) -> pa.Table:
+        samples: dict[str, dict] = {}
+        order: list[str] = []
+        for v in b.column("bytes"):     # a handful of SHARDS, not rows
+            with tarfile.open(fileobj=io.BytesIO(v.as_py())) as tf:
+                for m in tf:
+                    base, _, ext = m.name.rpartition(".")
+                    data = tf.extractfile(m).read()
+                    if base not in samples:
+                        samples[base] = {}
+                        order.append(base)
+                    if ext == "txt":
+                        samples[base]["text"] = data.decode("utf-8")
+                    elif ext == "bin":
+                        samples[base]["payload"] = data
+                    elif ext == "json":
+                        samples[base].update(json.loads(data))
+        cols: dict[str, list] = {"key": []}
+        for k in order:
+            cols["key"].append(k)
+        field_names = sorted({f for s in samples.values() for f in s})
+        for f in field_names:
+            cols[f] = [samples[k].get(f) for k in order]
+        out = {"key": pa.array(cols["key"], pa.string())}
+        for f in field_names:
+            if f == "payload":
+                out[f] = pa.array(cols[f], pa.binary())
+            else:
+                out[f] = pa.array(cols[f])
+        return pa.table(out)
 
     return raw.map_batches(_decode, batch_format="pyarrow")

@@ -198,3 +198,63 @@ def test_arrow_ipc_roundtrip_bit_exact(tmp_path):
     assert list(back["payload"]) == list(orig["payload"])
     assert all(np.array_equal(a, b)
                for a, b in zip(back["vec"], orig["vec"]))
+
+
+def test_jsonl_gzip_roundtrip(tmp_path):
+    import ray.data
+
+    from paperchase_crawler_ray.sources import read_jsonl, write_jsonl
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["hello world", "unicode é ok"])})
+    out = str(tmp_path / "gz")
+    write_jsonl(ray.data.from_arrow(t), out, compression="gzip")
+    files = os.listdir(out)
+    assert files and all(f.endswith(".jsonl.gz") for f in files)
+    back = read_jsonl(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert back[["doc_id", "text"]].equals(t.to_pandas())
+
+
+def test_webdataset_binary_roundtrip(tmp_path):
+    import ray.data
+
+    from paperchase_crawler_ray.sources import (read_webdataset,
+                                                write_webdataset)
+    t = pa.table({
+        "image_id": pa.array([f"img{i:03d}" for i in range(50)]),
+        "caption": pa.array([f"caption {i} é" for i in range(50)]),
+        "bytes": pa.array([bytes([i % 256]) * (i + 1) for i in range(50)],
+                          pa.binary()),
+        "w": pa.array([i * 2 for i in range(50)], pa.int64()),
+    })
+    out = str(tmp_path / "wds")
+    n = write_webdataset(ray.data.from_arrow(t).repartition(3), out,
+                         key_col="image_id", text_col="caption",
+                         bytes_col="bytes", meta_cols=["w"])
+    assert n == 50
+    shards = [f for f in os.listdir(out) if f.endswith(".tar")]
+    assert len(shards) >= 2
+    back = read_webdataset(out).to_pandas().sort_values("key") \
+        .reset_index(drop=True)
+    orig = t.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert list(back["key"]) == list(orig["image_id"])
+    assert list(back["text"]) == list(orig["caption"])
+    assert list(back["payload"]) == list(orig["bytes"])
+    assert list(back["w"]) == list(orig["w"])
+
+
+def test_webdataset_shards_deterministic(tmp_path):
+    """Same block -> same shard bytes (mtime pinned to 0), so a retried
+    task rewrites identical content under the identical name."""
+    import ray.data
+
+    from paperchase_crawler_ray.sources import write_webdataset
+    t = pa.table({"k": pa.array(["a", "b"]),
+                  "txt": pa.array(["one", "two"])})
+    o1, o2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    write_webdataset(ray.data.from_arrow(t), o1, "k", text_col="txt")
+    write_webdataset(ray.data.from_arrow(t), o2, "k", text_col="txt")
+    f1, f2 = sorted(os.listdir(o1)), sorted(os.listdir(o2))
+    assert f1 == f2
+    assert open(os.path.join(o1, f1[0]), "rb").read() == \
+        open(os.path.join(o2, f2[0]), "rb").read()
