@@ -4017,6 +4017,34 @@ def _q_webdataset_roundtrip(sf: str):
         ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _q_ccnet_buckets(sf: str):
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): score
+    every doc with the corpus Kneser-Ney LM, then cut each LANGUAGE
+    into three equal-count perplexity terciles (best log-prob = head).
+    Pure composition: kn scoring -> grouped_ntile (SQL NTILE rule).
+    Rows-only: float log-probs by design; pytest pins the naive-twin
+    bucket assignment exactly."""
+    from paperchase_crawler_ray.ops.relational import grouped_ntile
+    from paperchase_crawler_ray.ops.textstats import (kneser_ney_fit,
+                                                      kneser_ney_score)
+    docs = _rp(sf, "documents", columns=["doc_id", "text", "lang"])
+    model = kneser_ney_fit(docs)
+    scored = kneser_ney_score(docs, model)
+    tiled = grouped_ntile(scored, "lang",
+                          [("kn_logprob", True), ("doc_id", False)], 3,
+                          out_col="tile")
+
+    def label(b: pa.Table) -> pa.Table:
+        t = b.column("tile").to_numpy(zero_copy_only=False)
+        lab = np.array(["head", "middle", "tail"])[t - 1]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "bucket": pa.array(lab, pa.string())})
+
+    return tiled.map_batches(label, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_host_counts": _q_host_counts,
@@ -4167,6 +4195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jsonl_roundtrip": _q_jsonl_roundtrip,
         "q_ipc_roundtrip": _q_ipc_roundtrip,
         "q_webdataset_roundtrip": _q_webdataset_roundtrip,
+        "q_ccnet_buckets": _q_ccnet_buckets,
         "q_group_sample": _q_group_sample,
         "q_dup_spans": _q_dup_spans,
         "q_clean_spans": _q_clean_spans,

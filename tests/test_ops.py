@@ -3903,3 +3903,32 @@ def test_keep_best_picks_highest_quality(ray_session):
                       [("n_chars", True), ("doc_id", False)]).to_pandas()
     # 'dup' cluster: docs 2 and 4 tie on n_chars=9 -> doc 2 wins
     assert sorted(out["doc_id"]) == [2, 3, 5]
+
+
+def test_ccnet_buckets_matches_naive(ray_session):
+    """Per-language NTILE(3) over the exact KN scores: the distributed
+    bucket assignment equals a single-process numpy recomputation."""
+    import __ray_entry__ as E
+    from paperchase_crawler_ray.ops.textstats import (kneser_ney_fit,
+                                                      kneser_ney_score)
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["q_ccnet_buckets"](sf).to_pandas() \
+        .set_index("doc_id")
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    scored = kneser_ney_score(docs, kneser_ney_fit(docs)).to_pandas()
+    labels = np.array(["head", "middle", "tail"])
+    for lang, g in scored.groupby("lang"):
+        g = g.sort_values(["kn_logprob", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        n, k = len(g), 3
+        q, r = divmod(n, k)
+        sizes = [q + 1] * r + [q] * (k - r)
+        tile = np.repeat(np.arange(k), sizes)
+        for doc, t in zip(g["doc_id"], tile):
+            assert got.loc[doc, "bucket"] == labels[t], (lang, doc)
+    # equal-count property: per (lang, bucket) sizes differ by <= 1
+    counts = got.groupby(["lang", "bucket"]).size()
+    for lang in got["lang"].unique():
+        c = counts[lang]
+        assert c.max() - c.min() <= 1
