@@ -2013,6 +2013,24 @@ def _q_prep_pipeline(sf: str):
     return chunks.select_columns(["doc_id", "chunk_id", "n_chunk_tokens"])
 
 
+def _q_curate(sf: str):
+    """Full curation PRODUCT chain (pipelines/curate.py) in its
+    SQL-expressible configuration: Gopher quality gate -> exact-dup
+    collapse (best copy = most tokens, then lowest doc_id; identical
+    texts tie on tokens so winner = min doc_id per text) -> sliding
+    window chunking -> deterministic md5 shuffle-to-shards. The twin
+    replays every stage: the Gopher rule (q_gopher_filter's integer
+    arithmetic), PARTITION BY text winner, the q_chunk window algebra,
+    and the q_train_shards md5 shard+seq on key 'doc_id:chunk_id'."""
+    from paperchase_crawler_ray.pipelines.curate import (CurateConfig,
+                                                         curate_chain)
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    out = curate_chain(docs, CurateConfig(filters=("gopher",),
+                                          neardup_threshold=None,
+                                          n_shards=8))
+    return out.select_columns(["doc_id", "chunk_id", "shard", "seq"])
+
+
 def _q_weighted_sample(sf: str):
     """Weighted sampling without replacement (Efraimidis–Spirakis
     priorities from a stable seeded hash): deterministic top-k, so
@@ -4238,6 +4256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_augment": _q_image_augment,
         "q_image_features": _q_image_features,
         "q_image_transcode": _q_image_transcode,
+        "q_curate": _q_curate,
     }
 
 
@@ -5176,6 +5195,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_orderstatus, "
             "o_orderpriority, CAST(epoch_us(o_orderdate) AS BIGINT) "
             "AS od_us FROM orders",
+        "q_curate":
+            # gopher gate (q_gopher_filter's integer rule) -> exact-dup
+            # winner (min doc_id per text) -> q_chunk window algebra ->
+            # q_train_shards md5 shard/seq on key 'doc_id:chunk_id'
+            "WITH s AS (SELECT doc_id, text, "
+            "regexp_extract_all(text, '\\w+') AS words, "
+            "string_split(text, chr(10)) AS lines, "
+            "CAST((len(text) - len(replace(text, '...', ''))) // 3 "
+            "AS BIGINT) AS n_ell, "
+            "CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) "
+            "AS n_hash FROM documents), g AS (SELECT doc_id, text FROM ("
+            "SELECT doc_id, text, "
+            "CAST(len(words) AS BIGINT) AS n_words, "
+            "CAST(coalesce(list_sum(list_transform(words, "
+            "w -> len(w))), 0) AS BIGINT) AS sum_word_len, "
+            "CAST(len(list_filter(words, w -> regexp_matches(w, "
+            "'[a-zA-Z]'))) AS BIGINT) AS n_alpha_words, "
+            "n_hash + n_ell AS n_symbols, "
+            "CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(list_filter(lines, x -> x LIKE '- %' OR "
+            "x LIKE '* %')) AS BIGINT) AS n_bullet_lines, "
+            "CAST(len(list_filter(lines, x -> x LIKE '%...')) "
+            "AS BIGINT) AS n_ellipsis_lines, "
+            "CAST(len(list_distinct(list_filter(list_transform(words, "
+            f"w -> lower(w)), w -> w IN {_STOP_SQL}))) AS BIGINT) "
+            "AS n_stop_distinct FROM s) WHERE "
+            "n_words BETWEEN 50 AND 100000 "
+            "AND 3*n_words <= sum_word_len "
+            "AND sum_word_len <= 10*n_words "
+            "AND 10*n_symbols <= n_words "
+            "AND 10*n_bullet_lines <= 9*n_lines "
+            "AND 10*n_ellipsis_lines <= 3*n_lines "
+            "AND 10*n_alpha_words >= 8*n_words "
+            "AND n_stop_distinct >= 2), "
+            "dd AS (SELECT doc_id, text FROM g QUALIFY ROW_NUMBER() "
+            "OVER (PARTITION BY text ORDER BY doc_id) = 1), "
+            "toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'\\w+') AS t FROM dd), "
+            "c AS (SELECT doc_id, t, len(t) AS n FROM toks "
+            "WHERE len(t) > 0), "
+            "ch AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id "
+            "FROM c, UNNEST(generate_series(1, 1 + CAST(CEIL(GREATEST("
+            "n - 64, 0) / 48.0) AS BIGINT))) AS u(i)), "
+            "k AS (SELECT doc_id, chunk_id, CAST(doc_id AS VARCHAR) || "
+            "':' || CAST(chunk_id AS VARCHAR) AS ck FROM ch) "
+            "SELECT doc_id, chunk_id, shard, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY shard ORDER BY pos, ck) - 1 AS BIGINT) AS seq"
+            " FROM (SELECT doc_id, chunk_id, ck, CAST(CAST(('0x' || "
+            "substr(md5(ck), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard"
+            ", CAST(('0x' || substr(md5('p:' || ck), 1, 16)) AS "
+            "UBIGINT) AS pos FROM k)",
         "q_train_shards":
             "SELECT c_custkey, shard, CAST(ROW_NUMBER() OVER ("
             "PARTITION BY shard ORDER BY pos, c_custkey) - 1 AS BIGINT)"

@@ -66,13 +66,24 @@ def _hash_shard(col: pa.ChunkedArray, num_shards: int) -> np.ndarray:
         % num_shards for x in vals], np.int64)
 
 
-def write_resumable(ds: ray.data.Dataset, out_dir: str, key_col: str,
-                    num_shards: int = 16) -> dict:
+def write_resumable(ds: ray.data.Dataset, out_dir: str,
+                    key_col: str | None = None,
+                    num_shards: int = 16,
+                    shard_col: str | None = None) -> dict:
     """Write ``ds`` hash-sharded by ``key_col`` into ``out_dir`` with a
     per-shard ``_COMMITTED`` marker; shards already sealed are SKIPPED
     (their rows are filtered out of the pass). Returns counters
     {written: [...], skipped: [...]}.
+
+    ``shard_col`` (instead of ``key_col``) uses a PRE-COMPUTED integer
+    shard id column (values must lie in [0, num_shards)) — the path a
+    pipeline that already shuffled-to-shards (e.g. shuffle_to_shards's
+    ``shard``) takes, so the storage layout matches the training layout
+    exactly instead of re-hashing under a different function.
     """
+    if (key_col is None) == (shard_col is None):
+        raise ValueError("write_resumable: exactly one of key_col / "
+                         "shard_col must be given")
     os.makedirs(out_dir, exist_ok=True)
     done = committed_shards(out_dir, num_shards)
     missing = [s for s in range(num_shards) if s not in done]
@@ -86,7 +97,11 @@ def write_resumable(ds: ray.data.Dataset, out_dir: str, key_col: str,
     missing_arr = np.array(missing, np.int64)
 
     def tag_and_filter(b: pa.Table) -> pa.Table:
-        shard = _hash_shard(b.column(key_col), num_shards)
+        if shard_col is not None:
+            shard = b.column(shard_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            shard = _hash_shard(b.column(key_col), num_shards)
         keep = np.isin(shard, missing_arr)
         out = b.append_column(_SHARD_COL, pa.array(shard, pa.int64()))
         return out.filter(pa.array(keep))
