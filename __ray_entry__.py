@@ -2295,6 +2295,18 @@ def _q_components(sf: str):
     return connected_components(_edge_ds(sf)).sort(["node"])
 
 
+def _q_bfs(sf: str):
+    """Level-synchronous BFS hop distances from the 'click' event-type
+    node over the bipartite user<->event_type graph: one streaming edge
+    scan per hop with per-block frontier dedup (broadcast mode) or a
+    frontier-keyed join per hop (auto-switched scale path). Distances
+    are exact small integers, so the recursive-CTE oracle hash-matches
+    at any parallelism; the hop cap (20) is part of the op semantics
+    and appears in both sides."""
+    from paperchase_crawler_ray.ops.graph import bfs_distances
+    return bfs_distances(_edge_ds(sf), ["tclick"]).sort(["node"])
+
+
 def _q_event_gap(sf: str):
     """LAG window: microseconds since the user's previous event (first
     event per user omitted — SQL NULL rows filtered on both sides)."""
@@ -3262,6 +3274,34 @@ def _q_audio_features(sf: str):
                          concurrency=(1, 4))
     return out.select_columns(["media_id", "sample_rate", "n_channels",
                                "duration_sec", "rms"]).sort("media_id")
+
+
+def _q_audio_vad(sf: str):
+    """Multimodal audio: energy-threshold voice-activity detection over
+    REAL WAV fixtures — exploded (media_id, seg_idx, start/end_frame)
+    segment rows, frame-integer exact. Rows-only — binary payload
+    input; pytest carries the constructed-boundary golden
+    (test_audio_vad_matches_constructed_segments)."""
+    from paperchase_crawler_ray.fixtures import make_speech_rows
+    from paperchase_crawler_ray.ops.multimodal import AudioVAD
+    rows = make_speech_rows(120)
+    ds = ray.data.from_arrow(rows.drop_columns(["segments_json"]))
+    out = ds.map_batches(AudioVAD, batch_format="pyarrow", batch_size=32,
+                         concurrency=(1, 4))
+    return out.sort(["media_id", "seg_idx"])
+
+
+def _q_bm25(sf: str):
+    """BM25 retrieval top-k per query over the documents table
+    (Lucene-form idf, block-local score sums, grouped_topk finish).
+    Rows-only — float scoring by design; pytest carries the bit-exact
+    single-process twin (test_bm25_topk_matches_naive)."""
+    from paperchase_crawler_ray.ops.textstats import bm25_topk
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    out = bm25_topk(docs, ["quick brown fox", "data pipeline quality",
+                           "machine learning model"], k=10)
+    return out.select_columns(["query_idx", "doc_id", "score", "rnk"]) \
+        .sort(["query_idx", "rnk"])
 
 
 def _q_video_frames(sf: str):
@@ -4257,6 +4297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_features": _q_image_features,
         "q_image_transcode": _q_image_transcode,
         "q_curate": _q_curate,
+        "q_bfs": _q_bfs,
+        "q_audio_vad": _q_audio_vad,
+        "q_bm25": _q_bm25,
     }
 
 
@@ -4502,6 +4545,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT u.dst, r.label FROM reach r JOIN und u ON "
             "u.src = r.node) SELECT node, MIN(label) AS component FROM "
             "reach GROUP BY node",
+        "q_bfs":
+            "WITH RECURSIVE und AS (SELECT 'u' || CAST(user_id AS "
+            "VARCHAR) AS src, 't' || event_type AS dst FROM events "
+            "UNION SELECT 't' || event_type, 'u' || CAST(user_id AS "
+            "VARCHAR) FROM events), reach(node, dist) AS ("
+            "SELECT 'tclick', 0 UNION SELECT u.dst, r.dist + 1 FROM "
+            "reach r JOIN und u ON u.src = r.node WHERE r.dist < 20) "
+            "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM reach "
+            "GROUP BY node",
         "q_session_ids":
             "SELECT event_id, user_id, CAST(SUM(new_s) OVER (PARTITION "
             "BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "

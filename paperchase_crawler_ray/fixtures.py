@@ -332,6 +332,48 @@ def make_audio_rows(n: int, seed: int = 42, sample_rate: int = 8000) -> pa.Table
     })
 
 
+def make_speech_rows(n: int, seed: int = 42,
+                     sample_rate: int = 8000) -> pa.Table:
+    """Deterministic REAL WAV rows shaped like speech for VAD tests:
+    alternating exact-silence and sine-burst spans whose boundaries are
+    MULTIPLES OF THE 20ms VAD FRAME (160 samples at 8kHz), so the
+    expected voice segments are knowable by construction. The expected
+    segments (in frames) ride along as JSON in ``segments_json``."""
+    import json as _json
+
+    from .functions.av import wav_encode
+    frame = sample_rate // 50          # 20 ms
+    ids, payloads, rates, segjs = [], [], [], []
+    for k in range(n):
+        mid = f"spc{k:06d}"
+        rng = _rng_for(seed, mid)
+        spans, segs, pieces, pos = int(rng.integers(2, 6)), [], [], 0
+        for s in range(spans):
+            sil = int(rng.integers(2, 6))      # frames of silence
+            voc = int(rng.integers(3, 9))      # frames of voice
+            pieces.append(np.zeros(sil * frame))
+            t = np.arange(voc * frame, dtype=np.float64) / sample_rate
+            amp = float(rng.uniform(0.3, 0.8))
+            freq = float(rng.uniform(100, 800))
+            pieces.append(amp * np.sin(2 * np.pi * freq * t))
+            segs.append((pos + sil, pos + sil + voc))
+            pos += sil + voc
+        pieces.append(np.zeros(int(rng.integers(2, 5)) * frame))
+        x = np.concatenate(pieces)
+        ids.append(mid)
+        payloads.append(wav_encode(x, sample_rate))
+        rates.append(sample_rate)
+        segjs.append(_json.dumps(segs))
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "codec": pa.array(["wav"] * n, pa.string()),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "n_channels": pa.array([1] * n, pa.int32()),
+        "segments_json": pa.array(segjs, pa.string()),
+    })
+
+
 def make_video_rows(n: int, seed: int = 42, frame_w: int = 24,
                     frame_h: int = 16) -> pa.Table:
     """Deterministic REAL motion-JPEG video rows (VIDEO_SCHEMA shape):

@@ -47,7 +47,7 @@ from ray.data.aggregate import Min, Sum
 from .relational import cap_join_partitions
 from .relational import scrub_empty_blocks as _scrub
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "bfs_distances"]
 
 # mode="auto" switches to the distributed-node-table join path above
 # this many (undirected/projected) edge rows: V <= 2E, so below it the
@@ -352,3 +352,114 @@ def _pagerank_join(e: ray.data.Dataset, iters: int,
 
         scores = _scrub(joined.map_batches(apply, batch_format="pyarrow"))
     return scores
+
+
+def bfs_distances(edges: ray.data.Dataset, seeds: list,
+                  src: str = "a", dst: str = "b",
+                  directed: bool = False, max_hops: int = 20,
+                  mode: str = "auto") -> ray.data.Dataset:
+    """Level-synchronous BFS hop distances from a seed set.
+
+    Returns (node, dist) for every node reachable within ``max_hops``
+    hops of any seed (seeds themselves at dist 0; unreachable nodes
+    absent — SQL-twin shape: the recursive CTE's MIN(dist) per node
+    with the same hop cap). Distances are small exact integers, so the
+    result hash-matches the DuckDB recursive oracle at any parallelism.
+
+    Scale shape mirrors ``connected_components``: each superstep is ONE
+    streaming edge scan with per-block partial dedup of proposed
+    frontier nodes; broadcast mode keeps the visited set as an O(V)
+    driver pd.Index and ships the CURRENT FRONTIER ONLY via ``ray.put``
+    (frontiers are bounded by V but typically far smaller); join mode
+    keeps (node, dist) a Dataset and expands via a frontier-edge keyed
+    join + anti semantics (left_outer null-probe) per hop — the path
+    for node tables beyond driver memory. Seeds are a caller-supplied
+    LIST (query shapes seed from a handful of ids); a Dataset seed set
+    only makes sense in join mode, where the list is promoted to one.
+    """
+    und = edges.map_batches(
+        lambda b: pa.table({"src": b.column(src), "dst": b.column(dst)}),
+        batch_format="pyarrow")
+    if not directed:
+        und = _undirect(edges, src, dst)
+    und = und.materialize()
+    if _resolve_mode(mode, und.count()) == "join":
+        return _bfs_join(und, seeds, max_hops)
+
+    # visited: node -> dist, as parallel driver arrays
+    seen_nodes = list(dict.fromkeys(seeds))
+    seen_dist = [0] * len(seen_nodes)
+    frontier = set(seen_nodes)
+
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        ref = ray.put(frontier)
+
+        def expand(b: pa.Table, _ref=ref) -> pa.Table:
+            f = ray.get(_ref)
+            s = b.column("src").to_pandas()
+            hit = s.isin(f).to_numpy()
+            if not hit.any():
+                return pa.table({"node": pa.array(
+                    [], b.column("dst").type)})
+            return pa.table(
+                {"node": pc.unique(b.filter(pa.array(hit)).column("dst"))})
+
+        pt = _collect(und.map_batches(expand, batch_format="pyarrow"))
+        if pt is None:
+            break
+        idx = pd.Index(seen_nodes)
+        cand = pd.unique(pt.column("node").to_pandas())
+        new = [n for n, p in zip(cand, idx.get_indexer(cand)) if p < 0]
+        if not new:
+            break
+        seen_nodes.extend(new)
+        seen_dist.extend([hop] * len(new))
+        frontier = set(new)
+
+    return ray.data.from_arrow(pa.table(
+        {"node": pa.array(seen_nodes),
+         "dist": pa.array(seen_dist, pa.int64())}))
+
+
+def _bfs_join(und: ray.data.Dataset, seeds: list,
+              max_hops: int) -> ray.data.Dataset:
+    """Keyed-join scale path: visited (node, dist) stays a Dataset; the
+    per-hop frontier expansion is a frontier⋈edges join and the
+    visited-set subtraction a left_outer null-probe (anti join)."""
+    sch = und.schema()
+    node_t = sch.types[sch.names.index("src")]
+    visited = ray.data.from_arrow(pa.table(
+        {"node": pa.array(list(dict.fromkeys(seeds)), node_t),
+         "dist": pa.array([0] * len(set(seeds)), pa.int64())}))
+    frontier = visited.select_columns(["node"])
+
+    for hop in range(1, max_hops + 1):
+        msgs = und.join(frontier, join_type="inner",
+                        num_partitions=cap_join_partitions(8),
+                        on=("src",), right_on=("node",))
+        cand = _scrub(msgs.map_batches(
+            lambda b: pa.table({"node": b.column("dst")}),
+            batch_format="pyarrow")).groupby("node").count()
+        if cand.count() == 0:
+            break
+        probe = cand.join(visited, join_type="left_outer",
+                          num_partitions=cap_join_partitions(8),
+                          on=("node",), right_on=("node",),
+                          right_suffix="_v")
+        def fresh(b: pa.Table, _h=hop) -> pa.Table:
+            # anti semantics: unmatched probe rows are the new frontier
+            b = b.filter(pc.is_null(b.column("dist")))
+            return pa.table({"node": b.column("node"),
+                             "dist": pa.array([_h] * b.num_rows,
+                                              pa.int64())})
+
+        # scrub: the anti filter empties most blocks and Ray 2.49 strips
+        # their schema, which poisons the next hop's join partitions
+        new = _scrub(probe.map_batches(fresh, batch_format="pyarrow"))
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new.select_columns(["node"])
+    return visited

@@ -134,6 +134,89 @@ class AudioDecode:
         return out.append_column("rms", pa.array(rms, pa.float64()))
 
 
+class AudioVAD:
+    """Actor stage: audio payload -> exploded voice-activity segments
+    (media_id, seg_idx, start_frame, end_frame, n_frames) — the
+    energy-threshold VAD every speech-corpus pipeline runs before
+    transcription (drop silence, split long files at pauses).
+
+    The signal is mono-mixed, framed into ``frame_ms`` windows, and a
+    frame is ACTIVE when its mean-square energy >= ``energy_floor``
+    (absolute, on the [-1,1] normalized scale — 1e-3 ~= an RMS of
+    0.032, well above int16 quantization noise). Consecutive active
+    frames merge into segments; gaps <= ``max_gap`` frames are bridged
+    (intra-word stops) and segments < ``min_frames`` dropped (clicks).
+    All OUTPUT columns are frame-integer, so results are exactly
+    parallelism- and platform-invariant; per-payload work is
+    independent numpy (no cross-row state), the actor-pool shape of
+    every decode stage here.
+
+    Scale: payload bytes dominate block memory — callers size
+    batch_size small (the AudioDecode guidance); segments are narrow
+    integer rows, so the explode output is tiny relative to input.
+    """
+
+    def __init__(self, frame_ms: int = 20, energy_floor: float = 1e-3,
+                 max_gap: int = 1, min_frames: int = 2,
+                 backend: str = "real"):
+        if backend not in ("real", "fake"):
+            raise ValueError(f"unknown audio backend {backend!r}")
+        self.frame_ms = frame_ms
+        self.energy_floor = energy_floor
+        self.max_gap = max_gap
+        self.min_frames = min_frames
+        self.backend = backend
+
+    def _segments(self, active: np.ndarray) -> list[tuple[int, int]]:
+        if not active.any():
+            return []
+        idx = np.flatnonzero(active)
+        # split where the gap between consecutive active frames
+        # exceeds max_gap+1 (gaps <= max_gap are bridged)
+        brk = np.flatnonzero(np.diff(idx) > self.max_gap + 1) + 1
+        runs = np.split(idx, brk)
+        return [(int(r[0]), int(r[-1]) + 1) for r in runs
+                if r[-1] + 1 - r[0] >= self.min_frames]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rates = batch.column("sample_rate").to_numpy(zero_copy_only=False)
+        out_id, out_seg = [], []
+        out_s, out_e = [], []
+        for i, data in enumerate(payloads):
+            if self.backend == "real":
+                from ..functions.av import wav_decode
+                x, rate = wav_decode(data)
+                if x.ndim == 2:
+                    x = x.mean(axis=1)
+            else:
+                rng = np.random.Generator(
+                    np.random.PCG64(_payload_seed(data)))
+                rate = max(1, int(rates[i]))
+                x = rng.uniform(-1, 1, rate // 2) * (rng.random() > 0.5)
+            flen = max(1, rate * self.frame_ms // 1000)
+            nfr = len(x) // flen
+            if nfr == 0:
+                continue
+            fr = x[:nfr * flen].reshape(nfr, flen)
+            active = np.mean(np.square(fr), axis=1) >= self.energy_floor
+            for j, (s, e) in enumerate(self._segments(active)):
+                out_id.append(ids[i])
+                out_seg.append(j)
+                out_s.append(s)
+                out_e.append(e)
+        return pa.table({
+            "media_id": pa.array(out_id, pa.string()),
+            "seg_idx": pa.array(out_seg, pa.int64()),
+            "start_frame": pa.array(out_s, pa.int64()),
+            "end_frame": pa.array(out_e, pa.int64()),
+            "n_frames": pa.array(
+                np.array(out_e, np.int64) - np.array(out_s, np.int64)
+                if out_s else [], pa.int64()),
+        })
+
+
 class VideoFrameSample:
     """Actor stage: video payload -> exploded frame rows
     (media_id, frame_idx, frame_bytes, w, h), sampling every

@@ -1479,3 +1479,124 @@ def c4_clean(ds: ray.data.Dataset, text_col: str = "text",
         return out.append_column(out_col, pa.array(kept, pa.string()))
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def bm25_topk(ds: ray.data.Dataset, queries: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75) -> ray.data.Dataset:
+    """BM25 retrieval: top-``k`` documents per query string (Robertson/
+    Sparck Jones weighting, the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))``
+    idf form). Returns (query_idx, query, doc_id, score, rnk) with
+    rnk 1..k per query, ties broken by ascending doc id — deterministic
+    at any parallelism, so the naive single-process twin matches
+    bit-for-bit (per-doc float math is order-fixed: terms contribute in
+    first-appearance order, summed per doc within one block).
+
+    Scale shape (the tfidf/grouped_topk composition):
+      1. corpus stats — ONE aggregate over token counts (N, avgdl);
+      2. match plane — per-batch tokenize emits (doc, term, tf, dl)
+         rows ONLY for the broadcast query-term set (vocabulary-sized
+         pruning at the scan; a query set of hundreds keeps this plane
+         thousands of times smaller than the corpus token plane);
+      3. df — one groupby over the pruned plane's distinct (term, doc)
+         rows, vocabulary-of-queries-sized, collected and broadcast;
+      4. scores — block-local per-(query, doc) sums (a doc's rows never
+         split across blocks: they are emitted by its own batch), so NO
+         score shuffle; ``grouped_topk`` prunes to <= k rows per
+         (query, block) before its one small exchange.
+    """
+    from collections import Counter
+
+    from .relational import grouped_topk
+
+    qtoks = [[w.lower() for w in _WORD_RE.findall(q)] for q in queries]
+    qterms = sorted({t for ts in qtoks for t in ts})
+    qref = ray.put(set(qterms))
+
+    # pass 1: corpus size + average document length (token counts only)
+    stats = ds.map_batches(
+        lambda bt: pa.table({
+            "n": pa.array([bt.num_rows], pa.int64()),
+            "dl": pa.array([sum(len(_WORD_RE.findall(t.lower()))
+                                for t in _texts(bt, text_col))],
+                           pa.int64())}),
+        batch_format="pyarrow")
+    tot = stats.sum(["n", "dl"])
+    n_docs = int(tot["sum(n)"])
+    avgdl = float(tot["sum(dl)"]) / max(1, n_docs)
+
+    # pass 2: (doc, term, tf, dl) rows for query terms only
+    def match_plane(bt: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        ids_o, t_o, tf_o, dl_o = [], [], [], []
+        for i, t in zip(bt.column(id_col).to_pylist(),
+                        _texts(bt, text_col)):
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            cnt = Counter(toks)
+            for term, c in cnt.items():
+                if term in qs:
+                    ids_o.append(i)
+                    t_o.append(term)
+                    tf_o.append(c)
+                    dl_o.append(len(toks))
+        return pa.table({
+            id_col: pa.array(ids_o, bt.schema.field(id_col).type),
+            "term": pa.array(t_o, pa.string()),
+            "tf": pa.array(np.asarray(tf_o, np.int64), pa.int64()),
+            "dl": pa.array(np.asarray(dl_o, np.int64), pa.int64())})
+
+    plane = ds.map_batches(match_plane, batch_format="pyarrow")
+    plane = plane.materialize()     # consumed twice: df + scores
+
+    dft = {r["term"]: r["count()"]
+           for r in plane.groupby("term").count().take_all()}
+    idf = {t: float(np.log(1.0 + (n_docs - dft.get(t, 0) + 0.5)
+                           / (dft.get(t, 0) + 0.5))) for t in qterms}
+    idf_ref = ray.put(idf)
+    q_of_term: dict[str, list[int]] = {}
+    for qi, ts in enumerate(qtoks):
+        for t in set(ts):
+            q_of_term.setdefault(t, []).append(qi)
+    qmap_ref = ray.put(q_of_term)
+
+    def score_block(bt: pa.Table) -> pa.Table:
+        idfs, qmap = ray.get(idf_ref), ray.get(qmap_ref)
+        ids = bt.column(id_col).to_pylist()
+        terms = bt.column("term").to_pylist()
+        tf = bt.column("tf").to_numpy(zero_copy_only=False)
+        dl = bt.column("dl").to_numpy(zero_copy_only=False)
+        contrib = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        acc: dict[tuple[int, object], float] = {}
+        for j in range(len(ids)):
+            w = idfs[terms[j]] * contrib[j]
+            for qi in qmap.get(terms[j], ()):
+                key = (qi, ids[j])
+                acc[key] = acc.get(key, 0.0) + w
+        keys = list(acc.keys())
+        return pa.table({
+            "query_idx": pa.array([x[0] for x in keys], pa.int64()),
+            id_col: pa.array([x[1] for x in keys],
+                             bt.schema.field(id_col).type),
+            "score": pa.array([acc[x] for x in keys], pa.float64())})
+
+    scored = plane.map_batches(score_block, batch_format="pyarrow")
+    top = grouped_topk(scored, "query_idx", "score", k, descending=True,
+                       tie_col=id_col)
+
+    def attach(bt: pa.Table) -> pa.Table:
+        qi = bt.column("query_idx").to_numpy(zero_copy_only=False)
+        qs = pa.array([queries[int(i)] for i in qi], pa.string())
+        idx = pc.sort_indices(bt, sort_keys=[
+            ("query_idx", "ascending"), ("score", "descending"),
+            (id_col, "ascending")])
+        bt = bt.take(idx).append_column("query", qs.take(idx))
+        g = bt.column("query_idx").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        rnk = np.arange(len(g), dtype=np.int64) + 1 \
+            - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        return bt.append_column("rnk", pa.array(rnk, pa.int64()))
+
+    # grouped_topk's finish co-locates each query's rows in one block,
+    # so the rank assignment is block-local
+    return top.map_batches(attach, batch_format="pyarrow",
+                           batch_size=None)

@@ -3932,3 +3932,144 @@ def test_ccnet_buckets_matches_naive(ray_session):
     for lang in got["lang"].unique():
         c = counts[lang]
         assert c.max() - c.min() <= 1
+
+
+def test_bfs_distances_matches_naive_both_modes(ray_session):
+    """BFS hop distances equal a single-process BFS on BOTH the
+    broadcast-frontier and keyed-join paths, directed and undirected,
+    including the unreachable-nodes-absent and hop-cap semantics."""
+    import collections
+    import random as _r
+    from paperchase_crawler_ray.ops.graph import bfs_distances
+    rng = _r.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+    edges.append((97, 98))   # an island the seeds never reach
+    seeds = [0, 1]
+
+    def naive(directed, max_hops=20):
+        adj = collections.defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+            if not directed:
+                adj[b].append(a)
+        dist = {s: 0 for s in seeds}
+        q = collections.deque(seeds)
+        while q:
+            n = q.popleft()
+            if dist[n] >= max_hops:
+                continue
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    q.append(m)
+        return dist
+
+    eds = ray.data.from_arrow(pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())})).repartition(5)
+    for directed in (False, True):
+        want = naive(directed)
+        for mode in ("broadcast", "join"):
+            got = bfs_distances(eds, seeds, directed=directed,
+                                mode=mode).to_pandas()
+            assert dict(zip(got["node"], got["dist"])) == want, \
+                (directed, mode)
+        assert 97 not in set(
+            bfs_distances(eds, seeds, directed=directed)
+            .to_pandas()["node"])
+    # hop cap: a 5-node path with max_hops=2 stops at dist 2
+    path = ray.data.from_arrow(pa.table(
+        {"a": pa.array([0, 1, 2, 3], pa.int64()),
+         "b": pa.array([1, 2, 3, 4], pa.int64())}))
+    for mode in ("broadcast", "join"):
+        got = bfs_distances(path, [0], directed=True, max_hops=2,
+                            mode=mode).to_pandas()
+        assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 1, 2: 2}
+
+
+def test_audio_vad_matches_constructed_segments(ray_session):
+    """Energy VAD over REAL WAV fixtures recovers the constructed
+    silence/voice boundaries EXACTLY (boundaries are frame-aligned by
+    fixture design), plus the gap-bridge and min-length rules on a
+    hand-built signal."""
+    import json
+    from paperchase_crawler_ray.fixtures import make_speech_rows
+    from paperchase_crawler_ray.functions.av import wav_encode
+    from paperchase_crawler_ray.ops.multimodal import AudioVAD
+    rows = make_speech_rows(40)
+    got = ray.data.from_arrow(rows).map_batches(
+        AudioVAD, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 4)).to_pandas()
+    by_media = {}
+    for r in got.itertuples():
+        by_media.setdefault(r.media_id, []).append(
+            (r.seg_idx, r.start_frame, r.end_frame, r.n_frames))
+    for r in rows.to_pylist():
+        want = [(j, s, e, e - s) for j, (s, e) in
+                enumerate(json.loads(r["segments_json"]))]
+        assert sorted(by_media.get(r["media_id"], [])) == want
+
+    # gap-bridge (1 silent frame inside a burst is bridged) and
+    # min-frames (an isolated 1-frame blip is dropped)
+    rate, frame = 8000, 160
+    tone = 0.5 * np.sin(2 * np.pi * 440.0
+                        * np.arange(3 * frame) / rate)
+    sig = np.concatenate([
+        np.zeros(2 * frame), tone, np.zeros(frame), tone,   # bridged
+        np.zeros(4 * frame), tone[:frame],                  # dropped
+        np.zeros(2 * frame)])
+    t = pa.table({
+        "media_id": pa.array(["x"], pa.string()),
+        "payload": pa.array([wav_encode(sig, rate)], pa.binary()),
+        "sample_rate": pa.array([rate], pa.int32())})
+    vad = AudioVAD()
+    out = vad(t).to_pylist()
+    assert [(r["start_frame"], r["end_frame"]) for r in out] == [(2, 9)]
+
+
+def test_bm25_topk_matches_naive(docs_table, ray_session):
+    """BM25 top-k == a single-process twin (same tokenizer, same
+    Lucene-form idf, SAME float evaluation order: per-term contribution
+    then x idf, summed in first-appearance order), bit-for-bit, at two
+    partitionings."""
+    from collections import Counter
+    from paperchase_crawler_ray.ops.textstats import bm25_topk
+    queries = ["quick brown fox", "data pipeline quality", "the"]
+    k1, b, k = 1.2, 0.75, 8
+    rows = docs_table.to_pylist()
+    toks = {r["doc_id"]: [w.lower() for w in
+                          re.findall(r"\w+", r["text"] or "", re.ASCII)]
+            for r in rows}
+    N = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    qtoks = [[w.lower() for w in re.findall(r"\w+", q, re.ASCII)]
+             for q in queries]
+    df = {t: sum(1 for tk in toks.values() if t in tk)
+          for ts in qtoks for t in ts}
+    idf = {t: float(np.log(1.0 + (N - d + 0.5) / (d + 0.5)))
+           for t, d in df.items()}
+    want = []
+    for qi, ts in enumerate(qtoks):
+        scores = {}
+        for d_, tk in toks.items():
+            cnt = Counter(tk)
+            s, dl = 0.0, np.float64(len(tk))
+            for term in cnt:
+                if term in set(ts):
+                    tf = np.float64(cnt[term])
+                    s += idf[term] * (tf * (k1 + 1.0) /
+                                      (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            if s > 0.0:
+                scores[d_] = s
+        top = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        want += [(int(qi), int(d_), float(s), int(r))
+                 for r, (d_, s) in enumerate(top, 1)]
+    for nparts in (3, 11):
+        ds = ray.data.from_arrow(docs_table).repartition(nparts)
+        got = bm25_topk(ds, queries, k=k).to_pandas()
+        gotl = sorted((int(a), int(b_), float(c), int(d)) for a, b_, c, d
+                      in zip(got["query_idx"], got["doc_id"],
+                             got["score"], got["rnk"]))
+        assert gotl == sorted(want), nparts
+        assert list(got.columns) == ["query_idx", "doc_id", "score",
+                                     "query", "rnk"]
