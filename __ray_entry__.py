@@ -2307,6 +2307,66 @@ def _q_bfs(sf: str):
     return bfs_distances(_edge_ds(sf), ["tclick"]).sort(["node"])
 
 
+def _q_triangles(sf: str):
+    """Per-node triangle counts over a deterministic modular projection
+    of events (a = user_id % 499, b = event_id % 499): the
+    degree-ordered wedge-join algorithm (Suri & Vassilvitskii) on the
+    auto broadcast/join switch; exact small integers, so the 3-way
+    self-join SQL twin hash-matches at any parallelism."""
+    from paperchase_crawler_ray.ops.graph import triangle_counts
+    ev = _rp(sf, "events", columns=["event_id", "user_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        e = b.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(u % 499, pa.int64()),
+                         "b": pa.array(e % 499, pa.int64())})
+
+    return triangle_counts(ev.map_batches(mk, batch_format="pyarrow")) \
+        .sort(["node"])
+
+
+def _q_sssp(sf: str):
+    """Hop-bounded weighted shortest paths (Bellman-Ford supersteps)
+    from node 0 over the modular-projected events digraph with
+    deterministic integer weights; min-reductions over integers, so
+    the recursive-CTE twin (which explores every <=6-hop path and
+    takes MIN) hash-matches at any parallelism."""
+    from paperchase_crawler_ray.ops.graph import shortest_paths
+    ev = _rp(sf, "events", columns=["event_id", "user_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        e = b.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(u % 499, pa.int64()),
+                         "b": pa.array(e % 499, pa.int64()),
+                         "w": pa.array(1 + (u + e) % 7, pa.int64())})
+
+    return shortest_paths(ev.map_batches(mk, batch_format="pyarrow"),
+                          [0], max_hops=6).sort(["node"])
+
+
+def _q_transitions(sf: str):
+    """Per-user event-type transition matrix (the Markov-chain counts a
+    sessionization analysis feeds): LAG(event_type) within user by
+    (ts, event_id) via the stitched-sort lag kernel, then one count
+    aggregate over (prev_type, event_type)."""
+    from paperchase_crawler_ray.ops.relational import grouped_lag
+    ev = _rp(sf, "events", columns=["event_id", "user_id", "event_type",
+                                    "ts"])
+    lag = grouped_lag(ev, "user_id", [("ts", False), ("event_id", False)],
+                      "event_type", out_col="prev_type")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("prev_type")))
+        return pa.table({"prev_type": b.column("prev_type"),
+                         "event_type": b.column("event_type")})
+
+    out = lag.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["prev_type", "event_type"]).count()
+    return _rename(out, {"count()": "n"})
+
+
 def _q_event_gap(sf: str):
     """LAG window: microseconds since the user's previous event (first
     event per user omitted — SQL NULL rows filtered on both sides)."""
@@ -4300,6 +4360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bfs": _q_bfs,
         "q_audio_vad": _q_audio_vad,
         "q_bm25": _q_bm25,
+        "q_triangles": _q_triangles,
+        "q_transitions": _q_transitions,
+        "q_sssp": _q_sssp,
     }
 
 
@@ -4545,6 +4608,32 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT u.dst, r.label FROM reach r JOIN und u ON "
             "u.src = r.node) SELECT node, MIN(label) AS component FROM "
             "reach GROUP BY node",
+        "q_sssp":
+            "WITH RECURSIVE e AS (SELECT src, dst, MIN(w) AS w FROM ("
+            "SELECT user_id % 499 AS src, event_id % 499 AS dst, "
+            "1 + (user_id + event_id) % 7 AS w FROM events) "
+            "GROUP BY src, dst), reach(node, dist, hops) AS ("
+            "SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0 "
+            "UNION SELECT e.dst, r.dist + e.w, r.hops + 1 FROM reach r "
+            "JOIN e ON e.src = r.node WHERE r.hops < 6) "
+            "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM reach "
+            "GROUP BY node",
+        "q_triangles":
+            "WITH e0 AS (SELECT DISTINCT LEAST(user_id % 499, event_id "
+            "% 499) AS u, GREATEST(user_id % 499, event_id % 499) AS v "
+            "FROM events WHERE user_id % 499 <> event_id % 499), "
+            "tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e0 a "
+            "JOIN e0 b ON a.u = b.u AND a.v < b.v "
+            "JOIN e0 c ON c.u = a.v AND c.v = b.v) "
+            "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM ("
+            "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri) GROUP BY node",
+        "q_transitions":
+            "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS "
+            "n FROM (SELECT event_type, LAG(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "FROM events) WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, event_type",
         "q_bfs":
             "WITH RECURSIVE und AS (SELECT 'u' || CAST(user_id AS "
             "VARCHAR) AS src, 't' || event_type AS dst FROM events "

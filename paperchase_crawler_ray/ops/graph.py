@@ -44,10 +44,11 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Min, Sum
 
-from .relational import cap_join_partitions
+from .relational import cap_join_partitions, distinct_rows
 from .relational import scrub_empty_blocks as _scrub
 
-__all__ = ["connected_components", "pagerank", "bfs_distances"]
+__all__ = ["connected_components", "pagerank", "bfs_distances",
+           "triangle_counts", "shortest_paths"]
 
 # mode="auto" switches to the distributed-node-table join path above
 # this many (undirected/projected) edge rows: V <= 2E, so below it the
@@ -463,3 +464,290 @@ def _bfs_join(und: ray.data.Dataset, seeds: list,
         visited = visited.union(new).materialize()
         frontier = new.select_columns(["node"])
     return visited
+
+
+def triangle_counts(edges: ray.data.Dataset, src: str = "a",
+                    dst: str = "b", mode: str = "auto"
+                    ) -> ray.data.Dataset:
+    """Per-node triangle participation counts (node, n_tri) over the
+    undirected simple graph of ``edges`` (self-loops dropped, parallel
+    edges collapsed). Every triangle contributes 1 to each of its three
+    corners; nodes in no triangle are absent — the shape of the 3-way
+    self-join SQL oracle.
+
+    Join mode (scale path) is the degree-ordered wedge algorithm
+    (Suri & Vassilvitskii, WWW'11): orient every edge from its
+    lower-(degree, id) endpoint to the higher one, form wedges at each
+    LOW vertex by a self-join, and close them with one keyed join
+    against the oriented edge set. Orientation bounds out-degree by
+    O(sqrt(E)), so the wedge plane is O(E^1.5) worst-case and far
+    smaller on power-law graphs — the curse-of-the-last-reducer fix;
+    plain id-ordering would make the hottest hub emit deg^2 wedges.
+    Broadcast mode keys the same orientation on driver arrays with
+    per-edge sorted-neighbor intersections (O(E^1.5) work, O(E) memory)
+    below the shared 2M-edge switch.
+    """
+    canon = edges.map_batches(
+        lambda b: _canon_block(b, src, dst), batch_format="pyarrow")
+    e = distinct_rows(canon, ["u", "v"])
+    if _resolve_mode(mode, e.count()) == "join":
+        return _triangles_join(e)
+
+    t = _collect(e)
+    if t is None:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "n_tri": pa.array([], pa.int64())}))
+    u = t.column("u").to_numpy(zero_copy_only=False)
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    deg = np.bincount(ui, minlength=len(nodes)) \
+        + np.bincount(vi, minlength=len(nodes))
+    # orient low -> high by (deg, node-position) total order
+    rank = np.lexsort((np.arange(len(nodes)), deg))
+    pos = np.empty(len(nodes), np.int64)
+    pos[rank] = np.arange(len(nodes))
+    lo = np.where(pos[ui] < pos[vi], ui, vi)
+    hi = np.where(pos[ui] < pos[vi], vi, ui)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    starts = np.searchsorted(lo, np.arange(len(nodes)), side="left")
+    ends = np.searchsorted(lo, np.arange(len(nodes)), side="right")
+    ntri = np.zeros(len(nodes), np.int64)
+    for k in range(len(lo)):
+        a, b_ = lo[k], hi[k]
+        na = hi[starts[a]:ends[a]]
+        nb = hi[starts[b_]:ends[b_]]
+        common = np.intersect1d(na, nb, assume_unique=True)
+        if len(common):
+            ntri[a] += len(common)
+            ntri[b_] += len(common)
+            np.add.at(ntri, common, 1)
+    keep = ntri > 0
+    return ray.data.from_arrow(pa.table(
+        {"node": pa.array(nodes[keep]),
+         "n_tri": pa.array(ntri[keep], pa.int64())}))
+
+
+def _canon_block(b: pa.Table, src: str, dst: str) -> pa.Table:
+    u = b.column(src)
+    v = b.column(dst)
+    lo = pc.min_element_wise(u, v)
+    hi = pc.max_element_wise(u, v)
+    t = pa.table({"u": lo, "v": hi})
+    return t.filter(pc.not_equal(t.column("u"), t.column("v")))
+
+
+def _triangles_join(e: ray.data.Dataset) -> ray.data.Dataset:
+    """Degree-ordered wedge join; ``e`` is the canonical distinct
+    (u < v) edge Dataset."""
+    # degree per node: one count over exploded endpoints
+    deg = _scrub(e.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b.column("u").combine_chunks().cast(b.column("u").type),
+             b.column("v").combine_chunks().cast(b.column("v").type)])}),
+        batch_format="pyarrow")).groupby("node").count()
+    deg = _scrub(deg.map_batches(
+        lambda b: b.rename_columns(
+            ["node", "deg"] if b.column_names[0] == "node"
+            else ["deg", "node"]),
+        batch_format="pyarrow"))
+
+    # attach both endpoint degrees (two keyed joins), orient by
+    # (deg, id): lo = lower-rank endpoint
+    j1 = e.join(deg, join_type="inner",
+                num_partitions=cap_join_partitions(8),
+                on=("u",), right_on=("node",))
+    j1 = _scrub(j1.map_batches(
+        lambda b: b.rename_columns(
+            [("deg_u" if c == "deg" else c) for c in b.column_names]),
+        batch_format="pyarrow"))
+    j2 = j1.join(deg, join_type="inner",
+                 num_partitions=cap_join_partitions(8),
+                 on=("v",), right_on=("node",))
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        du = b.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = b.column("deg").to_numpy(zero_copy_only=False)
+        u_low = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({
+            "lo": pa.array(np.where(u_low, u, v)),
+            "hi": pa.array(np.where(u_low, v, u)),
+            "dlo": pa.array(np.where(u_low, du, dv), pa.int64()),
+            "dhi": pa.array(np.where(u_low, dv, du), pa.int64())})
+
+    ori = _scrub(j2.map_batches(orient, batch_format="pyarrow"))
+
+    # wedges at each low vertex: self-join on lo, keep (y, z) ordered
+    # by the same (deg, id) rank so each wedge forms once
+    w = ori.join(ori, join_type="inner",
+                 num_partitions=cap_join_partitions(8),
+                 on=("lo",), right_on=("lo",), right_suffix="_r")
+
+    def wedge(b: pa.Table) -> pa.Table:
+        y = b.column("hi").to_numpy(zero_copy_only=False)
+        z = b.column("hi_r").to_numpy(zero_copy_only=False)
+        dy = b.column("dhi").to_numpy(zero_copy_only=False)
+        dz = b.column("dhi_r").to_numpy(zero_copy_only=False)
+        keep = (dy < dz) | ((dy == dz) & (y < z))
+        t = pa.table({"x": b.column("lo"),
+                      "y": b.column("hi"), "z": b.column("hi_r")})
+        return t.filter(pa.array(keep))
+
+    wedges = _scrub(w.map_batches(wedge, batch_format="pyarrow"))
+
+    # close wedges against the oriented edge set on the (y, z) pair
+    def pair_key(b: pa.Table, a_col: str, b_col: str) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column(a_col), pa.string()),
+            pc.cast(b.column(b_col), pa.string()), "|")
+        return b.append_column("yz", k)
+
+    wk = wedges.map_batches(lambda b: pair_key(b, "y", "z"),
+                            batch_format="pyarrow")
+    ek = _scrub(ori.map_batches(
+        lambda b: pair_key(b, "lo", "hi").select(["yz"]),
+        batch_format="pyarrow"))
+    tri = wk.join(ek, join_type="inner",
+                  num_partitions=cap_join_partitions(8),
+                  on=("yz",), right_on=("yz",))
+
+    # per-node counts: explode corners, one count aggregate
+    corners = _scrub(tri.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays([
+            b.column(c).combine_chunks() for c in ("x", "y", "z")])}),
+        batch_format="pyarrow"))
+    out = corners.groupby("node").count()
+    return _scrub(out.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "n_tri": pc.cast(b.column("count()"),
+                                             pa.int64())}),
+        batch_format="pyarrow"))
+
+
+def shortest_paths(edges: ray.data.Dataset, seeds: list,
+                   src: str = "a", dst: str = "b", weight: str = "w",
+                   max_hops: int = 10, mode: str = "auto"
+                   ) -> ray.data.Dataset:
+    """Hop-bounded single-source(-set) shortest paths over a weighted
+    DIGRAPH (Bellman-Ford relaxation, ``max_hops`` synchronous rounds).
+
+    Returns (node, dist) = the minimum total weight over paths of at
+    most ``max_hops`` edges from any seed (seeds at 0; unreachable
+    absent). Parallel edges collapse to their MINIMUM weight first
+    (simple-digraph semantics — the SQL twin does the same). Integer
+    weights + min-reductions make the result exactly parallelism-
+    invariant, and the hop bound is part of the semantics (it is what
+    makes the recursive-CTE oracle finite on cyclic graphs).
+
+    Scale shape mirrors the other supersteps here: each round is ONE
+    streaming edge scan with per-block groupby-min partials; broadcast
+    mode merges partials into O(V) driver arrays; join mode keeps
+    (node, dist) a Dataset — per round, a dist⋈edges keyed join, a
+    groupby-min, and a min-union with the standing table. Rounds stop
+    early when no distance improves.
+    """
+    canon = edges.map_batches(
+        lambda b: pa.table({"src": b.column(src), "dst": b.column(dst),
+                            "w": pc.cast(b.column(weight), pa.int64())}),
+        batch_format="pyarrow")
+    e = canon.groupby(["src", "dst"]).aggregate(Min("w", alias_name="w")) \
+        .materialize()
+    e = _scrub(e)
+    if _resolve_mode(mode, e.count()) == "join":
+        return _sssp_join(e, seeds, max_hops)
+
+    seed_list = list(dict.fromkeys(seeds))
+    nodes = list(seed_list)
+    idx = pd.Index(nodes)
+    dist = np.zeros(len(nodes), np.int64)
+
+    for _ in range(max_hops):
+        ref = ray.put(dict(zip(nodes, dist.tolist())))
+
+        def relax(b: pa.Table, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            s = b.column("src").to_pandas().map(m)
+            ok = s.notna().to_numpy()
+            if not ok.any():
+                return pa.table({"node": pa.array([], b.column("dst").type),
+                                 "d": pa.array([], pa.int64())})
+            d = pd.DataFrame({
+                "node": b.column("dst").to_pandas()[ok],
+                "d": s[ok].astype(np.int64)
+                + b.column("w").to_pandas()[ok]})
+            part = d.groupby("node", sort=False)["d"].min()
+            return pa.table({"node": pa.array(part.index),
+                             "d": pa.array(part.values, pa.int64())})
+
+        pt = _collect(e.map_batches(relax, batch_format="pyarrow"))
+        if pt is None:
+            break
+        cand = pd.DataFrame({
+            "node": pt.column("node").to_pandas(),
+            "d": pt.column("d").to_numpy(zero_copy_only=False)}) \
+            .groupby("node", sort=False)["d"].min()
+        cn = cand.index.to_numpy()
+        cd = cand.to_numpy(np.int64)
+        pos = idx.get_indexer(cn)
+        known = pos >= 0
+        before = dist.copy()
+        np.minimum.at(dist, pos[known], cd[known])
+        changed = not np.array_equal(dist, before)
+        if (~known).any():
+            nodes.extend(cn[~known].tolist())
+            dist = np.concatenate([dist, cd[~known]])
+            idx = pd.Index(nodes)
+            changed = True
+        if not changed:
+            break
+    return ray.data.from_arrow(pa.table(
+        {"node": pa.array(nodes),
+         "dist": pa.array(dist, pa.int64())}))
+
+
+def _sssp_join(e: ray.data.Dataset, seeds: list,
+               max_hops: int) -> ray.data.Dataset:
+    """Keyed-join scale path: (node, dist) stays a Dataset."""
+    sch = e.schema()
+    node_t = sch.types[sch.names.index("src")]
+    seed_list = list(dict.fromkeys(seeds))
+    dist = ray.data.from_arrow(pa.table(
+        {"node": pa.array(seed_list, node_t),
+         "dist": pa.array([0] * len(seed_list), pa.int64())}))
+
+    for _ in range(max_hops):
+        msgs = e.join(dist, join_type="inner",
+                      num_partitions=cap_join_partitions(8),
+                      on=("src",), right_on=("node",))
+        prop = _scrub(msgs.map_batches(
+            lambda b: pa.table({
+                "node": b.column("dst"),
+                "dist": pc.add(b.column("dist"), b.column("w"))}),
+            batch_format="pyarrow"))
+        if prop.count() == 0:
+            break
+        merged = _scrub(prop.union(dist).groupby("node").aggregate(
+            Min("dist", alias_name="new_dist")))
+        # changed = any node whose new dist beats (or is new vs) the
+        # standing table: left_outer null-probe + comparison
+        probe = merged.join(dist, join_type="left_outer",
+                            num_partitions=cap_join_partitions(8),
+                            on=("node",), right_on=("node",),
+                            right_suffix="_old")
+        changed = probe.map_batches(
+            lambda b: pa.table({"c": pc.cast(pc.or_kleene(
+                pc.is_null(b.column("dist")),
+                pc.less(b.column("new_dist"), b.column("dist"))),
+                pa.int64())}),
+            batch_format="pyarrow").sum("c")
+        dist = _scrub(merged.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "dist": b.column("new_dist")}),
+            batch_format="pyarrow")).materialize()
+        if not changed:
+            break
+    return dist

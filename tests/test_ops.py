@@ -4073,3 +4073,72 @@ def test_bm25_topk_matches_naive(docs_table, ray_session):
         assert gotl == sorted(want), nparts
         assert list(got.columns) == ["query_idx", "doc_id", "score",
                                      "query", "rnk"]
+
+
+def test_triangle_counts_matches_naive_both_modes(ray_session):
+    """Per-node triangle counts == brute-force enumeration over the
+    canonical edge set, on the broadcast (driver intersect) and
+    degree-ordered wedge-join paths, with self-loops and parallel
+    edges in the input."""
+    import itertools
+    import random as _r
+    from paperchase_crawler_ray.ops.graph import triangle_counts
+    rng = _r.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(160)]
+    edges += [(5, 5), (0, 1), (1, 0)]        # self-loop + parallels
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in es for n in e})
+    want = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in es and (x, z) in es and (y, z) in es:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    eds = ray.data.from_arrow(pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())})).repartition(7)
+    for mode in ("broadcast", "join"):
+        got = triangle_counts(eds, mode=mode).to_pandas()
+        assert dict(zip(got["node"], got["n_tri"])) == want, mode
+    # triangle-free (bipartite) graph -> empty result
+    bip = ray.data.from_arrow(pa.table(
+        {"a": pa.array([0, 0, 1, 1], pa.int64()),
+         "b": pa.array([10, 11, 10, 11], pa.int64())}))
+    assert triangle_counts(bip).count() == 0
+
+
+def test_shortest_paths_matches_naive_both_modes(ray_session):
+    """Hop-bounded Bellman-Ford == a single-process Jacobi relaxation
+    (min over <= H-edge paths) on both mode paths, with parallel edges
+    collapsing to their minimum weight; unreachable nodes absent."""
+    import random as _r
+    from paperchase_crawler_ray.ops.graph import shortest_paths
+    rng = _r.Random(3)
+    edges = [(rng.randrange(30), rng.randrange(30), rng.randrange(1, 8))
+             for _ in range(120)]
+    edges.append((0, 1, 99))   # parallel edge, must lose to the min
+    edges.append((0, 1, 1))
+    seeds, H = [0, 7], 10
+    w = {}
+    for a, b, c in edges:
+        w[(a, b)] = min(w.get((a, b), 1 << 60), c)
+    dist = {s: 0 for s in seeds}
+    for _ in range(H):
+        snap = dict(dist)
+        for (a, b), c in w.items():
+            if a in snap and snap[a] + c < dist.get(b, 1 << 60):
+                dist[b] = snap[a] + c
+    eds = ray.data.from_arrow(pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64()),
+         "w": pa.array([e[2] for e in edges], pa.int64())})).repartition(5)
+    for mode in ("broadcast", "join"):
+        got = shortest_paths(eds, seeds, max_hops=H, mode=mode).to_pandas()
+        assert dict(zip(got["node"], got["dist"])) == dist, mode
+    # hop cap binds: a 3-edge chain with H=2 leaves the tail out
+    chain = ray.data.from_arrow(pa.table(
+        {"a": pa.array([0, 1, 2], pa.int64()),
+         "b": pa.array([1, 2, 3], pa.int64()),
+         "w": pa.array([5, 5, 5], pa.int64())}))
+    for mode in ("broadcast", "join"):
+        got = shortest_paths(chain, [0], max_hops=2, mode=mode).to_pandas()
+        assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 5, 2: 10}
