@@ -4107,6 +4107,23 @@ def _q_ipc_roundtrip(sf: str):
     return read_arrow_ipc(out).map_batches(us, batch_format="pyarrow")
 
 
+def _q_csv_roundtrip(sf: str):
+    """CSV sink + source roundtrip over customer's int/string columns
+    (RFC-4180 quoting covers embedded commas/quotes/newlines in
+    comments). The parquet original is the oracle — a value-hash match
+    proves the text hop is exact."""
+    from paperchase_crawler_ray.sources import read_csv, write_csv
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    tag = _cache_tag(sf, ("customer",))
+    out = f"/tmp/pc_q_cache/{tag}/csv"
+    marker = f"{out}_DONE"
+    if not os.path.exists(marker):
+        write_csv(_rp(sf, "customer", columns=cols), out)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return read_csv(out).select_columns(cols)
+
+
 def _q_webdataset_roundtrip(sf: str):
     """WebDataset-style tar-shard sink + source (the public image+
     caption training-corpus convention: per-sample <key>.txt /
@@ -4363,6 +4380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangles": _q_triangles,
         "q_transitions": _q_transitions,
         "q_sssp": _q_sssp,
+        "q_csv_roundtrip": _q_csv_roundtrip,
     }
 
 
@@ -5336,6 +5354,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_orderstatus, "
             "o_orderpriority, CAST(epoch_us(o_orderdate) AS BIGINT) "
             "AS od_us FROM orders",
+        "q_csv_roundtrip":
+            "SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
+            "FROM customer",
         "q_curate":
             # gopher gate (q_gopher_filter's integer rule) -> exact-dup
             # winner (min doc_id per text) -> q_chunk window algebra ->

@@ -387,3 +387,42 @@ def read_webdataset(path: str) -> ray.data.Dataset:
         return pa.table(out)
 
     return raw.map_batches(_decode, batch_format="pyarrow")
+
+
+def write_csv(ds: ray.data.Dataset, path: str) -> int:
+    """Write a Dataset as a directory of RFC-4180 CSV files, one per
+    block, inside map tasks (content-hash named, pid-suffixed temp +
+    ``os.replace`` — the atomic-sink pattern of the IPC/JSONL writers).
+    Exact for int64 / string / bool columns (pyarrow's CSV writer
+    quotes embedded commas/quotes/newlines); floats, timestamps and
+    binary should ship as parquet or IPC. Returns rows written."""
+    import hashlib
+
+    from pyarrow import csv as pacsv
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        sink = pa.BufferOutputStream()
+        pacsv.write_csv(tbl, sink)
+        buf = sink.getvalue()
+        key = hashlib.blake2b(buf, digest_size=10).hexdigest()
+        dst = os.path.join(path, f"part-{key}.csv")
+        tmp = f"{dst}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, dst)
+        return pa.table({"rows": pa.array([tbl.num_rows], pa.int64())})
+
+    counts = ds.map_batches(_write_block, batch_format="pyarrow",
+                            batch_size=None)
+    return int(sum(r["rows"] for r in counts.take_all()))
+
+
+def read_csv(path: str) -> ray.data.Dataset:
+    """Read a directory (or single file) of CSV into a streaming
+    Dataset — Ray's native block-parallel CSV reader (pyarrow parser;
+    per-file type inference reconciled at the schema boundary)."""
+    return ray.data.read_csv(path)

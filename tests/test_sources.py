@@ -258,3 +258,22 @@ def test_webdataset_shards_deterministic(tmp_path):
     assert f1 == f2
     assert open(os.path.join(o1, f1[0]), "rb").read() == \
         open(os.path.join(o2, f2[0]), "rb").read()
+
+
+def test_csv_roundtrip_exact(ray_session, tmp_path):
+    """CSV sink+source roundtrip is exact for int64/string/bool,
+    including strings with embedded commas, quotes and newlines
+    (RFC-4180 quoting)."""
+    import pandas as pd
+    from paperchase_crawler_ray.sources import read_csv, write_csv
+    df = pd.DataFrame({
+        "k": range(50),
+        "s": [f"row {i}, \"quoted\"\nsecond line" if i % 3 == 0
+              else f"plain-{i}" for i in range(50)],
+        "flag": [i % 2 == 0 for i in range(50)]})
+    out = str(tmp_path / "csv")
+    n = write_csv(ray.data.from_pandas(df).repartition(4), out)
+    assert n == 50
+    got = read_csv(out).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "s", "flag"]],
+                                  df.sort_values("k").reset_index(drop=True))
