@@ -2287,6 +2287,17 @@ def _q_pagerank(sf: str):
     return pagerank(_edge_ds(sf), iters=4).sort(["node"])
 
 
+def _q_trustrank(sf: str):
+    """TrustRank (personalized PageRank; Gyongyi et al. VLDB'04):
+    initial mass and teleport base flow ONLY to the trusted seed nodes,
+    so score propagates outward from the trust set. Same fixed-point
+    integer arithmetic as q_pagerank — the iterative recursive-CTE
+    twin hash-matches bit for bit."""
+    from paperchase_crawler_ray.ops.graph import pagerank
+    return pagerank(_edge_ds(sf), iters=4,
+                    teleport=["tclick", "tview"]).sort(["node"])
+
+
 def _q_components(sf: str):
     """Distributed connected components: min-label propagation with
     pointer-jumping shortcuts (O(log diameter) rounds); oracle is the
@@ -2344,6 +2355,38 @@ def _q_sssp(sf: str):
 
     return shortest_paths(ev.map_batches(mk, batch_format="pyarrow"),
                           [0], max_hops=6).sort(["node"])
+
+
+def _q_core(sf: str):
+    """k-core decomposition (h-index fixed point == the classic peel's
+    core numbers) over the modular-projected events graph. Iterative
+    peel has no practical SQL form — rows-only; pytest carries the
+    sequential-peel twin (test_core_numbers_matches_peel_both_modes)."""
+    from paperchase_crawler_ray.ops.graph import core_numbers
+    ev = _rp(sf, "events", columns=["event_id", "user_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        e = b.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(u % 499, pa.int64()),
+                         "b": pa.array(e % 499, pa.int64())})
+
+    return core_numbers(ev.map_batches(mk, batch_format="pyarrow")) \
+        .sort(["node"])
+
+
+def _q_spectrogram(sf: str):
+    """Multimodal audio: per-frame FFT band energies over REAL WAV
+    fixtures (numpy rFFT, 8 equal bands). Rows-only — float spectra;
+    pytest carries the bit-exact numpy twin and a sine band-placement
+    golden (test_audio_spectrogram_matches_numpy_twin)."""
+    from paperchase_crawler_ray.fixtures import make_audio_rows
+    from paperchase_crawler_ray.ops.multimodal import AudioSpectrogram
+    rows = make_audio_rows(120)
+    out = ray.data.from_arrow(rows).map_batches(
+        AudioSpectrogram, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 4))
+    return out.sort(["media_id", "frame_idx"])
 
 
 def _q_transitions(sf: str):
@@ -4381,6 +4424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_transitions": _q_transitions,
         "q_sssp": _q_sssp,
         "q_csv_roundtrip": _q_csv_roundtrip,
+        "q_core": _q_core,
+        "q_spectrogram": _q_spectrogram,
+        "q_trustrank": _q_trustrank,
     }
 
 
@@ -4616,6 +4662,21 @@ def oracle_sql() -> dict[str, str]:
             "pr p2 JOIN e ON e.src = p2.node JOIN deg ON deg.src = "
             "p2.node WHERE e.dst = p.node AND p2.iter = p.iter), 0) + "
             "150000 FROM pr p WHERE p.iter < 4) SELECT node, CAST(score "
+            "AS BIGINT) AS score FROM pr WHERE iter = 4",
+        "q_trustrank":
+            "WITH RECURSIVE e AS (SELECT 'u' || CAST(user_id AS VARCHAR)"
+            " AS src, 't' || event_type AS dst FROM events), deg AS ("
+            "SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY "
+            "src), nodes AS (SELECT DISTINCT node FROM (SELECT src AS "
+            "node FROM e UNION ALL SELECT dst FROM e)), pr(iter, node, "
+            "score) AS (SELECT 0, node, CAST(CASE WHEN node IN "
+            "('tclick','tview') THEN 1000000 ELSE 0 END AS BIGINT) FROM"
+            " nodes UNION ALL SELECT p.iter + 1, p.node, COALESCE(("
+            "SELECT SUM((p2.score * 850000 // 1000000) // deg.d) FROM "
+            "pr p2 JOIN e ON e.src = p2.node JOIN deg ON deg.src = "
+            "p2.node WHERE e.dst = p.node AND p2.iter = p.iter), 0) + "
+            "CASE WHEN p.node IN ('tclick','tview') THEN 150000 ELSE 0 "
+            "END FROM pr p WHERE p.iter < 4) SELECT node, CAST(score "
             "AS BIGINT) AS score FROM pr WHERE iter = 4",
         "q_components":
             "WITH RECURSIVE und AS (SELECT 'u' || CAST(user_id AS "

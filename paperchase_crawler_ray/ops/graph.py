@@ -48,7 +48,7 @@ from .relational import cap_join_partitions, distinct_rows
 from .relational import scrub_empty_blocks as _scrub
 
 __all__ = ["connected_components", "pagerank", "bfs_distances",
-           "triangle_counts", "shortest_paths"]
+           "triangle_counts", "shortest_paths", "core_numbers"]
 
 # mode="auto" switches to the distributed-node-table join path above
 # this many (undirected/projected) edge rows: V <= 2E, so below it the
@@ -218,8 +218,8 @@ def _components_join(und: ray.data.Dataset,
 
 def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
              iters: int = 10, damping_ppm: int = 850_000,
-             scale: int = 1_000_000, mode: str = "auto"
-             ) -> ray.data.Dataset:
+             scale: int = 1_000_000, mode: str = "auto",
+             teleport: list | None = None) -> ray.data.Dataset:
     """Directed PageRank in fixed-point integer arithmetic.
 
     Scores are int64 micro-units (``scale`` = one unit of probability
@@ -233,12 +233,20 @@ def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
     across any parallelism and across both modes.
 
     Returns (node, score) with score in micro-units.
+
+    ``teleport`` (a small caller-supplied seed list) switches to
+    PERSONALIZED PageRank — TrustRank when the seeds are trusted hosts
+    (Gyongyi, Garcia-Molina & Pedersen, VLDB'04): initial mass and the
+    per-iteration ``(1 - damping)`` base go ONLY to the seeds (``scale``
+    and ``base`` per seed, un-normalized — documented integer
+    semantics), so score flows outward from the trust set and spam
+    farms unreachable from it stay at 0.
     """
     e = edges.map_batches(
         lambda b: pa.table({"src": b.column(src), "dst": b.column(dst)}),
         batch_format="pyarrow").materialize()
     if _resolve_mode(mode, e.count()) == "join":
-        return _pagerank_join(e, iters, damping_ppm, scale)
+        return _pagerank_join(e, iters, damping_ppm, scale, teleport)
 
     def block_deg(b: pa.Table) -> pa.Table:
         part = pd.Series(b.column("src").to_pylist()) \
@@ -269,7 +277,17 @@ def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
     base = scale - scale * damping_ppm // 1_000_000
     deg_ref = ray.put(dict(zip(node_arr[has_out].tolist(),
                                outdeg_vec[has_out].tolist())))
-    scores = np.full(len(node_arr), scale, np.int64)
+    if teleport is None:
+        base_vec = np.full(len(node_arr), base, np.int64)
+        scores = np.full(len(node_arr), scale, np.int64)
+    else:
+        trusted = node_idx.get_indexer(
+            pd.Index(list(dict.fromkeys(teleport))))
+        trusted = trusted[trusted >= 0]
+        base_vec = np.zeros(len(node_arr), np.int64)
+        base_vec[trusted] = base
+        scores = np.zeros(len(node_arr), np.int64)
+        scores[trusted] = scale
 
     for _ in range(iters):
         sref = ray.put(dict(zip(node_arr.tolist(), scores.tolist())))
@@ -287,7 +305,7 @@ def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
                              "g": pa.array(part.values, pa.int64())})
 
         gt = _collect(e.map_batches(share, batch_format="pyarrow"))
-        scores = np.full(len(node_arr), base, np.int64)
+        scores = base_vec.copy()
         if gt is not None:
             np.add.at(scores,
                       node_idx.get_indexer(
@@ -300,7 +318,8 @@ def pagerank(edges: ray.data.Dataset, src: str = "a", dst: str = "b",
 
 
 def _pagerank_join(e: ray.data.Dataset, iters: int,
-                   damping_ppm: int, scale: int) -> ray.data.Dataset:
+                   damping_ppm: int, scale: int,
+                   teleport: list | None = None) -> ray.data.Dataset:
     """Keyed-join scale path: scores stay a distributed Dataset.
     ``e`` is the materialized (src, dst) projection."""
     # out-degrees ride along every superstep join (computed once)
@@ -316,12 +335,22 @@ def _pagerank_join(e: ray.data.Dataset, iters: int,
     ).groupby("node").aggregate(Min("node", alias_name="_"))
     nodes = _scrub(nodes.select_columns(["node"]))
     base = scale - scale * damping_ppm // 1_000_000
+    tset_ref = ray.put(set(teleport)) if teleport is not None else None
 
-    scores = _scrub(nodes.map_batches(
-        lambda b: pa.table({"node": b.column("node"),
-                            "score": pa.array(
-                                np.full(b.num_rows, scale, np.int64))}),
-        batch_format="pyarrow"))
+    def init_scores(b: pa.Table) -> pa.Table:
+        if tset_ref is None:
+            v = np.full(b.num_rows, scale, np.int64)
+        else:
+            ts = ray.get(tset_ref)
+            inset = np.fromiter(
+                (x in ts for x in b.column("node").to_pylist()),
+                bool, b.num_rows)
+            v = np.where(inset, scale, 0).astype(np.int64)
+        return pa.table({"node": b.column("node"),
+                         "score": pa.array(v, pa.int64())})
+
+    scores = _scrub(nodes.map_batches(init_scores,
+                                      batch_format="pyarrow"))
 
     e_deg = _scrub(e.join(deg, join_type="inner",
                           num_partitions=cap_join_partitions(8),
@@ -348,8 +377,16 @@ def _pagerank_join(e: ray.data.Dataset, iters: int,
 
         def apply(b: pa.Table) -> pa.Table:
             g = pc.fill_null(b.column("gain"), 0)
+            if tset_ref is None:
+                bb = base
+            else:
+                ts = ray.get(tset_ref)
+                inset = np.fromiter(
+                    (x in ts for x in b.column("node").to_pylist()),
+                    bool, b.num_rows)
+                bb = pa.array(np.where(inset, base, 0).astype(np.int64))
             return pa.table({"node": b.column("node"),
-                             "score": pc.add(g, base)})
+                             "score": pc.add(g, bb)})
 
         scores = _scrub(joined.map_batches(apply, batch_format="pyarrow"))
     return scores
@@ -751,3 +788,171 @@ def _sssp_join(e: ray.data.Dataset, seeds: list,
         if not changed:
             break
     return dist
+
+
+def core_numbers(edges: ray.data.Dataset, src: str = "a",
+                 dst: str = "b", max_iters: int = 100,
+                 mode: str = "auto") -> ray.data.Dataset:
+    """k-core decomposition: (node, core) where core is the largest k
+    such that the node survives in the k-core (every member has >= k
+    neighbors inside the subgraph) — the coreness signal web-quality
+    and spam pipelines compute over host graphs.
+
+    Algorithm: the h-index fixed point (Lu, Chen, Zhang & Zhou 2016,
+    "The H-index of a network node" — coreness = repeated h-index of
+    neighbor values, initialized at degree). Each BSP round streams the
+    undirected edge list ONCE, emitting per-block (node, neighbor
+    value) HISTOGRAM partials (groupby counts — pre-shrunk, never raw
+    edges), then computes each node's h-index from its merged
+    histogram; values only decrease, and the fixed point is exactly
+    the classic peel algorithm's core number (deterministic integers,
+    so both modes and the naive twin agree bit-for-bit).
+
+    Broadcast mode merges histogram partials into O(V)-indexed driver
+    frames (vectorized rank-vs-value h-index, no per-node loops); join
+    mode keeps (node, value) a Dataset — per round, a values⋈edges
+    keyed join, a (node, value) count aggregate, and a block-local
+    h-index finish after ONE node-keyed repartition. Self-loops are
+    dropped; parallel edges collapse (simple-graph semantics).
+    """
+    canon = edges.map_batches(
+        lambda b: _canon_block(b, src, dst), batch_format="pyarrow")
+    e = distinct_rows(canon, ["u", "v"])
+    und = _undirect(e, "u", "v").materialize()
+    if _resolve_mode(mode, und.count()) == "join":
+        return _core_join(und, max_iters)
+
+    def block_deg(b: pa.Table) -> pa.Table:
+        return pa.table(b.select(["src"]).group_by("src").aggregate(
+            [("src", "count")]).rename_columns(["node", "d"]))
+
+    dt = _collect(und.map_batches(block_deg, batch_format="pyarrow"))
+    if dt is None:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "core": pa.array([], pa.int64())}))
+    agg = pd.DataFrame({"node": dt.column("node").to_pandas(),
+                        "d": dt.column("d").to_numpy(
+                            zero_copy_only=False)}) \
+        .groupby("node", sort=True)["d"].sum()
+    nodes = agg.index.to_numpy()
+    val = agg.to_numpy(np.int64)
+    idx = pd.Index(nodes)
+
+    def _h_from_pairs(node_pos: np.ndarray, nb_val: np.ndarray,
+                      n_nodes: int) -> np.ndarray:
+        # h-index per node from (node position, neighbor value) pairs:
+        # sort by (node, value desc); h = max over rows of
+        # min(value, within-node rank)
+        order = np.lexsort((-nb_val, node_pos))
+        p, v = node_pos[order], nb_val[order]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        rank = np.arange(len(p), dtype=np.int64) + 1 \
+            - np.repeat(starts, np.diff(np.r_[starts, len(p)]))
+        h = np.zeros(n_nodes, np.int64)
+        np.maximum.at(h, p, np.minimum(v, rank))
+        return h
+
+    for _ in range(max_iters):
+        ref = ray.put(dict(zip(nodes.tolist(), val.tolist())))
+
+        def hist(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            d = pd.DataFrame({
+                "node": b.column("dst").to_pandas(),
+                "v": b.column("src").to_pandas().map(m)})
+            part = d.groupby(["node", "v"], sort=False).size()
+            lv = part.index.get_level_values
+            return pa.table({
+                "node": pa.array(lv("node")),
+                "v": pa.array(lv("v").to_numpy(np.int64)),
+                "c": pa.array(part.to_numpy(np.int64))})
+
+        pt = _collect(und.map_batches(hist, batch_format="pyarrow"))
+        df = pd.DataFrame({
+            "node": pt.column("node").to_pandas(),
+            "v": pt.column("v").to_numpy(zero_copy_only=False),
+            "c": pt.column("c").to_numpy(zero_copy_only=False)}) \
+            .groupby(["node", "v"], sort=False)["c"].sum().reset_index()
+        # expand histogram rows back to one row per (node, neighbor):
+        # total neighbor rows == 2E, bounded in broadcast mode
+        pos = idx.get_indexer(df["node"].to_numpy()).repeat(
+            df["c"].to_numpy())
+        nv = df["v"].to_numpy(np.int64).repeat(df["c"].to_numpy())
+        new = _h_from_pairs(pos, nv, len(nodes))
+        if np.array_equal(new, val):
+            break
+        val = new
+    return ray.data.from_arrow(pa.table(
+        {"node": pa.array(nodes), "core": pa.array(val, pa.int64())}))
+
+
+def _core_join(und: ray.data.Dataset, max_iters: int) -> ray.data.Dataset:
+    """Keyed-join scale path: (node, value) stays a Dataset; the
+    h-index finish is block-local after one node-keyed repartition."""
+    from .dedup import _hash_shuffle
+
+    vals = _scrub(und.map_batches(
+        lambda b: pa.table({"node": b.column("src")}),
+        batch_format="pyarrow").groupby("node").count())
+    vals = _scrub(vals.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "val": pc.cast(b.column("count()"),
+                                           pa.int64())}),
+        batch_format="pyarrow")).materialize()
+
+    for _ in range(max_iters):
+        msgs = und.join(vals, join_type="inner",
+                        num_partitions=cap_join_partitions(8),
+                        on=("src",), right_on=("node",))
+        pairs = _scrub(msgs.map_batches(
+            lambda b: pa.table({"node": b.column("dst"),
+                                "v": b.column("val")}),
+            batch_format="pyarrow"))
+        hist = _scrub(pairs.groupby(["node", "v"]).count())
+
+        def block_h(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "new_val": pa.array([], pa.int64())})
+            idx_ = pc.sort_indices(b, sort_keys=[
+                ("node", "ascending"), ("v", "descending")])
+            s = b.take(idx_)
+            n = s.column("node").to_numpy(zero_copy_only=False)
+            v = s.column("v").to_numpy(zero_copy_only=False)
+            c = s.column("count()").to_numpy(zero_copy_only=False)
+            # histogram rows -> cumulative neighbor count per node;
+            # h = max min(v, cum) over rows (v desc within node)
+            starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+            cum = np.cumsum(c)
+            base = np.repeat(np.r_[0, cum[starts[1:] - 1]]
+                             if len(starts) > 1 else [0],
+                             np.diff(np.r_[starts, len(n)]))
+            within = cum - base
+            h = np.minimum(v, within)
+            hm = pd.Series(h).groupby(pd.Series(n)).max()
+            return pa.table({"node": pa.array(hm.index.to_numpy()),
+                             "new_val": pa.array(hm.to_numpy(np.int64))})
+
+        with _hash_shuffle(hist):
+            newv = _scrub(hist.repartition(
+                num_blocks=cap_join_partitions(8), keys=["node"])
+                .map_batches(block_h, batch_format="pyarrow",
+                             batch_size=None)).materialize()
+        probe = newv.join(vals, join_type="inner",
+                          num_partitions=cap_join_partitions(8),
+                          on=("node",), right_on=("node",))
+        changed = probe.map_batches(
+            lambda b: pa.table({"c": pc.cast(pc.not_equal(
+                b.column("new_val"), b.column("val")), pa.int64())}),
+            batch_format="pyarrow").sum("c")
+        vals = _scrub(newv.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "val": b.column("new_val")}),
+            batch_format="pyarrow")).materialize()
+        if not changed:
+            break
+    return vals.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "core": b.column("val")}),
+        batch_format="pyarrow")

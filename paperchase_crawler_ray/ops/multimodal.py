@@ -217,6 +217,73 @@ class AudioVAD:
         })
 
 
+class AudioSpectrogram:
+    """Actor stage: audio payload -> per-frame spectral band energies
+    (media_id, frame_idx, b0..b{n_bands-1}) — the FFT feature plane a
+    speech/audio curation pipeline computes for quality filtering and
+    clustering (numpy rFFT; no external DSP dependency).
+
+    The mono-mixed signal is framed like AudioVAD (``frame_ms``
+    windows, no overlap); each frame's one-sided power spectrum is
+    summed into ``n_bands`` equal bin ranges. Per-payload math is
+    independent, order-fixed numpy, so outputs are exactly
+    parallelism-invariant and the pytest twin matches bit-for-bit.
+    Same actor-pool shape and batch-size guidance as the other decode
+    stages (payload bytes dominate block memory); output rows are
+    narrow floats, frames-per-payload times smaller than the input.
+    """
+
+    def __init__(self, frame_ms: int = 20, n_bands: int = 8,
+                 backend: str = "real"):
+        if backend not in ("real", "fake"):
+            raise ValueError(f"unknown audio backend {backend!r}")
+        self.frame_ms = frame_ms
+        self.n_bands = n_bands
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rates = batch.column("sample_rate").to_numpy(zero_copy_only=False)
+        out_id: list = []
+        out_fr: list = []
+        bands: list = []
+        for i, data in enumerate(payloads):
+            if self.backend == "real":
+                from ..functions.av import wav_decode
+                x, rate = wav_decode(data)
+                if x.ndim == 2:
+                    x = x.mean(axis=1)
+            else:
+                rng = np.random.Generator(
+                    np.random.PCG64(_payload_seed(data)))
+                rate = max(1, int(rates[i]))
+                x = rng.uniform(-1, 1, rate // 2)
+            flen = max(2, rate * self.frame_ms // 1000)
+            nfr = len(x) // flen
+            if nfr == 0:
+                continue
+            fr = x[:nfr * flen].reshape(nfr, flen)
+            spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+            # drop the DC bin, split the rest into n_bands equal ranges
+            body = spec[:, 1:]
+            edges = np.linspace(0, body.shape[1], self.n_bands + 1,
+                                dtype=np.int64)
+            be = np.stack([body[:, edges[j]:edges[j + 1]].sum(axis=1)
+                           for j in range(self.n_bands)], axis=1)
+            out_id.extend([ids[i]] * nfr)
+            out_fr.extend(range(nfr))
+            bands.append(be)
+        bm = np.concatenate(bands, axis=0) if bands else \
+            np.zeros((0, self.n_bands))
+        cols = {"media_id": pa.array(out_id, pa.string()),
+                "frame_idx": pa.array(np.asarray(out_fr, np.int64),
+                                      pa.int64())}
+        for j in range(self.n_bands):
+            cols[f"b{j}"] = pa.array(bm[:, j], pa.float64())
+        return pa.table(cols)
+
+
 class VideoFrameSample:
     """Actor stage: video payload -> exploded frame rows
     (media_id, frame_idx, frame_bytes, w, h), sampling every

@@ -4142,3 +4142,130 @@ def test_shortest_paths_matches_naive_both_modes(ray_session):
     for mode in ("broadcast", "join"):
         got = shortest_paths(chain, [0], max_hops=2, mode=mode).to_pandas()
         assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 5, 2: 10}
+
+
+def test_core_numbers_matches_peel_both_modes(ray_session):
+    """h-index fixed-point coreness == the classic sequential peel
+    algorithm, on both mode paths, with self-loops/parallel edges in
+    the input and an isolated clique pinning the top core."""
+    import random as _r
+    from paperchase_crawler_ray.ops.graph import core_numbers
+    rng = _r.Random(5)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(250)]
+    edges += [(9, 9), (0, 1), (1, 0)]
+    for a in (60, 61, 62, 63):          # K4 island: all cores == 3
+        for b in (60, 61, 62, 63):
+            if a < b:
+                edges.append((a, b))
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # sequential peel (Batagelj-Zaversnik semantics)
+    live = {n: set(v) for n, v in adj.items()}
+    core, k = {}, 0
+    while live:
+        k = max(k, min(len(v) for v in live.values()))
+        peel = [n for n, v in live.items() if len(v) <= k]
+        while peel:
+            n = peel.pop()
+            if n not in live:
+                continue
+            core[n] = k
+            for m in live[n]:
+                live[m].discard(n)
+                if len(live[m]) <= k:
+                    peel.append(m)
+            del live[n]
+    eds = ray.data.from_arrow(pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())})).repartition(7)
+    for mode in ("broadcast", "join"):
+        got = core_numbers(eds, mode=mode).to_pandas()
+        assert dict(zip(got["node"], got["core"])) == core, mode
+    assert all(core[n] == 3 for n in (60, 61, 62, 63))
+
+
+def test_audio_spectrogram_matches_numpy_twin(ray_session):
+    """Per-frame FFT band energies == the same-math numpy twin
+    bit-for-bit; a pure sine's energy lands in the band containing its
+    frequency bin."""
+    from paperchase_crawler_ray.fixtures import make_audio_rows
+    from paperchase_crawler_ray.functions.av import wav_decode, wav_encode
+    from paperchase_crawler_ray.ops.multimodal import AudioSpectrogram
+    rows = make_audio_rows(30)
+    got = ray.data.from_arrow(rows).map_batches(
+        AudioSpectrogram, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 4)).to_pandas()
+    want = {}
+    for r in rows.to_pylist():
+        x, rate = wav_decode(r["payload"])
+        if x.ndim == 2:
+            x = x.mean(axis=1)
+        flen = max(2, rate * 20 // 1000)
+        nfr = len(x) // flen
+        if nfr == 0:
+            continue
+        fr = x[:nfr * flen].reshape(nfr, flen)
+        spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+        body = spec[:, 1:]
+        edges = np.linspace(0, body.shape[1], 9, dtype=np.int64)
+        be = np.stack([body[:, edges[j]:edges[j + 1]].sum(axis=1)
+                       for j in range(8)], axis=1)
+        for f in range(nfr):
+            want[(r["media_id"], f)] = be[f]
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        w = want[(r.media_id, r.frame_idx)]
+        assert all(getattr(r, f"b{j}") == w[j] for j in range(8))
+    # pure 2kHz sine at 8kHz, 20ms frames -> bin 40 of 80 -> band 3/8
+    rate = 8000
+    sig = 0.5 * np.sin(2 * np.pi * 2000.0 * np.arange(rate) / rate)
+    t = pa.table({"media_id": pa.array(["sine"], pa.string()),
+                  "payload": pa.array([wav_encode(sig, rate)], pa.binary()),
+                  "sample_rate": pa.array([rate], pa.int32())})
+    out = AudioSpectrogram()(t).to_pandas()
+    bsums = [out[f"b{j}"].sum() for j in range(8)]
+    assert int(np.argmax(bsums)) == 3
+    assert bsums[3] > 100 * sum(b for j, b in enumerate(bsums) if j != 3)
+
+
+def test_trustrank_matches_naive_both_modes(ray_session):
+    """Personalized PageRank (teleport-to-seeds) == the integer
+    single-process twin bit-for-bit on both mode paths; nodes
+    unreachable from the trust set score exactly 0, and the uniform
+    path is unchanged by the new parameter."""
+    import collections
+    import random as _r
+    from paperchase_crawler_ray.ops.graph import pagerank
+    rng = _r.Random(9)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(150)]
+    edges.append((90, 91))   # island: unreachable from the seeds
+    seeds, iters, damp, scale = [0, 3, 5], 6, 850_000, 1_000_000
+
+    def damped(x):
+        a, b = divmod(x, 1_000_000)
+        return a * damp + (b * damp) // 1_000_000
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = collections.Counter(a for a, _b in edges)
+    base = scale - scale * damp // 1_000_000
+    sc = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        snap = dict(sc)
+        sc = {n: (base if n in seeds else 0) for n in nodes}
+        for a, b in edges:
+            sc[b] += damped(snap[a]) // outdeg[a]
+    eds = ray.data.from_arrow(pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())})).repartition(5)
+    for mode in ("broadcast", "join"):
+        got = pagerank(eds, iters=iters, mode=mode,
+                       teleport=seeds).to_pandas()
+        gd = dict(zip(got["node"], got["score"]))
+        assert gd == sc, mode
+        assert gd[90] == 0 and gd[91] == 0
+    # uniform behavior unchanged: teleport=None == old semantics
+    u1 = pagerank(eds, iters=3).to_pandas()
+    assert (u1["score"] > 0).all()
