@@ -415,10 +415,12 @@ def bfs_distances(edges: ray.data.Dataset, seeds: list,
     LIST (query shapes seed from a handful of ids); a Dataset seed set
     only makes sense in join mode, where the list is promoted to one.
     """
-    und = edges.map_batches(
-        lambda b: pa.table({"src": b.column(src), "dst": b.column(dst)}),
-        batch_format="pyarrow")
-    if not directed:
+    if directed:
+        und = edges.map_batches(
+            lambda b: pa.table({"src": b.column(src),
+                                "dst": b.column(dst)}),
+            batch_format="pyarrow")
+    else:
         und = _undirect(edges, src, dst)
     und = und.materialize()
     if _resolve_mode(mode, und.count()) == "join":
@@ -477,9 +479,12 @@ def _bfs_join(und: ray.data.Dataset, seeds: list,
         msgs = und.join(frontier, join_type="inner",
                         num_partitions=cap_join_partitions(8),
                         on=("src",), right_on=("node",))
+        # scrub AFTER the groupby so the aggregate runs exactly once
+        # (its materialized handle feeds both the count and the probe
+        # join — a lazy cand would re-execute the join per consumer)
         cand = _scrub(msgs.map_batches(
             lambda b: pa.table({"node": b.column("dst")}),
-            batch_format="pyarrow")).groupby("node").count()
+            batch_format="pyarrow").groupby("node").count())
         if cand.count() == 0:
             break
         probe = cand.join(visited, join_type="left_outer",
@@ -636,21 +641,16 @@ def _triangles_join(e: ray.data.Dataset) -> ray.data.Dataset:
 
     wedges = _scrub(w.map_batches(wedge, batch_format="pyarrow"))
 
-    # close wedges against the oriented edge set on the (y, z) pair
-    def pair_key(b: pa.Table, a_col: str, b_col: str) -> pa.Table:
-        k = pc.binary_join_element_wise(
-            pc.cast(b.column(a_col), pa.string()),
-            pc.cast(b.column(b_col), pa.string()), "|")
-        return b.append_column("yz", k)
-
-    wk = wedges.map_batches(lambda b: pair_key(b, "y", "z"),
-                            batch_format="pyarrow")
+    # close wedges against the oriented edge set on the (y, z) pair —
+    # a two-column equi-join, NOT a fused string key: string node ids
+    # containing the separator would collide ("a|b","c" vs "a","b|c")
+    # and fabricate triangles only in this mode
     ek = _scrub(ori.map_batches(
-        lambda b: pair_key(b, "lo", "hi").select(["yz"]),
+        lambda b: pa.table({"ey": b.column("lo"), "ez": b.column("hi")}),
         batch_format="pyarrow"))
-    tri = wk.join(ek, join_type="inner",
-                  num_partitions=cap_join_partitions(8),
-                  on=("yz",), right_on=("yz",))
+    tri = wedges.join(ek, join_type="inner",
+                      num_partitions=cap_join_partitions(8),
+                      on=("y", "z"), right_on=("ey", "ez"))
 
     # per-node counts: explode corners, one count aggregate
     corners = _scrub(tri.map_batches(

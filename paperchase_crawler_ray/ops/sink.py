@@ -100,6 +100,17 @@ def write_resumable(ds: ray.data.Dataset, out_dir: str,
         if shard_col is not None:
             shard = b.column(shard_col).to_numpy(
                 zero_copy_only=False).astype(np.int64)
+            # fail fast on the documented precondition: an out-of-range
+            # shard would otherwise be silently dropped AND the target
+            # shards sealed _COMMITTED — permanent loss across resumes
+            if len(shard) and (shard.min() < 0
+                               or shard.max() >= num_shards):
+                bad = int(shard[(shard < 0)
+                                | (shard >= num_shards)][0])
+                raise ValueError(
+                    f"write_resumable: {shard_col}={bad} outside "
+                    f"[0, {num_shards}) — num_shards must match the "
+                    "shard column's domain")
         else:
             shard = _hash_shard(b.column(key_col), num_shards)
         keep = np.isin(shard, missing_arr)

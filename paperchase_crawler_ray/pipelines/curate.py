@@ -49,8 +49,10 @@ class CurateConfig:
 
 
 def _load(in_path: str) -> ray.data.Dataset:
+    # route on the EXTENSION only — a substring test would misroute
+    # e.g. /data/jsonl_conversions/docs.parquet into the JSON parser
     from ..sources import read_jsonl
-    if in_path.endswith((".jsonl", ".jsonl.gz")) or "jsonl" in in_path:
+    if in_path.endswith((".jsonl", ".jsonl.gz")):
         return read_jsonl(in_path)
     return ray.data.read_parquet(in_path)
 
@@ -69,6 +71,12 @@ def curate_chain(docs: ray.data.Dataset, cfg: CurateConfig,
                                  fingerprint_batch, gopher_stats_batch,
                                  kneser_ney_fit, kneser_ney_score,
                                  paragraph_dedup, token_count)
+
+    unknown = set(cfg.filters) - {"gopher", "c4"}
+    if unknown:
+        # a typo'd gate must fail loudly, not ship an ungated corpus
+        raise ValueError(f"unknown quality filters: {sorted(unknown)} "
+                         "(known: 'gopher', 'c4')")
 
     def note(stage: str, ds: ray.data.Dataset) -> ray.data.Dataset:
         if counters is not None:
@@ -195,11 +203,15 @@ def curate(in_path: str, out_dir: str,
         from ..ops.relational import cap_join_partitions
 
         def key_and_order(b: pa.Table) -> pa.Table:
-            # <shard>-<seq zero-padded> keys order the tar members;
-            # the block arrives shard-co-located, sort it into
-            # training order so tar iteration IS the shuffle order.
+            # <shard zero-padded>-<seq zero-padded> keys order the tar
+            # members; BOTH components pad so lexicographic key order
+            # equals (shard, seq) at any n_shards (shard 15 must not
+            # sort before shard 2). The block arrives shard-co-located;
+            # sort it into training order so tar iteration IS the
+            # shuffle order.
             k = pc.binary_join_element_wise(
-                pc.cast(b.column("shard"), pa.string()),
+                pc.utf8_lpad(pc.cast(b.column("shard"), pa.string()),
+                             6, "0"),
                 pc.utf8_lpad(pc.cast(b.column("seq"), pa.string()),
                              9, "0"), "-")
             b = b.append_column("_wk", k)

@@ -391,30 +391,52 @@ def read_webdataset(path: str) -> ray.data.Dataset:
 
 def write_csv(ds: ray.data.Dataset, path: str) -> int:
     """Write a Dataset as a directory of RFC-4180 CSV files, one per
-    block, inside map tasks (content-hash named, pid-suffixed temp +
-    ``os.replace`` — the atomic-sink pattern of the IPC/JSONL writers).
-    Exact for int64 / string / bool columns (pyarrow's CSV writer
-    quotes embedded commas/quotes/newlines); floats, timestamps and
-    binary should ship as parquet or IPC. Returns rows written."""
+    block, inside map tasks (atomic pid-suffixed temp + ``os.replace``
+    like the IPC/JSONL writers). Exact for int64 / string / bool
+    columns (pyarrow's CSV writer quotes embedded commas / quotes /
+    newlines); floats, timestamps and binary should ship as parquet or
+    IPC. Returns rows written.
+
+    Naming: content hash + the Ray task id + a within-task call
+    counter. A RETRIED task replays the same batches in the same order
+    under the same task id, so retries rewrite the same file
+    (idempotent) — while two DISTINCT blocks that happen to hold
+    identical rows (pre-dedup corpora do this) get different names
+    instead of silently overwriting each other, which pure
+    content-hash naming would do."""
     import hashlib
+    import itertools
 
     from pyarrow import csv as pacsv
 
     os.makedirs(path, exist_ok=True)
 
-    def _write_block(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return pa.table({"rows": pa.array([], pa.int64())})
-        sink = pa.BufferOutputStream()
-        pacsv.write_csv(tbl, sink)
-        buf = sink.getvalue()
-        key = hashlib.blake2b(buf, digest_size=10).hexdigest()
-        dst = os.path.join(path, f"part-{key}.csv")
-        tmp = f"{dst}.tmp{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(buf)
-        os.replace(tmp, dst)
-        return pa.table({"rows": pa.array([tbl.num_rows], pa.int64())})
+    def _mk_writer():
+        calls = itertools.count()
+
+        def _write_block(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table({"rows": pa.array([], pa.int64())})
+            sink = pa.BufferOutputStream()
+            pacsv.write_csv(tbl, sink)
+            buf = sink.getvalue()
+            key = hashlib.blake2b(buf, digest_size=8).hexdigest()
+            try:
+                tid = ray.get_runtime_context().get_task_id() or "local"
+            except Exception:
+                tid = "local"
+            dst = os.path.join(
+                path, f"part-{key}-{tid[:12]}-{next(calls)}.csv")
+            tmp = f"{dst}.tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, dst)
+            return pa.table({"rows": pa.array([tbl.num_rows],
+                                              pa.int64())})
+
+        return _write_block
+
+    _write_block = _mk_writer()
 
     counts = ds.map_batches(_write_block, batch_format="pyarrow",
                             batch_size=None)

@@ -147,3 +147,20 @@ def write_resumable_call(df, out):
     from paperchase_crawler_ray.ops.sink import write_resumable
     return write_resumable(ray.data.from_pandas(df).repartition(3), out,
                            num_shards=4, shard_col="shard")
+
+
+def test_webdataset_key_order_many_shards(ray_session, tmp_path):
+    """Tar member keys must sort as (shard, seq) even when n_shards >
+    10 — the shard component is zero-padded too (review fix: '15-…'
+    must not sort before '2-…')."""
+    import json
+    from paperchase_crawler_ray.sources import read_webdataset
+    cfg = CurateConfig(filters=("gopher",), neardup_threshold=None,
+                       n_shards=12, export="webdataset")
+    out = str(tmp_path / "wds12")
+    curate(DOCS, out, cfg, {})
+    wds = read_webdataset(out).to_pandas()
+    assert wds["shard"].max() >= 10      # the regression regime
+    key_sorted = wds.sort_values("key")
+    pairs = list(zip(key_sorted["shard"], key_sorted["seq"]))
+    assert pairs == sorted(pairs)

@@ -4269,3 +4269,69 @@ def test_trustrank_matches_naive_both_modes(ray_session):
     # uniform behavior unchanged: teleport=None == old semantics
     u1 = pagerank(eds, iters=3).to_pandas()
     assert (u1["score"] > 0).all()
+
+
+def test_triangle_counts_string_ids_with_separator(ray_session):
+    """Join-mode wedge close is a two-column equi-join, so string node
+    ids containing any would-be separator cannot collide into
+    fabricated triangles (review fix); both modes agree."""
+    import itertools
+    from paperchase_crawler_ray.ops.graph import triangle_counts
+    # K3 on pipe-bearing ids + a wedge that must NOT close
+    ids = ["a|b", "c", "a", "b|c", "x|", "|y"]
+    es = {("a|b", "c"), ("c", "a"), ("a", "a|b"),       # triangle
+          ("b|c", "x|"), ("x|", "|y")}                   # open wedge
+    nodes = sorted({n for e in es for n in e})
+    esn = {tuple(sorted(e)) for e in es}
+    want = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (tuple(sorted((x, y))) in esn and tuple(sorted((x, z))) in esn
+                and tuple(sorted((y, z))) in esn):
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    eds = ray.data.from_arrow(pa.table(
+        {"a": pa.array([e[0] for e in es], pa.string()),
+         "b": pa.array([e[1] for e in es], pa.string())}))
+    for mode in ("broadcast", "join"):
+        got = triangle_counts(eds, mode=mode).to_pandas()
+        assert dict(zip(got["node"], got["n_tri"])) == want, mode
+
+
+def test_write_resumable_rejects_out_of_range_shard(ray_session, tmp_path):
+    """A precomputed shard value outside [0, num_shards) must fail
+    loudly — silent dropping would seal _COMMITTED over missing rows
+    (review fix)."""
+    import pandas as pd
+    from paperchase_crawler_ray.ops.sink import write_resumable
+    df = pd.DataFrame({"k": range(8), "shard": [0, 1, 2, 3, 4, 5, 6, 7]})
+    with pytest.raises(Exception, match="outside"):
+        write_resumable(ray.data.from_pandas(df), str(tmp_path / "o"),
+                        num_shards=4, shard_col="shard")
+
+
+def test_curate_rejects_unknown_filter(ray_session):
+    """A typo'd gate name raises instead of shipping an ungated corpus
+    (review fix)."""
+    from paperchase_crawler_ray.pipelines.curate import (CurateConfig,
+                                                         curate_chain)
+    docs = ray.data.range(1)
+    with pytest.raises(ValueError, match="unknown quality filters"):
+        curate_chain(docs, CurateConfig(filters=("Gopher",)))
+
+
+def test_write_csv_keeps_identical_blocks(ray_session, tmp_path):
+    """Two distinct blocks with identical content both land on disk —
+    content-hash-only naming would overwrite one (review fix) — while
+    the returned count matches the rows actually written."""
+    import glob
+    import pandas as pd
+    from paperchase_crawler_ray.sources import read_csv, write_csv
+    df = pd.DataFrame({"k": [1, 2, 3]})
+    ds = ray.data.from_pandas([df.copy(), df.copy()])   # 2 equal blocks
+    out = str(tmp_path / "csv")
+    n = write_csv(ds, out)
+    assert n == 6
+    files = glob.glob(out + "/*.csv")
+    assert len(files) == 2
+    got = read_csv(out).to_pandas()
+    assert sorted(got["k"]) == [1, 1, 2, 2, 3, 3]
