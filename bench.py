@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "q_pricing_summary", "q_min_cost_supplier", "q_part_promotion",
     "q_train_shards", "q_kn_score", "q_quality_classifier",
     "q_paragraph_dedup", "q_gopher_filter",
+    "q_curate", "q_bfs", "q_sssp", "q_triangles", "q_core",
+    "q_trustrank", "q_transitions", "q_bm25",
 ]
 
 

@@ -187,6 +187,31 @@ def image_sink_schema() -> pa.Schema:
 # ---------------------------------------------------------------------------
 
 
+def _unique_part_namer(prefix: str, ext: str):
+    """Per-task part-file namer: content hash + Ray task id + a
+    within-task call counter. A RETRIED task replays the same batches
+    in the same order under the same task id, so a retry rewrites the
+    same file (idempotent) — while two DISTINCT blocks holding
+    identical rows (pre-dedup corpora do this) get different names
+    instead of silently overwriting each other, which pure
+    content-hash naming would do. The closure ships to each map task
+    with the counter at 0, so numbering is per-task deterministic."""
+    import hashlib
+    import itertools
+
+    calls = itertools.count()
+
+    def name(buf: bytes) -> str:
+        key = hashlib.blake2b(buf, digest_size=8).hexdigest()
+        try:
+            tid = ray.get_runtime_context().get_task_id() or "local"
+        except Exception:
+            tid = "local"
+        return f"{prefix}-{key}-{tid[:12]}-{next(calls)}{ext}"
+
+    return name
+
+
 def write_jsonl(ds: ray.data.Dataset, path: str,
                 compression: str | None = None) -> None:
     """Write a Dataset as a directory of newline-delimited JSON files
@@ -203,9 +228,9 @@ def write_jsonl(ds: ray.data.Dataset, path: str,
     if compression != "gzip":
         raise ValueError(f"unsupported jsonl compression: {compression}")
     import gzip
-    import hashlib
 
     os.makedirs(path, exist_ok=True)
+    namer = _unique_part_namer("part", ".jsonl.gz")
 
     def _write_block(df) -> pa.Table:
         if len(df) == 0:
@@ -213,8 +238,7 @@ def write_jsonl(ds: ray.data.Dataset, path: str,
         raw = gzip.compress(
             df.to_json(orient="records", lines=True,
                        force_ascii=False).encode("utf-8"), mtime=0)
-        key = hashlib.blake2b(raw, digest_size=10).hexdigest()
-        dst = os.path.join(path, f"part-{key}.jsonl.gz")
+        dst = os.path.join(path, namer(raw))
         tmp = f"{dst}.tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(raw)
@@ -243,9 +267,8 @@ def write_arrow_ipc(ds: ray.data.Dataset, path: str) -> int:
     same name) and land via pid-suffixed temp + ``os.replace`` so a
     killed task never leaves a truncated file at a canonical name.
     Returns the number of rows written."""
-    import hashlib
-
     os.makedirs(path, exist_ok=True)
+    namer = _unique_part_namer("part", ".arrow")
 
     def _write_block(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -254,8 +277,7 @@ def write_arrow_ipc(ds: ray.data.Dataset, path: str) -> int:
         with pa.ipc.new_file(sink, tbl.schema) as w:
             w.write_table(tbl)
         buf = sink.getvalue()
-        key = hashlib.blake2b(buf, digest_size=10).hexdigest()
-        dst = os.path.join(path, f"part-{key}.arrow")
+        dst = os.path.join(path, namer(buf))
         tmp = f"{dst}.tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(buf)
@@ -297,7 +319,11 @@ def write_webdataset(ds: ray.data.Dataset, path: str, key_col: str,
     rewrites the same bytes). Returns rows written.
 
     Deterministic: tar member mtimes are 0 and members are emitted in
-    row order, so a shard's bytes are a pure function of its block."""
+    row order, so a shard's bytes are a pure function of its block.
+    Content-hash naming is collision-safe HERE (unlike the csv/jsonl/
+    ipc writers, which salt with the task id): the tar bytes embed
+    every sample's ``key_col`` value, so two blocks can only collide if
+    they hold the same sample keys — i.e. they ARE the same data."""
     import hashlib
     import io
     import json
@@ -404,39 +430,24 @@ def write_csv(ds: ray.data.Dataset, path: str) -> int:
     identical rows (pre-dedup corpora do this) get different names
     instead of silently overwriting each other, which pure
     content-hash naming would do."""
-    import hashlib
-    import itertools
-
     from pyarrow import csv as pacsv
 
     os.makedirs(path, exist_ok=True)
+    namer = _unique_part_namer("part", ".csv")
 
-    def _mk_writer():
-        calls = itertools.count()
-
-        def _write_block(tbl: pa.Table) -> pa.Table:
-            if tbl.num_rows == 0:
-                return pa.table({"rows": pa.array([], pa.int64())})
-            sink = pa.BufferOutputStream()
-            pacsv.write_csv(tbl, sink)
-            buf = sink.getvalue()
-            key = hashlib.blake2b(buf, digest_size=8).hexdigest()
-            try:
-                tid = ray.get_runtime_context().get_task_id() or "local"
-            except Exception:
-                tid = "local"
-            dst = os.path.join(
-                path, f"part-{key}-{tid[:12]}-{next(calls)}.csv")
-            tmp = f"{dst}.tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(buf)
-            os.replace(tmp, dst)
-            return pa.table({"rows": pa.array([tbl.num_rows],
-                                              pa.int64())})
-
-        return _write_block
-
-    _write_block = _mk_writer()
+    def _write_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        sink = pa.BufferOutputStream()
+        pacsv.write_csv(tbl, sink)
+        buf = sink.getvalue()
+        dst = os.path.join(path, namer(bytes(buf)))
+        tmp = f"{dst}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, dst)
+        return pa.table({"rows": pa.array([tbl.num_rows],
+                                          pa.int64())})
 
     counts = ds.map_batches(_write_block, batch_format="pyarrow",
                             batch_size=None)

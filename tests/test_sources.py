@@ -277,3 +277,27 @@ def test_csv_roundtrip_exact(ray_session, tmp_path):
     got = read_csv(out).to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "s", "flag"]],
                                   df.sort_values("k").reset_index(drop=True))
+
+
+def test_jsonl_gz_and_ipc_keep_identical_blocks(ray_session, tmp_path):
+    """The gzip-JSONL and Arrow IPC sinks keep BOTH of two distinct
+    blocks holding identical rows (content-hash-only naming overwrote
+    one; review fix — write_webdataset keeps pure content naming
+    because its tar bytes embed every sample key)."""
+    import glob
+    import pandas as pd
+    from paperchase_crawler_ray.sources import (read_arrow_ipc,
+                                                read_jsonl,
+                                                write_arrow_ipc,
+                                                write_jsonl)
+    df = pd.DataFrame({"k": [1, 2]})
+    ds = ray.data.from_pandas([df.copy(), df.copy()])
+    gz = str(tmp_path / "gz")
+    write_jsonl(ds, gz, compression="gzip")
+    assert len(glob.glob(gz + "/*.jsonl.gz")) == 2
+    assert sorted(read_jsonl(gz).to_pandas()["k"]) == [1, 1, 2, 2]
+    ipc = str(tmp_path / "ipc")
+    n = write_arrow_ipc(ds, ipc)
+    assert n == 4
+    assert len(glob.glob(ipc + "/*.arrow")) == 2
+    assert sorted(read_arrow_ipc(ipc).to_pandas()["k"]) == [1, 1, 2, 2]
