@@ -2031,6 +2031,19 @@ def _q_curate(sf: str):
     return out.select_columns(["doc_id", "chunk_id", "shard", "seq"])
 
 
+def _q_doc_clusters(sf: str):
+    """Topic bucketing for data-mixture construction: feature-hashed
+    doc vectors (Weinberger et al. 2009) -> distributed Lloyd k-means
+    -> (doc_id, cluster). Rows-only — float centroids are
+    layout-stable, not layout-independent (kmeans_distributed's
+    documented policy); pytest carries the fixed-layout bit-exact twin
+    (test_document_clusters_matches_twin)."""
+    from paperchase_crawler_ray.ops.textstats import document_clusters
+    docs = _rp(sf, "documents", columns=["doc_id", "text"])
+    return document_clusters(docs, n_clusters=8, dim=64, iters=6) \
+        .sort(["doc_id"])
+
+
 def _q_weighted_sample(sf: str):
     """Weighted sampling without replacement (Efraimidis–Spirakis
     priorities from a stable seeded hash): deterministic top-k, so
@@ -4427,6 +4440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_core": _q_core,
         "q_spectrogram": _q_spectrogram,
         "q_trustrank": _q_trustrank,
+        "q_doc_clusters": _q_doc_clusters,
     }
 
 

@@ -1600,3 +1600,70 @@ def bm25_topk(ds: ray.data.Dataset, queries: list[str], k: int = 10,
     # so the rank assignment is block-local
     return top.map_batches(attach, batch_format="pyarrow",
                            batch_size=None)
+
+
+def hashed_doc_vectors(ds: ray.data.Dataset, dim: int = 64,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       out_col: str = "embedding") -> ray.data.Dataset:
+    """Feature-hashed document vectors (Weinberger et al. 2009): each
+    token maps to bucket ``stable_hash64(tok) % dim`` with a sign bit
+    from the next hash bit, weighted ``log1p(tf)``, L2-normalized —
+    the dense representation a topic-bucketing / mixture pipeline
+    feeds to k-means when no learned embeddings exist. Stateless
+    per-batch map; deterministic (the same fixed hash the dedup
+    kernels use)."""
+    from collections import Counter
+
+    from ..functions.texthash import stable_hash64
+
+    def vecs(b: pa.Table) -> pa.Table:
+        out = np.zeros((b.num_rows, dim), np.float64)
+        for i, t in enumerate(_texts(b, text_col)):
+            for tok, c in Counter(
+                    w.lower() for w in _WORD_RE.findall(t)).items():
+                h = stable_hash64(tok)
+                sign = 1.0 if (h >> 62) & 1 else -1.0
+                out[i, h % dim] += sign * np.log1p(np.float64(c))
+        n = np.sqrt((out * out).sum(axis=1, keepdims=True))
+        n[n == 0] = 1.0
+        out = out / n
+        return pa.table({
+            id_col: b.column(id_col),
+            # kmeans_distributed's expected key column rides along
+            "vec_id": pc.cast(b.column(id_col), pa.int64()),
+            out_col: pa.array(list(out), pa.list_(pa.float64()))})
+
+    return ds.map_batches(vecs, batch_format="pyarrow")
+
+
+def document_clusters(ds: ray.data.Dataset, n_clusters: int = 8,
+                      dim: int = 64, iters: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> ray.data.Dataset:
+    """Topic bucketing for mixture construction: feature-hashed doc
+    vectors -> distributed Lloyd k-means -> (doc_id, cluster) — the
+    unsupervised domain-bucketing stage a data-mixture pipeline runs
+    when no domain labels exist (DoReMi-style weights are then learned
+    per bucket).
+
+    Scale shape: ONE stateless vectorize pass; k-means exchanges
+    ncell x dim float partials per block per iteration (the corpus
+    never moves — `kmeans_distributed`); assignment is a broadcast
+    matmul per batch. Float centroids are layout-stable rather than
+    layout-independent (see kmeans_distributed), so the query is
+    rows-only with a fixed-layout bit-exact pytest twin."""
+    from .similarity import kmeans_distributed
+
+    vecs = hashed_doc_vectors(ds, dim=dim, id_col=id_col,
+                              text_col=text_col).materialize()
+    C = kmeans_distributed(vecs, n_clusters, iters=iters)
+    C_ref = ray.put(C)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cents = ray.get(C_ref)
+        X = np.stack(b.column("embedding").to_pylist())
+        cl = (X @ cents.T).argmax(axis=1).astype(np.int64)
+        return pa.table({id_col: b.column(id_col),
+                         "cluster": pa.array(cl, pa.int64())})
+
+    return vecs.map_batches(assign, batch_format="pyarrow")

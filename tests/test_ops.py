@@ -4335,3 +4335,37 @@ def test_write_csv_keeps_identical_blocks(ray_session, tmp_path):
     assert len(files) == 2
     got = read_csv(out).to_pandas()
     assert sorted(got["k"]) == [1, 1, 2, 2, 3, 3]
+
+
+def test_document_clusters_matches_twin(docs_table, ray_session):
+    """Feature-hash -> distributed k-means -> assignment equals the
+    same-math single-process twin bit-for-bit on a FIXED block layout
+    (kmeans_distributed's documented layout-stability), and every
+    cluster id is in range."""
+    from collections import Counter
+    from paperchase_crawler_ray.functions.texthash import stable_hash64
+    from paperchase_crawler_ray.ops.similarity import kmeans_distributed
+    from paperchase_crawler_ray.ops.textstats import document_clusters
+    ds = ray.data.from_arrow(docs_table)     # one block: fixed layout
+    got = document_clusters(ds, n_clusters=5, dim=32, iters=4).to_pandas()
+    assert len(got) == docs_table.num_rows
+    assert got["cluster"].between(0, 4).all()
+    X = np.zeros((docs_table.num_rows, 32))
+    for i, t in enumerate(docs_table.column("text").to_pylist()):
+        for tok, c in Counter(w.lower() for w in
+                              re.findall(r"\w+", t, re.ASCII)).items():
+            h = stable_hash64(tok)
+            X[i, h % 32] += (1.0 if (h >> 62) & 1 else -1.0) \
+                * np.log1p(np.float64(c))
+    n = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    n[n == 0] = 1
+    X = X / n
+    vds = ray.data.from_arrow(pa.table(
+        {"vec_id": docs_table.column("doc_id"),
+         "embedding": pa.array(list(X), pa.list_(pa.float64()))}))
+    C = kmeans_distributed(vds, 5, iters=4)
+    want = {int(k): int(v) for k, v in zip(
+        docs_table.column("doc_id").to_pylist(),
+        (X @ C.T).argmax(axis=1))}
+    assert {int(k): int(v)
+            for k, v in zip(got["doc_id"], got["cluster"])} == want
