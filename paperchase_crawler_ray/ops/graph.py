@@ -554,18 +554,46 @@ def triangle_counts(edges: ray.data.Dataset, src: str = "a",
     hi = np.where(pos[ui] < pos[vi], vi, ui)
     order = np.lexsort((hi, lo))
     lo, hi = lo[order], hi[order]
-    starts = np.searchsorted(lo, np.arange(len(nodes)), side="left")
     ends = np.searchsorted(lo, np.arange(len(nodes)), side="right")
     ntri = np.zeros(len(nodes), np.int64)
-    for k in range(len(lo)):
-        a, b_ = lo[k], hi[k]
-        na = hi[starts[a]:ends[a]]
-        nb = hi[starts[b_]:ends[b_]]
-        common = np.intersect1d(na, nb, assume_unique=True)
-        if len(common):
-            ntri[a] += len(common)
-            ntri[b_] += len(common)
-            np.add.at(ntri, common, 1)
+    # Vectorized wedge-close: every ordered out-neighbor pair (x, y)
+    # at a low vertex is a wedge; it closes iff the oriented edge
+    # between x and y exists (probed by searchsorted on the sorted
+    # (lo, hi) key). Wedge volume is the same O(E^1.5) the per-edge
+    # intersection loop did, but enumerated array-at-once in bounded
+    # chunks instead of ~E interpreter iterations.
+    edge_key = lo * np.int64(len(nodes)) + hi
+    pair_cnt = ends[lo] - np.arange(len(lo)) - 1  # wedges led by edge k
+    cum = np.concatenate([[0], np.cumsum(pair_cnt)])
+    CHUNK = 4_000_000
+    start_edge = 0
+    while start_edge < len(lo):
+        stop_edge = int(np.searchsorted(cum, cum[start_edge] + CHUNK,
+                                        side="left"))
+        stop_edge = min(max(stop_edge, start_edge + 1), len(lo))
+        sl = slice(start_edge, stop_edge)
+        cnt = pair_cnt[sl]
+        total = int(cnt.sum())
+        start_edge = stop_edge
+        if total == 0:
+            continue
+        first = np.repeat(np.arange(sl.start, sl.stop), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)])
+        second = (np.arange(total) - np.repeat(offs[:-1], cnt)
+                  + first + 1)
+        a, x, y = lo[first], hi[first], hi[second]
+        # orient the wedge endpoints by the same (deg, id) rank the
+        # edge set uses before probing for the closing edge
+        swap = pos[x] > pos[y]
+        w_lo = np.where(swap, y, x)
+        w_hi = np.where(swap, x, y)
+        probe = w_lo * np.int64(len(nodes)) + w_hi
+        j = np.searchsorted(edge_key, probe)
+        found = (j < len(edge_key)) & (edge_key[np.minimum(
+            j, len(edge_key) - 1)] == probe)
+        if found.any():
+            np.add.at(ntri, np.concatenate(
+                [a[found], x[found], y[found]]), 1)
     keep = ntri > 0
     return ray.data.from_arrow(pa.table(
         {"node": pa.array(nodes[keep]),

@@ -141,6 +141,45 @@ def kmeans_lite(sample: np.ndarray, ncell: int, iters: int = 8,
     return C
 
 
+def seeded_vector_sample(ds: ray.data.Dataset, n: int, seed: int = 42,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> np.ndarray:
+    """Layout-INDEPENDENT training sample: the ``n`` rows whose seeded
+    hash of ``id_col`` is smallest, returned as a (n, dim) matrix in
+    ascending-id order. Unlike ``limit(n)`` (which picks whichever rows
+    the current block layout streams first), the selected row SET is a
+    pure function of (ids, seed) — identical across any repartitioning
+    of the same data, so IVF / PQ / k-means training that starts from
+    it is reproducible across layouts.
+
+    Scale shape: per-batch prune to the n smallest hashes (the
+    ``global_topk`` prune pattern), then one small sort+limit over the
+    pruned plane — ≤ n rows per block cross the exchange, never the
+    corpus."""
+    from .sketch import _mix64
+
+    smix = _mix64(np.array([np.int64(seed)], np.int64).view(np.uint64))[0]
+
+    def prune(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, vec_col])
+        if b.num_rows == 0:
+            return t.append_column("_pri", pa.array([], pa.int64()))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pri = _mix64(ids.view(np.uint64) ^ smix).view(np.int64)
+        if len(pri) > n:
+            idx = np.argpartition(pri, n - 1)[:n]
+        else:
+            idx = np.arange(len(pri))
+        idx = idx[np.argsort(pri[idx], kind="stable")]
+        return t.take(pa.array(idx)).append_column(
+            "_pri", pa.array(pri[idx], pa.int64()))
+
+    top = ds.map_batches(prune, batch_format="pyarrow") \
+        .sort("_pri").limit(n).to_pandas().sort_values(id_col)
+    return np.stack(top[vec_col].to_numpy())
+
+
 def kmeans_distributed(ds: ray.data.Dataset, ncell: int, iters: int = 8,
                        seed: int = 42, init_sample: int = 4096) -> np.ndarray:
     """Distributed Lloyd iterations: per-block partial (sum, count) per
@@ -154,7 +193,7 @@ def kmeans_distributed(ds: ray.data.Dataset, ncell: int, iters: int = 8,
     # materialize once: each Lloyd iteration re-executes `ds`, which for
     # a lazy upstream pipeline would otherwise recompute it iters times
     ds = ds.materialize()
-    init = np.stack(ds.limit(init_sample).to_pandas()["embedding"].to_numpy())
+    init = seeded_vector_sample(ds, init_sample, seed=seed)
     C = kmeans_lite(init, ncell, iters=0, seed=seed)  # shared seeding only
     dim = C.shape[1]
     for _ in range(iters):
@@ -232,9 +271,7 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
     if distributed_kmeans:
         C = kmeans_distributed(ds, ncell, init_sample=sample_n)
     else:
-        sample = np.stack(
-            ds.limit(sample_n).to_pandas()["embedding"].to_numpy())
-        C = kmeans_lite(sample, ncell)
+        C = kmeans_lite(seeded_vector_sample(ds, sample_n), ncell)
     qids, Q = load_queries(ds, query_ids)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
 
@@ -288,13 +325,9 @@ def pq_train(ds: ray.data.Dataset, m: int = 8, ksub: int = 16,
     driver-side sample (same sample policy as IVF's centroid fit;
     deterministic seeded init per subspace). Vectors are L2-normalized
     first so ADC inner products approximate cosine."""
-    samp = ds.select_columns(["vec_id", "embedding"]).limit(sample_n) \
-        .to_pandas().sort_values("vec_id")
-    # driver-side sort makes training independent of block ORDER; which
-    # rows limit() picks still depends on layout once the dataset
-    # exceeds sample_n (same caveat as kmeans_distributed's init)
-    sample = np.stack(samp["embedding"].to_numpy())
-    X = _normalize(sample)
+    # seeded hash-sample: the training row SET and its order are a
+    # function of (vec_id, seed) only — layout-independent
+    X = _normalize(seeded_vector_sample(ds, sample_n, seed=seed))
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -426,9 +459,7 @@ def ivfpq_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
     production shape: the coarse quantizer bounds rows touched, PQ
     bounds bytes per row, refine restores exact ordering on the
     shortlist. Deterministic for a fixed block layout."""
-    C = kmeans_lite(_normalize(np.stack(
-        ds.select_columns(["vec_id", "embedding"]).limit(sample_n)
-        .to_pandas().sort_values("vec_id")["embedding"].to_numpy())), ncell)
+    C = kmeans_lite(_normalize(seeded_vector_sample(ds, sample_n)), ncell)
     books = pq_train(ds, m=m, ksub=ksub, sample_n=sample_n)
     qids, Q = load_queries(ds, query_ids)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]

@@ -1505,45 +1505,68 @@ def bm25_topk(ds: ray.data.Dataset, queries: list[str], k: int = 10,
          score shuffle; ``grouped_topk`` prunes to <= k rows per
          (query, block) before its one small exchange.
     """
-    from collections import Counter
-
     from .relational import grouped_topk
 
     qtoks = [[w.lower() for w in _WORD_RE.findall(q)] for q in queries]
     qterms = sorted({t for ts in qtoks for t in ts})
-    qref = ray.put(set(qterms))
+    qref = ray.put(np.asarray(qterms, dtype=object))
+
+    def _tokens(bt: pa.Table):
+        """Arrow RE2 tokenize for the whole batch: returns the flat
+        non-empty token array (object dtype) and each token's row
+        index — the zero-row-loop split `bigram_counts` established."""
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(bt.column(text_col)), pattern=r"\W+")
+        la = pa.concat_arrays([c for c in lists.chunks]) \
+            if isinstance(lists, pa.ChunkedArray) else lists
+        offs = np.asarray(la.offsets)
+        vals = np.asarray(la.values.to_pandas(), dtype=object)
+        doc_idx = np.repeat(np.arange(bt.num_rows), np.diff(offs))
+        nonempty = vals != ""
+        return vals[nonempty], doc_idx[nonempty]
 
     # pass 1: corpus size + average document length (token counts only)
     stats = ds.map_batches(
         lambda bt: pa.table({
             "n": pa.array([bt.num_rows], pa.int64()),
-            "dl": pa.array([sum(len(_WORD_RE.findall(t.lower()))
-                                for t in _texts(bt, text_col))],
-                           pa.int64())}),
+            "dl": pa.array([int(len(_tokens(bt)[0]))], pa.int64())}),
         batch_format="pyarrow")
     tot = stats.sum(["n", "dl"])
     n_docs = int(tot["sum(n)"])
     avgdl = float(tot["sum(dl)"]) / max(1, n_docs)
 
-    # pass 2: (doc, term, tf, dl) rows for query terms only
+    # pass 2: (doc, term, tf, dl) rows for query terms only — fully
+    # vectorized (split/prune/group via numpy), preserving the naive
+    # twin's row order: per doc, terms in FIRST-APPEARANCE order, so
+    # score_block's float accumulation order is unchanged.
     def match_plane(bt: pa.Table) -> pa.Table:
-        qs = ray.get(qref)
-        ids_o, t_o, tf_o, dl_o = [], [], [], []
-        for i, t in zip(bt.column(id_col).to_pylist(),
-                        _texts(bt, text_col)):
-            toks = [w.lower() for w in _WORD_RE.findall(t)]
-            cnt = Counter(toks)
-            for term, c in cnt.items():
-                if term in qs:
-                    ids_o.append(i)
-                    t_o.append(term)
-                    tf_o.append(c)
-                    dl_o.append(len(toks))
+        qarr = ray.get(qref)
+        empty = pa.table({
+            id_col: pa.array([], bt.schema.field(id_col).type),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64())})
+        if bt.num_rows == 0:
+            return empty
+        toks, docs_of = _tokens(bt)
+        dl = np.bincount(docs_of, minlength=bt.num_rows).astype(np.int64)
+        hit = np.isin(toks, qarr)
+        if not hit.any():
+            return empty
+        md, mt = docs_of[hit], toks[hit]
+        ti = np.searchsorted(qarr, mt)
+        key = md * np.int64(len(qarr)) + ti
+        ukey, first_pos, tf = np.unique(
+            key, return_index=True, return_counts=True)
+        ud = ukey // len(qarr)
+        order = np.lexsort((first_pos, ud))       # doc, then 1st-seen
+        ukey, tf, ud = ukey[order], tf[order], ud[order]
+        ut = (ukey % len(qarr)).astype(np.int64)
         return pa.table({
-            id_col: pa.array(ids_o, bt.schema.field(id_col).type),
-            "term": pa.array(t_o, pa.string()),
-            "tf": pa.array(np.asarray(tf_o, np.int64), pa.int64()),
-            "dl": pa.array(np.asarray(dl_o, np.int64), pa.int64())})
+            id_col: bt.column(id_col).take(pa.array(ud, pa.int64())),
+            "term": pa.array(qarr[ut], pa.string()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "dl": pa.array(dl[ud], pa.int64())})
 
     plane = ds.map_batches(match_plane, batch_format="pyarrow")
     plane = plane.materialize()     # consumed twice: df + scores
@@ -1579,7 +1602,11 @@ def bm25_topk(ds: ray.data.Dataset, queries: list[str], k: int = 10,
                              bt.schema.field(id_col).type),
             "score": pa.array([acc[x] for x in keys], pa.float64())})
 
-    scored = plane.map_batches(score_block, batch_format="pyarrow")
+    # batch_size=None pins the block-local invariant score_block relies
+    # on (a doc's plane rows all sit in the one block its source batch
+    # emitted); row-based re-batching would split a doc's partial sums.
+    scored = plane.map_batches(score_block, batch_format="pyarrow",
+                               batch_size=None)
     top = grouped_topk(scored, "query_idx", "score", k, descending=True,
                        tie_col=id_col)
 
@@ -1627,10 +1654,19 @@ def hashed_doc_vectors(ds: ray.data.Dataset, dim: int = 64,
         n = np.sqrt((out * out).sum(axis=1, keepdims=True))
         n[n == 0] = 1.0
         out = out / n
+        # kmeans_distributed's expected key column rides along; ids
+        # that aren't numeric (real corpora commonly use string doc
+        # ids) get a stable 64-bit hash instead of a cast
+        ids = b.column(id_col)
+        if pa.types.is_integer(ids.type):
+            vec_id = pc.cast(ids, pa.int64())
+        else:
+            vec_id = pa.array(
+                [stable_hash64(s if s is not None else "")
+                 for s in ids.to_pylist()], pa.int64())
         return pa.table({
-            id_col: b.column(id_col),
-            # kmeans_distributed's expected key column rides along
-            "vec_id": pc.cast(b.column(id_col), pa.int64()),
+            id_col: ids,
+            "vec_id": vec_id,
             out_col: pa.array(list(out), pa.list_(pa.float64()))})
 
     return ds.map_batches(vecs, batch_format="pyarrow")

@@ -153,8 +153,9 @@ def curate_chain(docs: ray.data.Dataset, cfg: CurateConfig,
         tiled = grouped_ntile(scored, group,
                               [("kn_logprob", True), ("doc_id", False)],
                               3, out_col="_tile")
-        docs = tiled.filter(lambda r: r["_tile"] <= 2).map_batches(
-            lambda b: b.select(keep_cols), batch_format="pyarrow")
+        docs = tiled.map_batches(
+            lambda b: b.filter(pc.less_equal(b.column("_tile"), 2))
+            .select(keep_cols), batch_format="pyarrow")
         docs = note("ccnet_kept", docs)
 
     # 6. chunk + 7. deterministic global shuffle into shards

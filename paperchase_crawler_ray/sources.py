@@ -187,6 +187,27 @@ def image_sink_schema() -> pa.Schema:
 # ---------------------------------------------------------------------------
 
 
+def _clear_stale_parts(path: str, *patterns: str) -> int:
+    """Driver-side rerun idempotence for the one-file-per-block sinks:
+    sweep a previous run's part files (and orphaned ``*.tmp*`` files
+    from killed tasks) out of the target directory before writing.
+    Part names embed content hash + task id, so a rerun writes
+    DIFFERENTLY-named files; without this sweep a reader of the
+    directory would see both runs' rows side by side. Only files
+    matching this writer's own naming convention are touched —
+    unrelated files are left alone."""
+    import fnmatch
+    if not os.path.isdir(path):
+        return 0
+    n = 0
+    pats = list(patterns) + [p + ".tmp*" for p in patterns]
+    for f in sorted(os.listdir(path)):
+        if any(fnmatch.fnmatch(f, p) for p in pats):
+            os.remove(os.path.join(path, f))
+            n += 1
+    return n
+
+
 def _unique_part_namer(prefix: str, ext: str):
     """Per-task part-file namer: content hash + Ray task id + a
     within-task call counter. A RETRIED task replays the same batches
@@ -223,6 +244,7 @@ def write_jsonl(ds: ray.data.Dataset, path: str,
     public text dumps actually ship in); serialization stays
     vectorized (pandas' C ``to_json``), gzip wraps the block once."""
     if compression is None:
+        _clear_stale_parts(path, "*.json")   # Ray names parts per run
         ds.write_json(path)
         return
     if compression != "gzip":
@@ -230,6 +252,7 @@ def write_jsonl(ds: ray.data.Dataset, path: str,
     import gzip
 
     os.makedirs(path, exist_ok=True)
+    _clear_stale_parts(path, "part-*.jsonl.gz")
     namer = _unique_part_namer("part", ".jsonl.gz")
 
     def _write_block(df) -> pa.Table:
@@ -245,6 +268,10 @@ def write_jsonl(ds: ray.data.Dataset, path: str,
         os.replace(tmp, dst)
         return pa.table({"rows": pa.array([len(df)], pa.int64())})
 
+    # batch_format="pandas" is INTENTIONAL in this one sink: the JSON
+    # encoder dominates the stage, and pandas' C to_json is the fastest
+    # row-wise JSON encoder in this environment — the arrow->pandas
+    # conversion it costs is noise next to encoding + gzip.
     ds.map_batches(_write_block, batch_format="pandas",
                    batch_size=None).materialize()
 
@@ -268,6 +295,7 @@ def write_arrow_ipc(ds: ray.data.Dataset, path: str) -> int:
     killed task never leaves a truncated file at a canonical name.
     Returns the number of rows written."""
     os.makedirs(path, exist_ok=True)
+    _clear_stale_parts(path, "part-*.arrow")
     namer = _unique_part_namer("part", ".arrow")
 
     def _write_block(tbl: pa.Table) -> pa.Table:
@@ -330,6 +358,11 @@ def write_webdataset(ds: ray.data.Dataset, path: str, key_col: str,
     import tarfile
 
     os.makedirs(path, exist_ok=True)
+    # shards are content-addressed (a rerun over the SAME data rewrites
+    # the same names), but a rerun over CHANGED upstream data would
+    # leave the old run's shards beside the new — same sweep as the
+    # other one-file-per-block sinks
+    _clear_stale_parts(path, "shard-*.tar")
     meta_cols = list(meta_cols or [])
 
     def _write_block(tbl: pa.Table) -> pa.Table:
@@ -433,6 +466,7 @@ def write_csv(ds: ray.data.Dataset, path: str) -> int:
     from pyarrow import csv as pacsv
 
     os.makedirs(path, exist_ok=True)
+    _clear_stale_parts(path, "part-*.csv")
     namer = _unique_part_namer("part", ".csv")
 
     def _write_block(tbl: pa.Table) -> pa.Table:

@@ -22,7 +22,6 @@ that get salted (see pipelines/crawl.py).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from ..oracle import CrawlConfig
 
@@ -58,24 +57,6 @@ def schedule_block(batch, cfg: CrawlConfig):
                            "priority", pa.array(pri, pa.float64()))
     return out.append_column("admitted", pa.array(admitted, pa.bool_()))
 
-
-class PolitenessScheduler:
-    """map_groups callable over per-host frontier groups."""
-
-    def __init__(self, cfg: CrawlConfig):
-        self.cfg = cfg
-
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g["url_hash"].to_numpy(),
-                            g["depth"].to_numpy(),
-                            -g["priority"].to_numpy()))
-        g = g.iloc[order].reset_index(drop=True)
-        budget = self.cfg.host_wave_budget(float(g["crawl_delay"].iloc[0]))
-        n = len(g)
-        admitted = np.arange(n) < budget
-        g["admitted"] = admitted
-        # deferred rows decay so fresh discoveries can overtake them
-        pri = g["priority"].to_numpy().copy()
-        pri[~admitted] *= self.cfg.defer_decay
-        g["priority"] = pri
-        return g
+# The naive per-group pandas twin of this kernel lives in
+# tests/test_stages.py (PolitenessSchedulerTwin) — it is a test oracle,
+# not a production stage; crawl.py wires only schedule_block.

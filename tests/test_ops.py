@@ -453,6 +453,47 @@ def test_kmeans_distributed_deterministic_and_usable(emb_table):
     assert hits / tot >= 0.4
 
 
+def test_ann_training_layout_independent(emb_table):
+    """The seeded hash-sample makes IVF/PQ/k-means training start from
+    the SAME rows in the SAME order across block layouts: identical
+    centroids/codebooks for a 2-block and a shuffled 7-block layout of
+    the same data (VERDICT r4 next #7)."""
+    from paperchase_crawler_ray.ops.similarity import (kmeans_lite,
+                                                       pq_train,
+                                                       seeded_vector_sample)
+    perm = np.random.Generator(np.random.PCG64(5)) \
+        .permutation(emb_table.num_rows)
+    ds_a = ray.data.from_arrow(emb_table).repartition(2)
+    ds_b = ray.data.from_arrow(
+        emb_table.take(pa.array(perm))).repartition(7)
+    s_a = seeded_vector_sample(ds_a, 64)
+    s_b = seeded_vector_sample(ds_b, 64)
+    assert s_a.shape == (64, 64)
+    np.testing.assert_array_equal(s_a, s_b)
+    np.testing.assert_array_equal(kmeans_lite(s_a, 6), kmeans_lite(s_b, 6))
+    np.testing.assert_array_equal(
+        pq_train(ds_a, m=8, ksub=8, sample_n=64),
+        pq_train(ds_b, m=8, ksub=8, sample_n=64))
+    # sample smaller than the dataset really is a strict subset
+    assert len(seeded_vector_sample(ds_a, 10_000)) == emb_table.num_rows
+
+
+def test_document_clusters_string_ids(docs_table, ray_session):
+    """hashed_doc_vectors / document_clusters accept STRING doc ids
+    (real corpora use them): vec_id is a stable hash, clusters are
+    identical to the int-id run on the same texts (ADVICE r4)."""
+    from paperchase_crawler_ray.ops.textstats import document_clusters
+    t = docs_table.slice(0, 200)
+    s = t.set_column(0, "doc_id",
+                     pc.cast(t.column("doc_id"), pa.string()))
+    got = document_clusters(ray.data.from_arrow(s), n_clusters=4,
+                            iters=2).to_pandas()
+    assert len(got) == 200 and got["doc_id"].dtype == object
+    assert set(got["doc_id"]) == set(
+        str(i) for i in t.column("doc_id").to_pylist())
+    assert got["cluster"].between(0, 3).all()
+
+
 # -- round-2 scale paths (VERDICT.md next-round items 5-7, ADVICE fixes) -----
 
 def test_lsh_candidate_pairs_dataset_path_matches_driver(docs_table):

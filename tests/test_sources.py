@@ -301,3 +301,61 @@ def test_jsonl_gz_and_ipc_keep_identical_blocks(ray_session, tmp_path):
     assert n == 4
     assert len(glob.glob(ipc + "/*.arrow")) == 2
     assert sorted(read_arrow_ipc(ipc).to_pandas()["k"]) == [1, 1, 2, 2]
+
+
+def test_per_block_sinks_rerun_idempotent(ray_session, tmp_path):
+    """Re-running a write into the SAME directory replaces the previous
+    run's parts instead of doubling data (the task-salted part names
+    differ run-to-run, so without the driver-side stale-part sweep a
+    reader would see both runs' rows)."""
+    import glob
+    import pandas as pd
+    from paperchase_crawler_ray.sources import (read_arrow_ipc, read_csv,
+                                                read_jsonl,
+                                                read_webdataset,
+                                                write_arrow_ipc,
+                                                write_csv, write_jsonl,
+                                                write_webdataset)
+    first = pd.DataFrame({"k": list(range(10)),
+                          "s": [f"a{i}" for i in range(10)]})
+    second = pd.DataFrame({"k": list(range(100, 104)),
+                           "s": [f"b{i}" for i in range(4)]})
+
+    def ds(df, parts):
+        return ray.data.from_pandas(df).repartition(parts)
+
+    gz = str(tmp_path / "gz")
+    write_jsonl(ds(first, 3), gz, compression="gzip")
+    write_jsonl(ds(second, 2), gz, compression="gzip")
+    assert sorted(read_jsonl(gz).to_pandas()["k"]) == [100, 101, 102, 103]
+
+    jl = str(tmp_path / "jl")
+    write_jsonl(ds(first, 3), jl)
+    write_jsonl(ds(second, 2), jl)
+    assert sorted(read_jsonl(jl).to_pandas()["k"]) == [100, 101, 102, 103]
+
+    ipc = str(tmp_path / "ipc")
+    write_arrow_ipc(ds(first, 3), ipc)
+    assert write_arrow_ipc(ds(second, 2), ipc) == 4
+    assert sorted(read_arrow_ipc(ipc).to_pandas()["k"]) == \
+        [100, 101, 102, 103]
+
+    csv = str(tmp_path / "csv")
+    write_csv(ds(first, 3), csv)
+    assert write_csv(ds(second, 2), csv) == 4
+    assert sorted(read_csv(csv).to_pandas()["k"]) == [100, 101, 102, 103]
+
+    wd = str(tmp_path / "wd")
+    kf = first.rename(columns={"k": "key_", "s": "txt"})
+    ks = second.rename(columns={"k": "key_", "s": "txt"})
+    kf["key_"] = kf["key_"].astype(str)
+    ks["key_"] = ks["key_"].astype(str)
+    write_webdataset(ds(kf, 3), wd, key_col="key_", text_col="txt")
+    assert write_webdataset(ds(ks, 2), wd, key_col="key_",
+                            text_col="txt") == 4
+    assert sorted(read_webdataset(wd).to_pandas()["key"]) == \
+        ["100", "101", "102", "103"]
+    # orphaned tmp files from a killed task are swept too
+    open(f"{csv}/part-dead.csv.tmp123", "w").close()
+    write_csv(ds(second, 1), csv)
+    assert not glob.glob(csv + "/*.tmp*")

@@ -10,8 +10,29 @@ from paperchase_crawler_ray.functions.htmlparse import parse_page
 from paperchase_crawler_ray.functions.robots import RobotsRules, parse_robots
 from paperchase_crawler_ray.oracle import CrawlConfig
 from paperchase_crawler_ray.stages.frontier import dedup_block, dedup_wave_group
-from paperchase_crawler_ray.stages.politeness import (PolitenessScheduler,
-                                                      schedule_block)
+from paperchase_crawler_ray.stages.politeness import schedule_block
+
+
+class PolitenessSchedulerTwin:
+    """Naive per-host-group pandas twin of ``schedule_block`` — the
+    test oracle for the vectorized kernel (kept out of the package so
+    nobody wires the slow path into a pipeline)."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["url_hash"].to_numpy(),
+                            g["depth"].to_numpy(),
+                            -g["priority"].to_numpy()))
+        g = g.iloc[order].reset_index(drop=True)
+        budget = self.cfg.host_wave_budget(float(g["crawl_delay"].iloc[0]))
+        admitted = np.arange(len(g)) < budget
+        g["admitted"] = admitted
+        pri = g["priority"].to_numpy().copy()
+        pri[~admitted] *= self.cfg.defer_decay
+        g["priority"] = pri
+        return g
 
 
 def _frontier_table(n=500, seed=0):
@@ -61,7 +82,7 @@ def test_schedule_block_matches_groupwise():
     t = dedup_block(_frontier_table(seed=1))
     got = schedule_block(t, cfg).to_pandas() \
         .sort_values(["host", "url_hash"]).reset_index(drop=True)
-    sched = PolitenessScheduler(cfg)
+    sched = PolitenessSchedulerTwin(cfg)
     df = t.to_pandas()
     want = pd.concat([sched(g) for _, g in df.groupby("host")]) \
         .sort_values(["host", "url_hash"]).reset_index(drop=True)
