@@ -92,6 +92,17 @@ class RunConfig:
     host_partitions: int = 8
     robots_mode: str = "driver"  # "driver" (pre-parsed dict in tasks) |
                                  # "actor" (lazy TTL'd actor-pool cache)
+    # -- live-HTTP mode (stages/httpfetch.py) -----------------------------
+    fetcher_cls: type | None = None  # custom fetch stage (e.g. HttpFetcher);
+                                     # None = fixture-table fetchers
+    fetcher_args: tuple = ()         # its constructor args
+    host_affine_fetch: bool = False  # keep host-keyed blocks through the
+                                     # page fetch: wall-clock politeness
+                                     # spacing needs host->actor affinity
+                                     # (the uniform rebalance breaks it)
+    robots_http: dict | None = None  # fetch robots.txt over the wire:
+                                     # HttpRobotsGate kwargs; overrides
+                                     # robots_mode when set
     neardup_partitions: int = 4
     neardup_driver_max: int = 2_000_000
     admitted_driver_max: int = 2_000_000  # narrow-log rows above which the
@@ -369,10 +380,21 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     web_ref = ray.put(web)
-    robots_rules = robots_rules_from_web(web)
     # eager-mode fetch actor pool; lazy mode uses TaskFetcher /
-    # SyntheticImageFetch instead (see the fetch stages below)
+    # SyntheticImageFetch instead (see the fetch stages below); live-HTTP
+    # deployments inject HttpFetcher via RunConfig
     fetcher_cls, fetcher_args = FixtureFetcher, (web_ref,)
+    if run.fetcher_cls is not None:
+        fetcher_cls, fetcher_args = run.fetcher_cls, tuple(run.fetcher_args)
+    if run.robots_http is not None:
+        from ..stages.httpfetch import HttpRobotsGate
+        robots_rules = None
+        # driver-side gate instance for the small-wave local path (same
+        # TTL'd wire-fetch semantics, one connection set on the driver)
+        robots_local_gate = HttpRobotsGate(**run.robots_http)
+    else:
+        robots_rules = robots_rules_from_web(web)
+        robots_local_gate = RobotsFilter(robots_rules)
     _mark("web_put_robots")
     handles = make_seen_actors(run.nshards,
                                capacity_per_shard=run.seen_capacity_per_shard)
@@ -437,7 +459,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
             t = pq.read_table(frontier_dir)
             t = CanonicalizeBatch(cfg)(t)
             t = SeenLookup(handles)(t)
-            t = RobotsFilter(robots_rules)(t)
+            t = robots_local_gate(t)
             sched_t = schedule_block(dedup_block(t), cfg)
             sched = ray.data.from_arrow(sched_t)
             n_sched = sched_t.num_rows
@@ -474,7 +496,13 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                                     batch_size=None)
             unseen = prep.map_batches(SeenLookup(handles),
                                       batch_format="pyarrow")
-            if run.robots_mode == "actor":
+            if run.robots_http is not None:
+                from ..stages.httpfetch import HttpRobotsGate
+                gated = unseen.map_batches(
+                    HttpRobotsGate, fn_constructor_kwargs=run.robots_http,
+                    batch_format="pyarrow", concurrency=(1, 4),
+                    num_cpus=0.5)
+            elif run.robots_mode == "actor":
                 # scale path (SCALE.md §1): rules parsed lazily per host
                 # inside a TTL'd actor-pool cache instead of one
                 # driver-parsed dict riding every task closure — for
@@ -537,10 +565,14 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         parsed_dir = os.path.join(wd, "parsed")
         # Rebalance: admitted inherits the (skewed) host-partition blocks;
         # splitting into uniform blocks keeps the hot host from becoming a
-        # straggler task in the fetch/parse/decode chains.
-        rebalanced = (admitted
-                      .repartition(num_blocks=run.fetch_parallelism)
-                      .map_batches(SeenInsert(handles), batch_format="pyarrow"))
+        # straggler task in the fetch/parse/decode chains. Live-HTTP mode
+        # must NOT rebalance: wall-clock crawl_delay spacing lives in
+        # per-actor state, so a host's rows must reach one fetch actor
+        # (host-keyed blocks map 1:1 to actor tasks).
+        rebalanced = admitted if run.host_affine_fetch else \
+            admitted.repartition(num_blocks=run.fetch_parallelism)
+        rebalanced = rebalanced.map_batches(SeenInsert(handles),
+                                            batch_format="pyarrow")
         if run.lazy_images:
             # task-based fetch (per-process index cache): full parallelism
             fetched = rebalanced.map_batches(
