@@ -122,6 +122,21 @@ class SeenShardActor:
     def checkpoint(self) -> dict:
         return self._filter.checkpoint()
 
+    def checkpoint_to(self, path: str) -> int:
+        """Write this shard's dump to ``path`` ACTOR-SIDE (atomic
+        tmp+rename): checkpointing parallelizes across the shard pool
+        and the fingerprint arrays never ship through the driver — at
+        256 shards x MBs each, the driver-gather variant would move the
+        whole seen set every wave. Single-node it is the same disk; on
+        a real cluster point the out_dir at shared storage, the same
+        contract every other artifact in the wave directory has."""
+        import os
+        state = self._filter.checkpoint()
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, **state)
+        os.replace(tmp, path)
+        return 1
+
     def restore(self, state: dict) -> None:
         self._filter = ShardFilter.restore(state)
 
