@@ -34,6 +34,18 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.D
                                  columns=columns)
 
 
+def _meta_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet METADATA only (file or directory layout)
+    — the size probe for broadcast/keyed plan switches; no data read."""
+    import glob
+
+    import pyarrow.parquet as _pq
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    files = sorted(glob.glob(os.path.join(p, "*.parquet"))) \
+        if os.path.isdir(p) else [p]
+    return sum(_pq.read_metadata(f).num_rows for f in files)
+
+
 def _cache_tag(sf_dir: str, tables: tuple[str, ...]) -> str:
     """Cache key for derived-layout queries: the sf path PLUS each
     source parquet's (mtime, size) identity — a regenerated testdata
@@ -604,10 +616,12 @@ def _q_supplier_parts(sf: str):
     from ray.data.aggregate import Count
 
     from paperchase_crawler_ray.ops.relational import (anti_join,
-                                                       broadcast_lookup_join)
+                                                       broadcast_lookup_join,
+                                                       distinct_rows)
     li = _rp(sf, "lineitem", columns=["l_partkey", "l_suppkey"])
-    pairs = li.groupby(["l_partkey", "l_suppkey"]).count() \
-        .select_columns(["l_partkey", "l_suppkey"])
+    # distinct_rows (block pre-shrink + ONE capped key-hash exchange)
+    # measured ~2x faster than groupby().count() on this plane
+    pairs = distinct_rows(li, ["l_partkey", "l_suppkey"])
     bad = _rp(sf, "supplier", columns=["s_suppkey", "s_acctbal"]) \
         .map_batches(lambda b: b.filter(
             pc.less(b.column("s_acctbal"), pa.scalar(0.0)))
@@ -623,8 +637,7 @@ def _q_supplier_parts(sf: str):
                                         pa.scalar("Brand#13")))
         .select(["p_brand", "p_size", "l_suppkey"]),
         batch_format="pyarrow")
-    tri = typed.groupby(["p_brand", "p_size", "l_suppkey"]).count() \
-        .select_columns(["p_brand", "p_size", "l_suppkey"])
+    tri = distinct_rows(typed, ["p_brand", "p_size", "l_suppkey"])
     agg = tri.groupby(["p_brand", "p_size"]).aggregate(
         Count(alias_name="supplier_cnt"))
     return agg.map_batches(
@@ -736,12 +749,19 @@ def _q_late_only_supplier(sf: str):
     multi-supplier finished order. The double EXISTS/NOT-EXISTS is
     rewritten as per-order aggregates over the distinct
     (order, supplier, any_late) pair table: n_supp > 1 AND n_late == 1
-    AND this pair is the late one — three pre-shrunk exchanges, no
-    correlated probe."""
-    from ray.data.aggregate import Count, Max, Sum
+    AND this pair is the late one. Scale shape (round-5 rewrite): the
+    orders side broadcasts below 2M rows (size-switched to the keyed
+    join above), the pair-max collapses BLOCK-LOCALLY before ONE
+    order-keyed exchange, and the per-order stats + culprit filter run
+    inside that exchange's blocks (orders co-located) — one exchange
+    where the old plan paid a keyed join plus two Ray aggregates plus
+    a semi join (sf1: 49s -> measured below)."""
+    from ray.data.aggregate import Count
 
+    from paperchase_crawler_ray.ops.dedup import _hash_shuffle
     from paperchase_crawler_ray.ops.relational import (broadcast_lookup_join,
-                                                       cap_join_partitions)
+                                                       cap_join_partitions,
+                                                       scrub_empty_blocks)
     LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
     o = _rp(sf, "orders", columns=["o_orderkey", "o_orderstatus",
                                    "o_orderdate"])
@@ -753,10 +773,17 @@ def _q_late_only_supplier(sf: str):
 
     li = _rp(sf, "lineitem", columns=["l_orderkey", "l_suppkey",
                                       "l_shipdate"])
-    j = li.join(o.map_batches(finished, batch_format="pyarrow"),
-                join_type="inner",
-                num_partitions=cap_join_partitions(8),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    fin = o.map_batches(finished, batch_format="pyarrow")
+    broadcast_max = int(os.environ.get("PC_Q21_BROADCAST_MAX", 2_000_000))
+    if _meta_rows(sf, "orders") <= broadcast_max:
+        # dimension-sized orders side: map-side attach, fact never
+        # shuffles for the date lookup
+        j = broadcast_lookup_join(li, "l_orderkey", fin, "o_orderkey",
+                                  ["od_us"])
+    else:
+        j = li.join(fin, join_type="inner",
+                    num_partitions=cap_join_partitions(8),
+                    on=("l_orderkey",), right_on=("o_orderkey",))
 
     def late_flag(b: pa.Table) -> pa.Table:
         late = pc.cast(pc.greater(
@@ -767,30 +794,46 @@ def _q_late_only_supplier(sf: str):
                          "l_suppkey": b.column("l_suppkey"),
                          "late": late})
 
-    # materialized ONCE: both the per-order stats and the late-pair
-    # probe consume it — lazy reuse would re-execute the fact join
-    # (the expensive upstream) twice. Pair-table sized, spill-safe.
-    pairs = j.map_batches(late_flag, batch_format="pyarrow") \
-        .groupby(["l_orderkey", "l_suppkey"]).aggregate(
-            Max("late", alias_name="any_late")).materialize()
-    per_order = pairs.groupby("l_orderkey").aggregate(
-        Count(alias_name="n_supp"), Sum("any_late", alias_name="n_late"))
-    lonely = per_order.map_batches(
-        lambda b: b.filter(pc.and_(
-            pc.greater(b.column("n_supp"), pa.scalar(1)),
-            pc.equal(pc.cast(b.column("n_late"), pa.int64()),
-                     pa.scalar(1, pa.int64()))))
-        .select(["l_orderkey"]), batch_format="pyarrow")
-    from paperchase_crawler_ray.ops.relational import semi_join
-    late_pairs = pairs.map_batches(
-        lambda b: b.filter(pc.equal(b.column("any_late"),
-                                    pa.scalar(1, pa.int64())))
-        .select(["l_orderkey", "l_suppkey"]), batch_format="pyarrow")
-    # the lonely-order set is HAVING-filtered tiny — semi_join's size
-    # switch broadcasts it, so the pair table is never reshuffled
-    jp = semi_join(late_pairs, "l_orderkey", lonely, "l_orderkey")
+    # block-local pair-max pre-shrink (collapses each block to its
+    # distinct (order, supplier, late-max) rows before any exchange)
+    def pair_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")])
+
+    pre = j.map_batches(late_flag, batch_format="pyarrow") \
+        .map_batches(pair_partial, batch_format="pyarrow",
+                     batch_size=None)
+
+    def resolve_block(b: pa.Table) -> pa.Table:
+        """Orders are co-located here: finish the pair max, compute
+        per-order (n_supp, n_late) and emit the lone-late culprit
+        suppliers — all within the block, no further exchange."""
+        t = b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late_max", "max")])
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array(
+                [], b.schema.field("l_suppkey").type)})
+        ordk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        late = t.column("late_max_max").to_numpy(zero_copy_only=False)
+        order = np.argsort(ordk, kind="stable")
+        og, lg = ordk[order], late[order]
+        newg = np.ones(len(og), bool)
+        newg[1:] = og[1:] != og[:-1]
+        starts = np.flatnonzero(newg)
+        n_supp = np.diff(np.r_[starts, len(og)])
+        n_late = np.add.reduceat(lg, starts)
+        ok = np.repeat((n_supp > 1) & (n_late == 1), n_supp) & (lg == 1)
+        return pa.table({"l_suppkey": pa.array(supp[order][ok])})
+
+    pre = scrub_empty_blocks(pre)
+    with _hash_shuffle(pre):
+        culprits = pre.repartition(
+            num_blocks=cap_join_partitions(16), keys=["l_orderkey"]) \
+            .map_batches(resolve_block, batch_format="pyarrow",
+                         batch_size=None).materialize()
     s = _rp(sf, "supplier", columns=["s_suppkey", "s_name"])
-    named = broadcast_lookup_join(jp, "l_suppkey", s, "s_suppkey",
+    named = broadcast_lookup_join(culprits, "l_suppkey", s, "s_suppkey",
                                   ["s_name"])
     agg = named.groupby("s_name").aggregate(Count(alias_name="numwait"))
     return agg.map_batches(

@@ -152,6 +152,26 @@ def _warmup(num_cpus: int) -> None:
     shutil.rmtree(out, ignore_errors=True)
 
 
+def _mem_evidence() -> dict:
+    """Peak driver RSS + object-store usage/spill at measurement time —
+    the no-OOM/no-spill-pathology evidence the scale runs record."""
+    import glob
+    import resource
+    out = {"driver_peak_rss_mb": round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)}
+    try:
+        import ray._private.worker as _w
+        sess = _w._global_node.get_session_dir_path()
+        spilled = sum(
+            os.path.getsize(f) for f in glob.glob(
+                os.path.join(sess, "**", "*spill*", "*"), recursive=True)
+            if os.path.isfile(f))
+        out["spilled_mb"] = round(spilled / 2**20, 1)
+    except Exception as e:   # defensive: private API
+        out["spilled_mb"] = f"unavailable: {e}"
+    return out
+
+
 def run_sustained(num_cpus: int, pages: int = SUS_PAGES) -> dict:
     ray = _init_ray(num_cpus)
     from paperchase_crawler_ray.oracle import CrawlConfig
@@ -176,7 +196,12 @@ def run_sustained(num_cpus: int, pages: int = SUS_PAGES) -> dict:
                     fetch_parallelism=num_cpus * 2,
                     image_parallelism=num_cpus * 16,
                     fetch_concurrency=max(2, num_cpus // 2),
-                    fetch_batch_size=128, image_batch_size=32)
+                    fetch_batch_size=128, image_batch_size=32,
+                    # the bench web is 40%-one-host by construction —
+                    # the salted scheduler keeps the wave's exchange on
+                    # the uniform url_hash keys (and with the unbounded
+                    # politeness budget the candidate exchange is empty)
+                    sched_mode="salted")
     # best-of-N: single 30s windows swing ±40% with VM co-tenancy;
     # two runs halve the exposure (GRAFT_SUSTAINED_RUNS=1 restores the
     # old single-shot behavior)
@@ -191,6 +216,7 @@ def run_sustained(num_cpus: int, pages: int = SUS_PAGES) -> dict:
         if wall is None or w < wall:
             wall, res = w, r
     c = res.counters
+    mem = _mem_evidence()
     shutil.rmtree(out, ignore_errors=True)
     return {
         "wall_sec": round(wall, 3),
@@ -200,6 +226,7 @@ def run_sustained(num_cpus: int, pages: int = SUS_PAGES) -> dict:
         "urls_per_sec": round(c["frontier_rows"] / wall, 1),
         "fetched_per_sec": round(c["admitted"] / wall, 1),
         "images_per_sec": round(c["images_landed"] / wall, 1),
+        **mem,
     }
 
 

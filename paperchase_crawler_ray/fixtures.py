@@ -141,9 +141,11 @@ def host_name(i: int) -> str:
     return f"h{i:03d}.example"
 
 
-def _pages_per_host(n_hosts: int, total_pages: int) -> list[int]:
-    """Power-law page counts; host 0 gets ~40% of all pages."""
-    hot = max(1, int(total_pages * 0.4))
+def _pages_per_host(n_hosts: int, total_pages: int,
+                    hot_share: float = 0.4) -> list[int]:
+    """Power-law page counts; host 0 gets ``hot_share`` of all pages
+    (0.4 default; the skew-stress scaling protocol raises it to 0.8)."""
+    hot = max(1, int(total_pages * hot_share))
     rest = total_pages - hot
     weights = np.array([1.0 / (i + 1) for i in range(1, n_hosts)]) if n_hosts > 1 else np.array([])
     counts = [hot]
@@ -227,15 +229,17 @@ def gen_image_bytes(src: str, img_scale: int = 1, seed: int = 42
 
 
 def make_web(n_hosts: int = 20, total_pages: int = 400, seed: int = 42,
-             materialize_images: bool = True, img_scale: int = 1) -> pa.Table:
+             materialize_images: bool = True, img_scale: int = 1,
+             hot_share: float = 0.4) -> pa.Table:
     """The synthetic web the sandbox Fetcher serves (FIXTURES.md §3).
 
     ``materialize_images=False`` returns only the HTML/robots rows — image
     bodies are then synthesized on demand by ``stages.fetch
     .GenerativeFetcher`` (same deterministic rule), which keeps the
-    broadcast table tiny at bench scale.
+    broadcast table tiny at bench scale. ``hot_share`` skews host 0's
+    page share (the adversarial-skew scaling protocol uses 0.8).
     """
-    pages = _pages_per_host(n_hosts, total_pages)
+    pages = _pages_per_host(n_hosts, total_pages, hot_share)
     urls, statuses, ctypes, bodies, locations = [], [], [], [], []
 
     def add(url, status, ctype, body, location=""):

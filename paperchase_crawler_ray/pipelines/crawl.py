@@ -69,7 +69,7 @@ from ..stages.image import (DecodeImages, DecodeWriteImages,
                             dedup_image_refs_block, neardup_block,
                             neardup_drops_block, neardup_drops_ds)
 from ..stages.parse import explode_images, explode_links, explode_redirects, parse_pages
-from ..stages.politeness import schedule_block
+from ..stages.politeness import schedule_block, schedule_salted
 from ..stages.robots_gate import (RobotsFilter, RobotsGate,
                                   robots_rules_from_web)
 from ..stages.seen import (ImageWinnerFilter, OfferImageWinners,
@@ -94,6 +94,17 @@ class RunConfig:
     host_partitions: int = 8
     robots_mode: str = "driver"  # "driver" (pre-parsed dict in tasks) |
                                  # "actor" (lazy TTL'd actor-pool cache)
+    sched_mode: str = "host"     # "host": ONE fused host-keyed
+                                 # dedup+politeness exchange (mild skew;
+                                 # combiner + budget cap bound it) |
+                                 # "salted": uniform url_hash dedup
+                                 # exchange + two-level budget prune —
+                                 # only over-budget hosts' candidate
+                                 # rows cross a host-keyed exchange
+                                 # (adversarial skew; measured 0.708 ->
+                                 # >=0.8 at 80%-one-host) | "auto":
+                                 # salted when the PREVIOUS wave's top
+                                 # host held > 25% of its plane
     # -- live-HTTP mode (stages/httpfetch.py) -----------------------------
     fetcher_cls: type | None = None  # custom fetch stage (e.g. HttpFetcher);
                                      # None = fixture-table fetchers
@@ -447,6 +458,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
     # images included, is durably on disk", and markers stay monotonic
     # (pending K is sealed before K+1's thread starts).
     pending: dict | None = None
+    prev_hot_frac = 0.0   # sched_mode="auto" signal from the last wave
 
     def _finish_pending() -> None:
         nonlocal pending
@@ -499,6 +511,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         _mark("frontier_read")
 
         sched_hosts_local = None  # set on the driver-local wave path
+        salted_counts = None      # set on the salted distributed path
         if n_frontier <= run.driver_wave_max:
             # ADAPTIVE small-wave path (crawl ramp waves are tiny): the
             # frontier plane runs driver-local with the SAME block
@@ -563,20 +576,40 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
             else:
                 gated = unseen.map_batches(RobotsFilter(robots_rules),
                                            batch_format="pyarrow")
-            # ONE hash-partition by host co-locates equal url_hashes too
-            # (a URL's host is a function of the URL), so the U2 dedup
-            # and the A3 politeness schedule run back-to-back on the same
-            # blocks — one all-to-all instead of two. batch_size=None =>
-            # whole blocks. The politeness exchange must stay strictly
-            # host-keyed (a host's budget is global), so hot-host skew
-            # here is bounded by the combiner above plus the budget cap
-            # on output; the dedup-only path (ops.relational.exact_dedup)
-            # salts instead.
-            sched = gated.repartition(num_blocks=run.host_partitions,
-                                      keys=["host"]) \
-                .map_batches(lambda b: schedule_block(dedup_block(b), cfg),
-                             batch_format="pyarrow", batch_size=None)
-            sched = sched.materialize()  # wave working set, no bodies
+            use_salted = (run.sched_mode == "salted"
+                          or (run.sched_mode == "auto"
+                              and prev_hot_frac > 0.25))
+            if use_salted:
+                # Adversarial-skew path: dedup rides a UNIFORM url_hash
+                # exchange (hashes don't skew, hosts do), then
+                # schedule_salted admits row-locally for within-budget
+                # hosts and exchanges only the over-budget hosts'
+                # per-block top-budget candidates (bounded regardless
+                # of skew). See stages/politeness.py.
+                deduped = gated.repartition(
+                    num_blocks=run.host_partitions,
+                    keys=["url_hash"]) \
+                    .map_batches(dedup_block, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+                sched, salted_counts = schedule_salted(
+                    deduped, cfg, run.host_partitions)
+                sched = sched.materialize()
+            else:
+                # ONE hash-partition by host co-locates equal url_hashes
+                # too (a URL's host is a function of the URL), so the U2
+                # dedup and the A3 politeness schedule run back-to-back
+                # on the same blocks — one all-to-all instead of two.
+                # batch_size=None => whole blocks. The politeness
+                # exchange stays strictly host-keyed (a host's budget is
+                # global); hot-host skew here is bounded by the combiner
+                # above plus the budget cap on output. For adversarial
+                # key distributions use sched_mode="salted"/"auto".
+                sched = gated.repartition(num_blocks=run.host_partitions,
+                                          keys=["host"]) \
+                    .map_batches(
+                        lambda b: schedule_block(dedup_block(b), cfg),
+                        batch_format="pyarrow", batch_size=None)
+                sched = sched.materialize()  # wave working set, no bodies
             n_sched = sched.count()
             if os.environ.get("PC_PROFILE") == "3":
                 print("PCSTATS sched chain:\n", sched.stats(), flush=True)
@@ -866,7 +899,11 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
                                               pa.string()),
                              "n": pa.array(cnts[order], pa.int64())})
 
-        if sched_hosts_local is not None:
+        if salted_counts is not None:
+            # salted wave: schedule_salted already computed EXACT
+            # per-host counts — no extra pass
+            cand = [(h, int(n)) for h, (n, _d) in salted_counts.items()]
+        elif sched_hosts_local is not None:
             # driver-local wave: the plane is already on the driver —
             # no Ray execution for a tiny np.unique
             t = pa.table({"host": sched_hosts_local})
@@ -885,6 +922,7 @@ def _crawl_inner(web: pa.Table, seeds: pa.Table, out_dir: str,
         hot = sorted(cand, key=lambda kv: (-kv[1], kv[0]))[:10]
         _mark("hot_hosts")
         counters.setdefault("hot_hosts", {})[wave] = hot
+        prev_hot_frac = hot[0][1] / max(1, n_sched) if hot else 0.0
         # consumed by _finish_pending when this wave's image thread
         # joins (lineage + _COMMITTED are sealed there)
         pending["hot"] = hot

@@ -279,3 +279,22 @@ def test_snapshot_diff_between_crawl_checkpoints(fixture_web, fixture_seeds,
     assert set(diff["change"]) <= {"added"}
     assert set(diff["image_id"]) == ids4 - ids3
     assert len(ids4 - ids3) > 0  # wave 4 actually landed new images
+
+
+def test_salted_sched_mode_matches_oracle(fixture_web, fixture_seeds,
+                                          crawl_cfg, oracle_result,
+                                          tmp_path):
+    """sched_mode='salted' (uniform url_hash dedup exchange + candidate
+    prune — the adversarial-skew path) must reproduce the oracle's
+    ordering, seen set and image set exactly, on the forced-distributed
+    plane."""
+    out = str(tmp_path / "salt")
+    res = crawl(fixture_web, fixture_seeds, out, crawl_cfg,
+                RunConfig(nshards=4, driver_wave_max=0, host_partitions=4,
+                          sched_mode="salted"))
+    assert res.admitted_per_wave() == \
+        oracle_result.admitted_per_wave[: res.waves_run]
+    assert res.seen_hashes() == oracle_result.seen_hashes
+    imgs = res.images_dataset().to_pandas()
+    want_ids = sorted(r["image_id"] for r in oracle_result.image_rows)
+    assert sorted(imgs["image_id"]) == want_ids

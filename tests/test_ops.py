@@ -2945,6 +2945,15 @@ def test_big_orders_matches_duckdb(ray_session):
     assert _duckdb_twin("q_big_orders") > 1
 
 
+def test_late_only_supplier_keyed_path_matches_duckdb(ray_session,
+                                                      monkeypatch):
+    """Q21's orders side is size-switched (broadcast below 2M rows,
+    keyed join above); force the KEYED branch and re-verify against the
+    oracle so the at-scale plan stays correctness-covered."""
+    monkeypatch.setenv("PC_Q21_BROADCAST_MAX", "0")
+    assert _duckdb_twin("q_late_only_supplier") >= 1
+
+
 def test_promo_share_matches_duckdb(ray_session):
     """Q14-shape conditional revenue ratio in exact integer units."""
     assert _duckdb_twin("q_promo_share") == 1

@@ -230,3 +230,40 @@ def test_decode_write_images_retry_idempotent(tmp_path):
     assert files1 == files2          # same single file, no duplicates
     assert open(os.path.join(d, files2[0]), "rb").read() == bytes1
     assert narrow1.equals(narrow2)
+
+
+def test_schedule_salted_equals_schedule_block(ray_session):
+    """The salted scheduler (uniform dedup exchange + two-level budget
+    prune, stages/politeness.schedule_salted) admits the SAME rows with
+    the SAME decayed priorities as the fused whole-plane kernel, on an
+    80%-one-host frontier split across 5 blocks."""
+    import ray.data
+    from paperchase_crawler_ray.stages.politeness import schedule_salted
+
+    cfg = CrawlConfig(host_budget=4, wave_seconds=8.0)
+    t = dedup_block(_frontier_table(2000, seed=7))
+    # skew: first 80% of rows move to one hot host; crawl_delay must be
+    # a function of host, so rebuild it from the (new) host digits
+    n = t.num_rows
+    hosts = t.column("host").to_pylist()
+    hot_n = int(n * 0.8)
+    hosts = ["h777.example"] * hot_n + hosts[hot_n:]
+    delays = [float(int(h[1:4]) % 3) for h in hosts]
+    t = t.set_column(t.schema.get_field_index("host"), "host",
+                     pa.array(hosts, pa.string()))
+    t = t.set_column(t.schema.get_field_index("crawl_delay"),
+                     "crawl_delay", pa.array(delays, pa.float64()))
+
+    want = schedule_block(t, cfg).to_pandas() \
+        .sort_values("url_hash").reset_index(drop=True)
+    ds = ray.data.from_arrow(t).repartition(5).materialize()
+    got_ds, counts = schedule_salted(ds, cfg, host_partitions=4)
+    got = got_ds.to_pandas().sort_values("url_hash") \
+        .reset_index(drop=True)[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
+    # exact per-host counts ride along
+    import collections
+    true_counts = collections.Counter(hosts)
+    assert {h: v[0] for h, v in counts.items()} == dict(true_counts)
+    # the hot host really was over budget (the exchange path ran)
+    assert true_counts["h777.example"] > cfg.host_wave_budget(0.0)
