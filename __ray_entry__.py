@@ -329,21 +329,21 @@ def _ts_us_col(col: pa.ChunkedArray) -> pa.ChunkedArray:
 def _q_exists_orders(sf: str):
     """TPC-H Q4 shape: orders in a date window that have at least one
     lineitem shipped after the order date, counted per priority. The
-    correlated EXISTS is rewritten as a pre-aggregate pushdown —
-    EXISTS(l_shipdate > o_orderdate) == MAX(l_shipdate) > o_orderdate —
-    so the keyed join moves ONE row per orderkey, not the fact table."""
-    from ray.data.aggregate import Count, Max
+    correlated EXISTS is rewritten two ways, size-switched on the
+    orders table: below the broadcast bound the WINDOWED orders attach
+    map-side into the lineitem scan, late rows filter immediately, and
+    one ``distinct_rows`` exchange over the (orderkey, priority)
+    survivors replaces the full-fact MAX aggregate + keyed join (sf1:
+    25.1s -> measured in SCALE.md); above it, the pre-aggregate
+    pushdown — EXISTS(l_shipdate > o_orderdate) == MAX(l_shipdate) >
+    o_orderdate via the two-level partial max — keeps one row per
+    orderkey crossing the keyed join."""
+    from ray.data.aggregate import Count
 
-    from paperchase_crawler_ray.ops.relational import cap_join_partitions
+    from paperchase_crawler_ray.ops.relational import (
+        broadcast_lookup_join, cap_join_partitions, distinct_rows,
+        partial_keyed_agg)
     li = _rp(sf, "lineitem", columns=["l_orderkey", "l_shipdate"])
-
-    def ship_int(b: pa.Table) -> pa.Table:
-        return pa.table({"l_orderkey": b.column("l_orderkey"),
-                         "ship_us": _ts_us_col(b.column("l_shipdate"))})
-
-    mx = li.map_batches(ship_int, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Max("ship_us",
-                                             alias_name="max_ship"))
 
     lo = pd.Timestamp("1996-01-01").value // 1000
     hi = pd.Timestamp("1997-01-01").value // 1000
@@ -359,17 +359,42 @@ def _q_exists_orders(sf: str):
                          "od_us": _ts_us_col(t.column("o_orderdate")),
                          "o_orderpriority": t.column("o_orderpriority")})
 
-    j = mx.join(o.map_batches(window, batch_format="pyarrow"),
-                join_type="inner",
-                num_partitions=cap_join_partitions(8),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    win = o.map_batches(window, batch_format="pyarrow")
+    broadcast_max = int(os.environ.get("PC_Q4_BROADCAST_MAX", 2_000_000))
+    if _meta_rows(sf, "orders") <= broadcast_max:
+        def ship_int(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "ship_us": _ts_us_col(b.column("l_shipdate"))})
 
-    def late(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(b.column("max_ship"),
-                                   b.column("od_us")))
-
-    agg = j.map_batches(late, batch_format="pyarrow") \
-        .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+        att = broadcast_lookup_join(
+            li.map_batches(ship_int, batch_format="pyarrow"),
+            "l_orderkey", win, "o_orderkey",
+            ["od_us", "o_orderpriority"])
+        late_rows = att.map_batches(
+            lambda b: b.filter(pc.greater(b.column("ship_us"),
+                                          b.column("od_us"))),
+            batch_format="pyarrow")
+        pairs = distinct_rows(late_rows,
+                              ["l_orderkey", "o_orderpriority"])
+        agg = pairs.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_orders"))
+    else:
+        mx = partial_keyed_agg(
+            li.map_batches(lambda b: pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "ship_us": _ts_us_col(b.column("l_shipdate"))}),
+                batch_format="pyarrow"),
+            ["l_orderkey"], [("ship_us", "max")])
+        j = mx.join(win, join_type="inner",
+                    num_partitions=cap_join_partitions(8),
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+        agg = j.map_batches(
+            lambda b: b.filter(pc.greater(b.column("ship_us_max"),
+                                          b.column("od_us"))),
+            batch_format="pyarrow") \
+            .groupby("o_orderpriority").aggregate(
+                Count(alias_name="n_orders"))
 
     def fin(b: pa.Table) -> pa.Table:
         return pa.table({"o_orderpriority": b.column("o_orderpriority"),
@@ -382,31 +407,53 @@ def _q_exists_orders(sf: str):
 def _q_big_orders(sf: str):
     """TPC-H Q18 shape: orders whose total lineitem quantity clears a
     HAVING threshold, joined back to orders and customers. The
-    aggregate runs FIRST (one int row per orderkey crosses the
-    shuffle), the >150 filter prunes before either join, and the
-    surviving rows are tiny on both join probes. Quantities are
-    integer-valued, so the HAVING sum is exact in any order."""
-    from ray.data.aggregate import Sum
-
-    from paperchase_crawler_ray.ops.relational import cap_join_partitions
+    aggregate runs FIRST as the two-level partial sum (block-local
+    combiner before ONE capped key-hash exchange — ~3x the Ray
+    aggregate on this plane), the >150 filter prunes before either
+    probe, and the surviving plane attaches orders + customer by
+    size-switched broadcast lookups (keyed joins above the bound).
+    Quantities are integer-valued, so the HAVING sum is exact in any
+    order."""
+    from paperchase_crawler_ray.ops.relational import (
+        broadcast_lookup_join, cap_join_partitions, partial_keyed_agg)
     li = _rp(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
 
     def to_int(b: pa.Table) -> pa.Table:
         return pa.table({"l_orderkey": b.column("l_orderkey"),
                          "q": pc.cast(b.column("l_quantity"), pa.int64())})
 
-    agg = li.map_batches(to_int, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("q", alias_name="tq"))
+    agg = partial_keyed_agg(li.map_batches(to_int, batch_format="pyarrow"),
+                            ["l_orderkey"], [("q", "sum")])
     hot = agg.map_batches(
-        lambda b: b.filter(pc.greater(b.column("tq"), pa.scalar(150))),
-        batch_format="pyarrow")
+        lambda b: b.filter(pc.greater(b.column("q_sum"),
+                                      pa.scalar(150))),
+        batch_format="pyarrow").materialize()
 
     o = _rp(sf, "orders", columns=["o_orderkey", "o_custkey",
                                    "o_totalprice"])
+    c = _rp(sf, "customer", columns=["c_custkey", "c_name"])
+    broadcast_max = int(os.environ.get("PC_Q18_BROADCAST_MAX",
+                                       2_000_000))
+    if hot.count() <= broadcast_max:
+        # the HAVING survivors broadcast into the orders scan (unique
+        # orderkeys), customer attaches as a dimension lookup — the
+        # big tables never shuffle
+        j = broadcast_lookup_join(o, "o_orderkey", hot, "l_orderkey",
+                                  ["q_sum"])
+        jc = broadcast_lookup_join(j, "o_custkey", c, "c_custkey",
+                                   ["c_name"])
+
+        def fin_b(b: pa.Table) -> pa.Table:
+            return pa.table({"c_name": b.column("c_name"),
+                             "o_orderkey": b.column("o_orderkey"),
+                             "o_totalprice": b.column("o_totalprice"),
+                             "total_qty": pc.cast(b.column("q_sum"),
+                                                  pa.float64())})
+        return jc.map_batches(fin_b, batch_format="pyarrow")
+
     j = hot.join(o, join_type="inner",
                  num_partitions=cap_join_partitions(8),
                  on=("l_orderkey",), right_on=("o_orderkey",))
-    c = _rp(sf, "customer", columns=["c_custkey", "c_name"])
     jc = j.join(c, join_type="inner",
                 num_partitions=cap_join_partitions(8),
                 on=("o_custkey",), right_on=("c_custkey",))
@@ -416,7 +463,7 @@ def _q_big_orders(sf: str):
         return pa.table({"c_name": b.column("c_name"),
                          "o_orderkey": b.column("l_orderkey"),
                          "o_totalprice": b.column("o_totalprice"),
-                         "total_qty": pc.cast(b.column("tq"),
+                         "total_qty": pc.cast(b.column("q_sum"),
                                               pa.float64())})
 
     return jc.map_batches(fin, batch_format="pyarrow")

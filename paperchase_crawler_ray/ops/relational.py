@@ -2423,6 +2423,47 @@ def distinct_rows(ds: ray.data.Dataset, keys: list[str],
                          batch_size=None).materialize()
 
 
+def partial_keyed_agg(ds: ray.data.Dataset, keys: list[str],
+                      aggs: list[tuple[str, str]],
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Two-level keyed aggregate for RE-AGGREGATABLE Arrow kernels
+    (sum / min / max): per-block pyarrow ``group_by`` partials collapse
+    every block BEFORE the one capped key-hash exchange, then a second
+    block-local pass finishes — the ``distinct_rows`` shape with
+    measure columns (~2-3x a Ray ``groupby().aggregate()`` on
+    fact-sized planes, and the block-local combiner bounds hot-key
+    skew by the block count). COUNT rides as sum over a ones column.
+
+    ``aggs``: ``[(col, fn)]`` with fn in {"sum", "min", "max"}.
+    Output columns: keys + ``f"{col}_{fn}"``. Returns a MATERIALIZED
+    dataset (the scoped hash-shuffle strategy must drain in scope)."""
+    from .dedup import _hash_shuffle
+
+    bad = {f for _, f in aggs} - {"sum", "min", "max"}
+    if bad:
+        raise ValueError(f"non re-aggregatable agg fns: {sorted(bad)}")
+    cols = list(dict.fromkeys(c for c, _ in aggs))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.select(list(keys) + cols).group_by(list(keys)) \
+            .aggregate([(c, f) for c, f in aggs])
+
+    def final(b: pa.Table) -> pa.Table:
+        t = b.group_by(list(keys)).aggregate(
+            [(f"{c}_{f}", f) for c, f in aggs])
+        ren = {f"{c}_{f}_{f}": f"{c}_{f}" for c, f in aggs}
+        return t.rename_columns([ren.get(n, n) for n in t.column_names])
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None)
+    with _hash_shuffle(pre):
+        return pre.repartition(
+            num_blocks=cap_join_partitions(num_partitions),
+            keys=list(keys)) \
+            .map_batches(final, batch_format="pyarrow",
+                         batch_size=None).materialize()
+
+
 def expect(ds: ray.data.Dataset, not_null: list[str] | None = None,
            between: dict[str, tuple[float, float]] | None = None,
            unique: list[list[str]] | None = None) -> ray.data.Dataset:

@@ -2954,6 +2954,41 @@ def test_late_only_supplier_keyed_path_matches_duckdb(ray_session,
     assert _duckdb_twin("q_late_only_supplier") >= 1
 
 
+def test_exists_big_orders_keyed_paths_match_duckdb(ray_session,
+                                                    monkeypatch):
+    """Q4/Q18's size-switched KEYED branches (partial max + keyed join;
+    two keyed joins) re-verified against the oracle — the broadcast
+    branches are what the sampled driver check exercises."""
+    monkeypatch.setenv("PC_Q4_BROADCAST_MAX", "0")
+    monkeypatch.setenv("PC_Q18_BROADCAST_MAX", "0")
+    assert _duckdb_twin("q_exists_orders") >= 1
+    assert _duckdb_twin("q_big_orders") > 1
+
+
+def test_partial_keyed_agg_matches_ray_aggregate(ray_session):
+    """Two-level partial sum/min/max == Ray's groupby aggregate, with
+    duplicate keys spanning blocks."""
+    from ray.data.aggregate import Max, Min, Sum
+    from paperchase_crawler_ray.ops.relational import partial_keyed_agg
+    rng = np.random.Generator(np.random.PCG64(3))
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, 5000), pa.int64()),
+        "v": pa.array(rng.integers(-100, 100, 5000), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = partial_keyed_agg(ds, ["k"], [("v", "sum"), ("v", "min"),
+                                        ("v", "max")]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = ray.data.from_arrow(t).groupby("k").aggregate(
+        Sum("v", alias_name="v_sum"), Min("v", alias_name="v_min"),
+        Max("v", alias_name="v_max")).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v_sum", "v_min", "v_max"]],
+        want[["k", "v_sum", "v_min", "v_max"]], check_dtype=False)
+    with pytest.raises(ValueError):
+        partial_keyed_agg(ds, ["k"], [("v", "mean")])
+
+
 def test_promo_share_matches_duckdb(ray_session):
     """Q14-shape conditional revenue ratio in exact integer units."""
     assert _duckdb_twin("q_promo_share") == 1
