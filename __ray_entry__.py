@@ -199,6 +199,26 @@ def _q_distinct_pairs(sf: str):
     return distinct_rows(li, ["l_partkey", "l_suppkey"])
 
 
+def _q_partial_agg(sf: str):
+    """Two-level partial keyed aggregate (`partial_keyed_agg`): per-
+    supplier sum/min/max of lineitem quantity via block-local pyarrow
+    partials + ONE capped key-hash exchange — the combiner aggregate
+    shape every fact-sized sum/min/max plane in this engine rides
+    (~3x the Ray aggregate; measured in SCALE.md §13). Integer
+    measures, so the sums are exact in any order."""
+    from paperchase_crawler_ray.ops.relational import partial_keyed_agg
+    li = _rp(sf, "lineitem", columns=["l_suppkey", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({"l_suppkey": b.column("l_suppkey"),
+                         "q": pc.cast(b.column("l_quantity"),
+                                      pa.int64())})
+
+    return partial_keyed_agg(
+        li.map_batches(to_int, batch_format="pyarrow"),
+        ["l_suppkey"], [("q", "sum"), ("q", "min"), ("q", "max")])
+
+
 def _q_embedding_norm(sf: str):
     emb = _rp(sf, "embeddings", columns=["vec_id", "embedding"])
 
@@ -4414,6 +4434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_props_json": _q_props_json,
         "q_distinct": _q_distinct,
         "q_distinct_pairs": _q_distinct_pairs,
+        "q_partial_agg": _q_partial_agg,
         "q_agg_stats": _q_agg_stats,
         "q_minmax": _q_minmax,
         "q_grouped_median": _q_grouped_median,
@@ -4986,6 +5007,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(DISTINCT lang) AS n_langs FROM documents",
         "q_distinct_pairs":
             "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+        "q_partial_agg":
+            "SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q_sum, "
+            "MIN(CAST(l_quantity AS BIGINT)) AS q_min, "
+            "MAX(CAST(l_quantity AS BIGINT)) AS q_max "
+            "FROM lineitem GROUP BY l_suppkey",
         "q_agg_stats":
             "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
             "COUNT(*) AS count_order FROM lineitem "

@@ -49,8 +49,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
                                rtol=1e-9, atol=1e-12, equal_nan=True):
                 return f"values differ in float col {c}"
         else:
-            if not (av == bv).all():
-                i = int(np.argmax(av != bv))
+            # NA-aware equality: NaT/None must match NaT/None (plain
+            # == is False for NaT pairs, a checker artifact, not a
+            # query mismatch — both engines emit the same missing rows)
+            eq = (av == bv) | (pd.isna(a[c]).to_numpy()
+                               & pd.isna(b[c]).to_numpy())
+            if not eq.all():
+                i = int(np.argmax(~eq))
                 return f"values differ in col {c} @row {i}: " \
                        f"{av[i]!r} vs {bv[i]!r}"
     return None
